@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (content hash), MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification. All are pure DataFrame compositions — group-bys and
+  * self-joins on banded keys — so they scale horizontally: no driver-side
+  * state, no all-pairs comparison (candidate generation is hash-bucketed).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per sha256(text). One shuffle on
+    * the 64-hex hash (uniform keys, no skew).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Word n-gram shingles of a document (lowercased, whitespace-tokenized). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    val count = greatest(size(tokens) - (n - 1), lit(0))
+    array_distinct(transform(sequence(lit(0), count - 1),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+  }
+
+  /** Deterministic 64-bit MinHash signature: for each of `numHashes`
+    * seeded permutations, the min over shingle hashes of
+    * xxhash64(shingle, seed). Pure builtin expressions (codegen'd).
+    */
+  def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = shingles(textCol, shingleN)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, explode one row per
+    * band, self-join on (band_idx, band_hash). Returns distinct candidate
+    * id pairs (a < b). The join key is a hash bucket, so the shuffle is
+    * uniform; no O(n^2) comparison ever happens.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("band_idx", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(aSh: Column, bSh: Column): Column = {
+    val inter = size(array_intersect(aSh, bSh)).cast("double")
+    val uni = size(array_union(aSh, bSh)).cast("double")
+    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >=
+    * `threshold`. Candidate generation via banding, verification via a
+    * join back to the shingle sets (only candidates pay the set cost).
+    */
+  def nearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
+    val sets = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** All-pairs n-gram Jaccard within a blocking key (exact, for modest
+    * block sizes; used as the oracle-checkable form of near-dedup).
+    */
+  def jaccardPairsWithinBlock(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: String,
+      shingleN: Int,
+      threshold: Double): DataFrame = {
+    val sets = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    val a = sets.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** 64-bit SimHash from word unigrams: per bit, sign of the sum over
+    * tokens of (+1 if token-hash bit set else -1). Expressed with builtin
+    * HOFs; one pass over tokens per document, no shuffle.
+    */
+  def simhash64(textCol: Column): Column = {
+    val tokens = split(lower(trim(textCol)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // For each bit position, the simhash bit is 1 when more than half the
+    // token hashes have that bit set (sign of the +1/-1 vote sum).
+    val total = size(hashes)
+    val bitCols = (0 until 64).map { b =>
+      val mask = lit(1L << b)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(0L))
+      when(votes * 2 > total, mask).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

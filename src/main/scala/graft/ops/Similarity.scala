@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column. Baseline is exact brute force ([[graft.query.Retriever]]);
+  * the scale paths here bound the comparison set:
+  *
+  *  - Random-hyperplane LSH: sign-pattern bucket key; only same-bucket
+  *    pairs are scored. Shuffle is on the bucket key (uniform by
+  *    construction), never all-pairs.
+  *  - IVF: k coarse centroids (deterministically seeded sample), each
+  *    vector assigned to its nearest centroid; queries probe `nprobe`
+  *    nearest lists. At 100 TB the store is bucketed/partitioned by
+  *    centroid id so a probe touches only those partitions.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit-ish hyperplane components derived
+    * from (plane, dim) via a hash — no RNG, stable across runs/executors.
+    */
+  private def planeComponent(plane: Int, d: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((plane, d))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** Sign-pattern LSH bucket id from `numPlanes` fixed hyperplanes. */
+  def lshBucket(embCol: String, dim: Int, numPlanes: Int = 12) = {
+    val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d, dim))): _*)
+      val dot = aggregate(
+        zip_with(transform(col(embCol), x => x.cast("double")), plane, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k per query via LSH buckets: join store and queries on
+    * bucket id, score only bucket-mates, window-rank per query.
+    * Recall < 1.0 by design; raise `numPlanes` down or probe multiple
+    * buckets for higher recall.
+    */
+  def lshTopK(
+      store: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      numPlanes: Int = 12,
+      storeEmbCol: String = "embedding",
+      queryEmbCol: String = "q_embedding",
+      storeIdCol: String = "vec_id",
+      queryIdCol: String = "q_id"): DataFrame = {
+    val s = store.withColumn("__bucket", lshBucket(storeEmbCol, dim, numPlanes))
+    val q = queries.withColumn("__bucket", lshBucket(queryEmbCol, dim, numPlanes))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("score").desc, col(storeIdCol))
+    s.join(q, "__bucket")
+      .withColumn("score", vecCosine(col(storeEmbCol), col(queryEmbCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col(storeIdCol), col("score"), col("rank"))
+  }
+
+  /** IVF coarse quantizer: pick `nlist` centroids deterministically (the
+    * vectors whose id hash is smallest — a seeded sample without RNG),
+    * assign every vector to its nearest centroid. Returns (id, centroid_id).
+    *
+    * The centroid set is tiny and broadcast; assignment is a map-side
+    * cross-score + min, no shuffle of the store.
+    */
+  def ivfAssign(
+      store: DataFrame,
+      nlist: Int,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val centroids = store
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").desc, col("centroid_id"))
+    store.crossJoin(broadcast(centroids))
+      .withColumn("__dist", vecCosine(col(embCol), col("centroid_emb")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+}
