@@ -13,25 +13,23 @@ object TimeFunctions {
     * unparsable/empty -> 0.
     */
   def isoToEpoch(c: Column): Column =
-    coalesce(unix_timestamp(to_timestamp(c)), lit(0L))
+    coalesce(unix_timestamp(try_to_timestamp(c)), lit(0L))
 
-  /** F4 `format_duration`: seconds -> "H hours, M minutes, S.SS seconds"
-    * with singular/plural forms, omitting zero components (hours/minutes
-    * only when nonzero, seconds always).
+  /** F4 `format_duration` (loaders/utils/helpers/datetime.py:25-39):
+    * "H hour(s), M minute(s), S.SS seconds" — hours/minutes only when
+    * nonzero (each pluralized when > 1), seconds always with 2 decimals.
     */
   def formatDuration(secs: Column): Column = {
     val h = floor(secs / 3600).cast("long")
     val m = floor((secs % 3600) / 60).cast("long")
-    val s = round(secs % 60, 2)
+    val s = secs % 60
     val hPart = when(h > 0,
       concat(h, when(h === 1, lit(" hour, ")).otherwise(lit(" hours, "))))
       .otherwise(lit(""))
-    val mPart = when((h > 0) || (m > 0),
+    val mPart = when(m > 0,
       concat(m, when(m === 1, lit(" minute, ")).otherwise(lit(" minutes, "))))
       .otherwise(lit(""))
-    val sPart = concat(s,
-      when(s === 1.0, lit(" second")).otherwise(lit(" seconds")))
-    concat(hPart, mPart, sPart)
+    concat(hPart, mPart, format_string("%.2f seconds", s))
   }
 
   /** F5: seconds -> "H:MM:SS" when >= 1h else "M:SS" (display timestamp). */

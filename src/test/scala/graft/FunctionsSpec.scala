@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.{IsoDurationSeconds, TextFunctions, TimeFunctions}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("iso_duration_seconds: parser goldens (reference youtube.py:33-41)") {
+    assert(IsoDurationSeconds.parse("PT1H2M3S") == 3723L)
+    assert(IsoDurationSeconds.parse("PT3M20S") == 200L)
+    assert(IsoDurationSeconds.parse("PT45S") == 45L)
+    assert(IsoDurationSeconds.parse("P1DT2H") == 93600L)
+    assert(IsoDurationSeconds.parse("PT0.5S") == 0L)
+    assert(IsoDurationSeconds.parse("") == 0L)
+    assert(IsoDurationSeconds.parse("garbage") == 0L)
+    assert(IsoDurationSeconds.parse(null) == 0L)
+  }
+
+  test("iso_duration_seconds: runs as a Catalyst expression incl. codegen") {
+    val df = Seq("PT1H2M3S", "PT45S", "", "nope", null)
+      .toDF("dur")
+      .select(IsoDurationSeconds.isoDurationSeconds(col("dur")).as("secs"))
+    assert(df.as[Long].collect().toSeq == Seq(3723L, 45L, 0L, 0L, 0L))
+  }
+
+  test("cleanTextChunk: profanity, captions artifacts, tags, whitespace") {
+    val df = Seq("[ __ ] hello  >> world [Music]  ok now ​!")
+      .toDF("t").select(TextFunctions.cleanTextChunk(col("t")).as("c"))
+    assert(df.as[String].head() == "**** hello world ok now !")
+  }
+
+  test("cleanLlmResponse: marker split, CHUNK tags, smart quotes") {
+    val df = Seq(
+      "thinking... Here is the cleaned chunk: <CHUNK>nice “text”</CHUNK>",
+      "<think>blah</think> result ‘quoted’")
+      .toDF("t").select(TextFunctions.cleanLlmResponse(col("t")).as("c"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("nice \"text\"", "result 'quoted'"))
+  }
+
+  test("splitHosts/joinHosts round trip with empty-string guard") {
+    val df = Seq(("a,b,c"), (""), (null)).toDF("h")
+      .select(TextFunctions.splitHosts(col("h")).as("arr"))
+      .select(size(col("arr")).as("n"), TextFunctions.joinHosts(col("arr")).as("joined"))
+    assert(df.as[(Int, String)].collect().toSeq ==
+      Seq((3, "a,b,c"), (0, ""), (0, "")))
+  }
+
+  test("escapeLikeWildcards escapes % and _") {
+    val df = Seq("50%_off").toDF("t")
+      .select(TextFunctions.escapeLikeWildcards(col("t")).as("e"))
+    assert(df.as[String].head() == "50\\%\\_off")
+  }
+
+  test("formatDuration matches reference golden forms (datetime.py:25-39)") {
+    val df = Seq(3723.0, 200.0, 45.5, 3600.0, 60.0).toDF("s")
+      .select(TimeFunctions.formatDuration(col("s")).as("f"))
+    assert(df.as[String].collect().toSeq == Seq(
+      "1 hour, 2 minutes, 3.00 seconds",
+      "3 minutes, 20.00 seconds",
+      "45.50 seconds",
+      "1 hour, 0.00 seconds",
+      "1 minute, 0.00 seconds"))
+  }
+
+  test("hms render (query_agent.py:161-168)") {
+    val df = Seq(3723.0, 200.0, 59.9).toDF("s")
+      .select(TimeFunctions.hms(col("s")).as("f"))
+    assert(df.as[String].collect().toSeq == Seq("1:02:03", "3:20", "0:59"))
+  }
+
+  test("partition year/month with epoch-0 -> unknown (processing.py:20-28)") {
+    val df = Seq(1325376000L, 0L).toDF("e")
+      .select(TimeFunctions.partitionYear(col("e")).as("y"),
+        TimeFunctions.partitionMonth(col("e")).as("m"))
+    assert(df.as[(String, String)].collect().toSeq ==
+      Seq(("2012", "01"), ("unknown", "unknown")))
+  }
+
+  test("isoToEpoch: parse and zero default (youtube.py:26-30)") {
+    val df = Seq("2012-01-01T00:00:00Z", "").toDF("t")
+      .select(TimeFunctions.isoToEpoch(col("t")).as("e"))
+    assert(df.as[Long].collect().toSeq == Seq(1325376000L, 0L))
+  }
+
+  test("vector cosine/dot/norm/normalize") {
+    val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 1f, 0f), Array(1f, 1f, 0f)),
+      (Array(3f, 4f, 0f), Array(3f, 4f, 0f)))
+      .toDF("a", "b")
+      .select(vecCosine(col("a"), col("b")).as("cos"), vecNorm(col("a")).as("n"))
+    val rows = df.as[(Double, Double)].collect().toSeq
+    assert(rows(0)._1 == 0.0)
+    assert(math.abs(rows(1)._1 - 1.0) < 1e-12)
+    assert(rows(2)._2 == 5.0)
+  }
+}

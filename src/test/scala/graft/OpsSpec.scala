@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.query.{FilterSpec, Retriever}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+  test("exact dedup keeps lowest id per identical text") {
+    val df = Seq((1L, base), (2L, base), (3L, "other text entirely"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicate, skips unrelated") {
+    val nearDup = base.replace("today", "tomorrow")
+    val unrelated = "completely different words about spark catalyst engines and planning"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "text", "doc_id", shingleN = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+    val verified = Dedup.nearDuplicates(df, "text", "doc_id",
+      threshold = 0.5, shingleN = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
+  test("simhash: near-dup texts within small hamming distance, unrelated far") {
+    val df = Seq((1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, "zzz qqq completely unrelated vocabulary entirely xyz abc"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+    assert(hamming(m(1L), m(2L)) <= 12)
+  }
+
+  test("jaccard pairs within block") {
+    val df = Seq((1L, "a", base), (2L, "a", base.replace("dog", "cat")),
+      (3L, "b", base)).toDF("doc_id", "src", "text")
+    val pairs = Dedup.jaccardPairsWithinBlock(df, "text", "doc_id", "src", 2, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 3 is in another block
+  }
+
+  test("brute-force topK retrieval with pre-filter") {
+    val df = Seq(
+      (1L, Array(1f, 0f), "en"), (2L, Array(0.9f, 0.1f), "en"),
+      (3L, Array(0f, 1f), "en"), (4L, Array(1f, 0f), "de"))
+      .toDF("vec_id", "embedding", "lang")
+    val out = Retriever.topK(df, "embedding", "vec_id", Array(1f, 0f), 2,
+      Some(FilterSpec.EqTo("lang", "en")))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("neighbors: per-query top-k with rank") {
+    val store = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1f, 0f)), (20L, Array(0f, 1f)))
+      .toDF("q_id", "q_embedding")
+    val out = Retriever.neighbors(store, queries, 2)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((10L, 1L, 1), (10L, 3L, 2), (20L, 2L, 1), (20L, 3L, 2)))
+  }
+
+  test("LSH ANN recall: same-direction vectors land in the same bucket") {
+    val store = (0 until 50).map { i =>
+      val angle = i * math.Pi / 100
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1f, 0.01f))).toDF("q_id", "q_embedding")
+    val out = Similarity.lshTopK(store, queries, dim = 2, k = 5, numPlanes = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out.nonEmpty) // bucketed candidates exist and are ranked
+  }
+
+  test("ivfAssign: every vector assigned to exactly one centroid") {
+    val store = (0 until 30).map(i => (i.toLong, Array(i.toFloat, (30 - i).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(store, nlist = 4)
+    assert(out.count() == 30)
+    assert(out.select("centroid_id").distinct().count() <= 4)
+  }
+
+  test("text analysis: token count, ratios, language id") {
+    val df = Seq("The quick brown fox is in the yard and it is happy")
+      .toDF("text")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang"),
+        TextAnalysis.punctRatio(col("text")).as("punct"))
+    val (n, lang, punct) = df.as[(Int, String, Double)].head()
+    assert(n == 12)
+    assert(lang == "en")
+    assert(punct == 0.0)
+  }
+
+  test("filter compiler: empty And is true, empty Or is false, Not negates") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(df.where(FilterSpec.compile(FilterSpec.And(Nil))).count() == 3)
+    assert(df.where(FilterSpec.compile(FilterSpec.Or(Nil))).count() == 0)
+    assert(df.where(FilterSpec.compile(
+      FilterSpec.Not(FilterSpec.Gt("x", 1)))).count() == 1)
+  }
+}
