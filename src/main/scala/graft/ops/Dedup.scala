@@ -124,20 +124,22 @@ object Dedup {
 
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum over
     * tokens of (+1 if token-hash bit set else -1). Expressed with builtin
-    * HOFs; one pass over tokens per document, no shuffle.
+    * HOFs as a SINGLE pass over the token hashes carrying a 64-counter
+    * array accumulator (the per-bit-separate form costs 64 passes per
+    * document and risks blowing the whole-stage-codegen size limit).
     */
   def simhash64(textCol: Column): Column = {
     val tokens = split(lower(trim(textCol)), "\\s+")
     val hashes = transform(tokens, t => xxhash64(t))
-    // For each bit position, the simhash bit is 1 when more than half the
-    // token hashes have that bit set (sign of the +1/-1 vote sum).
     val total = size(hashes)
-    val bitCols = (0 until 64).map { b =>
-      val mask = lit(1L << b)
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(0L))
-      when(votes * 2 > total, mask).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    // One fold over token hashes; the accumulator is the 64 bit-vote
+    // counters, updated with a zip over the constant mask array.
+    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(0L)))
+    val bits = zip_with(votes, masks,
+      (v, m) => when(v * 2 > total, m).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 }

@@ -22,7 +22,7 @@ object Similarity {
   /** Deterministic pseudo-random unit-ish hyperplane components derived
     * from (plane, dim) via a hash — no RNG, stable across runs/executors.
     */
-  private def planeComponent(plane: Int, d: Int, dim: Int): Double = {
+  private def planeComponent(plane: Int, d: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, d))
     (h.toDouble / Int.MaxValue.toDouble)
   }
@@ -30,7 +30,7 @@ object Similarity {
   /** Sign-pattern LSH bucket id from `numPlanes` fixed hyperplanes. */
   def lshBucket(embCol: String, dim: Int, numPlanes: Int = 12) = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = array((0 until dim).map(d => lit(planeComponent(p, d, dim))): _*)
+      val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
       val dot = aggregate(
         zip_with(transform(col(embCol), x => x.cast("double")), plane, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
@@ -81,11 +81,16 @@ object Similarity {
       .orderBy(col("__h"))
       .limit(nlist)
       .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").desc, col("centroid_id"))
+    // max_by over (similarity, -centroid_id): highest cosine similarity
+    // wins, ties broken toward the lowest centroid id. groupBy + max_by is
+    // map-side combinable (partial aggregation), so the N*nlist scored rows
+    // never shuffle — only one pre-aggregated row per vector id does.
+    // (The previous window-over-cross-product form shuffled all N*nlist
+    // rows keyed by vector id and sorted them; at 100 TB that IS the job.)
     store.crossJoin(broadcast(centroids))
-      .withColumn("__dist", vecCosine(col(embCol), col("centroid_emb")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("centroid_id"))
+      .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("centroid_id"))
   }
 }
