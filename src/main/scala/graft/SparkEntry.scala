@@ -1,9 +1,9 @@
 package graft
 
 import graft.core.Tables._
-import graft.functions.{TextFunctions, TimeFunctions}
+import graft.functions.{IsoDurationSeconds, TextFunctions, TimeFunctions}
 import graft.functions.VectorFunctions._
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -316,6 +316,179 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }),
+
+    // ---- near-dedup verification (§2.11) ---------------------------
+    "q23_near_dedup" -> ((s, d) =>
+      // Trigram-Jaccard near-dup pairs within a lang block (the
+      // oracle-checkable form of MinHash-LSH verification).
+      Dedup.jaccardPairsWithinBlock(documents(s, d), "text", "doc_id", "lang", 3, 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- scalar functions: oracle rows for the unit-only set --------
+    "q25_iso_duration" -> ((s, d) => {
+      // F3 iso_duration_seconds (custom Catalyst Expression): build an
+      // ISO-8601 duration string from the value column, parse it back.
+      val t = floor(col("value")).cast("long")
+      val h = (t / 3600).cast("long"); val m = ((t % 3600) / 60).cast("long")
+      val sec = (t % 60).cast("long")
+      events(s, d)
+        .withColumn("dur", concat(lit("PT"), h.cast("string"), lit("H"),
+          m.cast("string"), lit("M"), sec.cast("string"), lit("S")))
+        .select(col("event_id"), col("dur"),
+          IsoDurationSeconds.isoDurationSeconds(col("dur")).as("secs"))
+        .orderBy(col("event_id"))
+    }),
+    "q26_epoch_parse" -> ((s, d) =>
+      // F1/F2: ISO `...Z` string -> epoch seconds; unparsable -> 0.
+      events(s, d)
+        .withColumn("iso", when(col("event_id") % 10 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")))
+        .select(col("event_id"),
+          TimeFunctions.isoToEpoch(col("iso")).as("epoch_parsed"))
+        .orderBy(col("event_id"))),
+    "q27_format_duration" -> ((s, d) =>
+      // F4 format_duration pluralized H/M/S render (integer seconds so
+      // the %.2f render is cross-engine exact).
+      events(s, d)
+        .select(col("event_id"),
+          TimeFunctions.formatDuration(floor(col("value")).cast("long").cast("double"))
+            .as("formatted"))
+        .orderBy(col("event_id"))),
+    "q35_llm_clean" -> ((s, d) =>
+      // F9/F10: strip LLM preamble/think markers, CHUNK tags, smart quotes.
+      documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.cleanLlmResponse(
+            concat(lit("<think>deliberating</think>Here is the cleaned chunk: <CHUNK>"),
+              col("text"), lit("</CHUNK>"))).as("cleaned"))
+        .orderBy(col("doc_id"))),
+    "q36_like_escape" -> ((s, d) =>
+      // P6/F12: LIKE-wildcard escaping.
+      documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.escapeLikeWildcards(concat(col("source"), lit("_pct%")))
+            .as("escaped"))
+        .orderBy(col("doc_id"))),
+    "q38_hosts_roundtrip" -> ((s, d) => {
+      // F11: comma-string <-> array round trip with ''/null -> [] guard.
+      val hostsStr = when(col("doc_id") % 7 === 0, lit(""))
+        .otherwise(concat_ws(",", col("source"), col("lang")))
+      documents(s, d)
+        .withColumn("hosts_str", hostsStr)
+        .select(col("doc_id"),
+          size(TextFunctions.splitHosts(col("hosts_str"))).as("n_hosts"),
+          TextFunctions.joinHosts(TextFunctions.splitHosts(col("hosts_str"))).as("rejoined"))
+        .orderBy(col("doc_id"))
+    }),
+    "q39_record_json" -> ((s, d) =>
+      // F15 record -> JSON string + F14 brace escaping for templating.
+      documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.escapeBraces(
+            to_json(struct(col("doc_id"), col("source"), col("lang")))).as("rec"))
+        .orderBy(col("doc_id"))),
+    "q43_subword_upper" -> ((s, d) =>
+      // §2.11 text analysis: subword (BPE-ish) count + uppercase ratio.
+      documents(s, d)
+        .withColumn("mixed", concat_ws(" ", upper(col("source")), col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+          round(TextAnalysis.uppercaseRatio(col("mixed")), 4).as("upper_ratio"))
+        .orderBy(col("doc_id"))),
+    "q44_langid_quality" -> ((s, d) =>
+      // §2.11: stopword-vote language ID + composite quality score.
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.langIdHeuristic(col("text")).as("lang_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+    "q45_fingerprint" -> ((s, d) =>
+      // §2.11: polynomial rolling-hash fingerprint (11-char prefix so the
+      // DuckDB BIGINT mirror cannot overflow; full-text form is the same
+      // fold and stays unit-tested).
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.rollingHashFingerprint(substring(col("text"), 1, 11)).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- ETL catalog + citation path (SURVEY §3.1/§3.3) -------------
+    "q46_catalog" -> ((s, d) => {
+      // J1+J2+A1 catalog query as a composed unit over the star schema:
+      // orders (facts) ⋈ customer (dim) ⟕ lineitem (bridge) ⟕ part (attr).
+      val o = orders(s, d).where(col("o_orderkey") < 320)
+      graft.catalog.CatalogQueries.catalog(
+        o, customer(s, d), lineitem(s, d), part(s, d),
+        "o_orderkey", "o_custkey", "c_custkey", "c_name",
+        "l_orderkey", "l_partkey", "p_partkey", "p_name")
+        .orderBy(col("o_orderkey"))
+    }),
+    "q47_citations" -> ((s, d) => {
+      // J7 (two independent semi-joins, bug-for-bug) + A4 (sorted cited
+      // timestamp set per id) over the events table.
+      val e = events(s, d)
+      val retrieved = e.where(col("event_type") === "click")
+        .select(col("user_id"), floor(col("value")).cast("int").as("t"))
+      val cited = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), floor(col("value")).cast("int").as("t"))
+      val docs = graft.query.Citations.citedDocuments(retrieved, cited, "user_id", "t")
+      graft.query.Citations.groupCitations(docs, "user_id", "t")
+        .select(col("user_id"),
+          array_join(col("timestamps"), ",").as("cited_ts"), col("n_cites"))
+        .orderBy(col("user_id"))
+    }),
+    "q48_prompt" -> ((s, d) =>
+      // F20 prompt assembly (metadata + chunk -> prompt column).
+      documents(s, d)
+        .select(col("doc_id"),
+          format_string("System: You clean transcript chunks.\nShow: %s\nHosts: %s\n---\n%s",
+            col("source"), col("lang"), col("text")).as("prompt"))
+        .orderBy(col("doc_id"))),
+
+    // ---- multimodal binary columns (builder brief) ------------------
+    "q49_binary_sniff" -> ((s, d) =>
+      // Opaque binary column plumbing: byte length + magic-prefix hex.
+      documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          hex(substring(col("payload"), 1, 4)).as("magic"))
+        .orderBy(col("doc_id"))),
+
+    // ---- rows-only entries (not SQL-expressible: hash fns / typed
+    //      flatMap; driver records the weaker rows>0 check) ------------
+    "q30_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(documents(s, d), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))),
+    "q50_simhash" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+    "q51_lsh_ann" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      Similarity.lshTopK(emb, qs, dim = 64, k = 5, numPlanes = 8)
+        .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    "q52_ivf_assign" -> ((s, d) =>
+      Similarity.ivfAssign(embeddings(s, d), nlist = 16)
+        .orderBy(col("vec_id"))),
+    "q53_chunk_transcript" -> ((s, d) => {
+      // G1 chunker inside the plan (typed flatMap) + G3 chunk grain:
+      // synthesize per-source transcripts from documents, chunk with
+      // 1000/200 overlap, emit chunk rows.
+      val docs = documents(s, d)
+      val transcripts = docs
+        .groupBy(col("source"))
+        .agg(array_sort(collect_list(struct(
+          (col("doc_id").cast("double") * 10.0).as("start"),
+          col("text").as("text"),
+          lit(5.0).as("duration")))).as("snippets"))
+        .select(col("source").as("video_id"), col("snippets"))
+      graft.chunk.ChunkTranscript.chunkDF(transcripts)
+        .orderBy(col("video_id"), col("start"), col("text"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,5 +702,158 @@ object SparkEntry {
                  CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
            FROM embeddings e, embeddings q WHERE q.vec_id < 10) t
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q23_near_dedup" ->
+      """WITH toks AS (SELECT doc_id, lang,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, lang,
+           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+           ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8
+         ORDER BY id_a, id_b""",
+    "q25_iso_duration" ->
+      """WITH b AS (SELECT event_id,
+           CAST(floor(value) AS BIGINT) // 3600 AS h,
+           (CAST(floor(value) AS BIGINT) % 3600) // 60 AS m,
+           CAST(floor(value) AS BIGINT) % 60 AS s FROM events)
+         SELECT event_id,
+           'PT' || h || 'H' || m || 'M' || s || 'S' AS dur,
+           h*3600 + m*60 + s AS secs
+         FROM b ORDER BY event_id""",
+    "q26_epoch_parse" ->
+      """SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN 0
+              ELSE CAST(floor(epoch(ts)) AS BIGINT) END AS epoch_parsed
+         FROM events ORDER BY event_id""",
+    "q27_format_duration" ->
+      """WITH b AS (SELECT event_id, CAST(floor(value) AS BIGINT) AS t FROM events)
+         SELECT event_id,
+           CASE WHEN t // 3600 > 0 THEN
+             CAST(t // 3600 AS VARCHAR) ||
+             CASE WHEN t // 3600 = 1 THEN ' hour, ' ELSE ' hours, ' END
+             ELSE '' END ||
+           CASE WHEN (t % 3600) // 60 > 0 THEN
+             CAST((t % 3600) // 60 AS VARCHAR) ||
+             CASE WHEN (t % 3600) // 60 = 1 THEN ' minute, ' ELSE ' minutes, ' END
+             ELSE '' END ||
+           printf('%.2f seconds', CAST(t % 60 AS DOUBLE)) AS formatted
+         FROM b ORDER BY event_id""",
+    "q35_llm_clean" ->
+      """SELECT doc_id,
+         trim(translate(
+           regexp_replace(
+             (regexp_split_to_array(
+               '<think>deliberating</think>Here is the cleaned chunk: <CHUNK>' || text || '</CHUNK>',
+               'Here is the cleaned chunk:|Here''s the cleaned chunk:|</think>'))[-1],
+             '</?CHUNK>', '', 'g'),
+           '‘’“”', '''''""')) AS cleaned
+         FROM documents ORDER BY doc_id""",
+    "q36_like_escape" ->
+      """SELECT doc_id,
+         regexp_replace(source || '_pct%', '([%_])', '\\\1', 'g') AS escaped
+         FROM documents ORDER BY doc_id""",
+    "q38_hosts_roundtrip" ->
+      """WITH b AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '' ELSE source || ',' || lang END AS hosts_str
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN hosts_str = '' THEN 0 ELSE len(string_split(hosts_str, ',')) END AS n_hosts,
+           CASE WHEN hosts_str = '' THEN ''
+                ELSE array_to_string(string_split(hosts_str, ','), ',') END AS rejoined
+         FROM b ORDER BY doc_id""",
+    "q39_record_json" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(
+           to_json(struct_pack(doc_id := doc_id, source := source, lang := lang))::VARCHAR,
+           '\{', '{{', 'g'), '\}', '}}', 'g') AS rec
+         FROM documents ORDER BY doc_id""",
+    "q43_subword_upper" ->
+      """WITH b AS (SELECT doc_id, text, upper(source) || ' ' || text AS mixed FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[\p{L}\p{N}]+')) +
+             length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS n_subwords,
+           round(CASE WHEN length(regexp_replace(mixed, '[^\p{L}]', '', 'g')) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(mixed, '[^\p{Lu}]', '', 'g')) AS DOUBLE)
+               / length(regexp_replace(mixed, '[^\p{L}]', '', 'g')) END, 4) AS upper_ratio
+         FROM b ORDER BY doc_id""",
+    "q44_langid_quality" ->
+      """WITH b AS (SELECT doc_id, text,
+           string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, text,
+           len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','it','that','for'], t))) AS s_en,
+           len(list_filter(toks, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit','den','von'], t))) AS s_de,
+           len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','es','los','por'], t))) AS s_es,
+           len(list_filter(toks, t -> list_contains(['le','la','les','de','et','un','est','que','pour','dans'], t))) AS s_fr
+           FROM b),
+         q AS (SELECT doc_id, text,
+           CASE WHEN s_en = greatest(s_en,s_de,s_es,s_fr) AND greatest(s_en,s_de,s_es,s_fr) > 0 THEN 'en'
+                WHEN s_de = greatest(s_en,s_de,s_es,s_fr) AND greatest(s_en,s_de,s_es,s_fr) > 0 THEN 'de'
+                WHEN s_es = greatest(s_en,s_de,s_es,s_fr) AND greatest(s_en,s_de,s_es,s_fr) > 0 THEN 'es'
+                WHEN s_fr = greatest(s_en,s_de,s_es,s_fr) AND greatest(s_en,s_de,s_es,s_fr) > 0 THEN 'fr'
+                ELSE 'und' END AS lang_id,
+           least(length(text) / 500.0, 1.0) AS len_score,
+           least((CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) * 5.0, 1.0) AS punct_penalty,
+           least((CASE WHEN length(regexp_replace(text, '[^\p{L}]', '', 'g')) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(text, '[^\p{Lu}]', '', 'g')) AS DOUBLE)
+               / length(regexp_replace(text, '[^\p{L}]', '', 'g')) END) * 3.0, 1.0) AS upper_penalty,
+           CASE WHEN length(trim(text)) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) END AS mwl
+           FROM s)
+         SELECT doc_id, lang_id,
+           round(greatest(0.0,
+             len_score * 0.4 +
+             (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+             (1.0 - punct_penalty) * 0.2 +
+             (1.0 - upper_penalty) * 0.1), 4) AS quality
+         FROM q ORDER BY doc_id""",
+    "q45_fingerprint" ->
+      """WITH b AS (SELECT doc_id, substr(text, 1, 11) AS p FROM documents)
+         SELECT doc_id,
+           list_reduce(list_concat([CAST(7 AS BIGINT)],
+             list_transform(range(1, length(p)+1),
+               i -> CAST(ord(substr(p, i, 1)) AS BIGINT))),
+             (acc, c) -> acc * 31 + c) AS fp
+         FROM b ORDER BY doc_id""",
+    "q46_catalog" ->
+      """SELECT o.o_orderkey, c.c_name,
+         coalesce(array_to_string(list_sort(list_filter(list(p.p_name), x -> x IS NOT NULL)), ','), '') AS names
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE o.o_orderkey < 320
+         GROUP BY o.o_orderkey, c.c_name
+         ORDER BY o.o_orderkey""",
+    "q47_citations" ->
+      """WITH retrieved AS (
+           SELECT user_id, CAST(floor(value) AS INT) AS t FROM events
+           WHERE event_type = 'click'),
+         cited AS (SELECT user_id, CAST(floor(value) AS INT) AS t FROM events
+           WHERE event_type = 'purchase')
+         SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(t))), ',') AS cited_ts,
+           count(*) AS n_cites
+         FROM retrieved
+         WHERE user_id IN (SELECT user_id FROM cited)
+           AND t IN (SELECT t FROM cited)
+         GROUP BY user_id ORDER BY user_id""",
+    "q48_prompt" ->
+      """SELECT doc_id,
+         printf('System: You clean transcript chunks.
+Show: %s
+Hosts: %s
+---
+%s', source, lang, text) AS prompt
+         FROM documents ORDER BY doc_id""",
+    "q49_binary_sniff" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         hex(encode(substr(text, 1, 4))) AS magic
+         FROM documents ORDER BY doc_id""",
   )
 }
