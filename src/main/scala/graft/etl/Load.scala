@@ -1,0 +1,80 @@
+package graft.etl
+
+import graft.external.Embedder
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Load stage (SURVEY.md §3.2; reference build_vector_store.py):
+  * G3 chunk explode to the store grain, J5 composite-key anti-join for
+  * resumability, G5 batched embedding, S10 batched sink.
+  *
+  * Scale posture: the explode is per-row (no shuffle); the anti-join is
+  * the one shuffle and runs on (video_id, start_time) — high-cardinality
+  * uniform keys; embedding is `mapPartitions` + `grouped(batch)` so the
+  * external model sees the reference's batch size regardless of
+  * partition size.
+  */
+object Load {
+
+  /** Default epoch when the API gave none: 2012-01-01 (reference
+    * build_vector_store.py:62-70).
+    */
+  val DefaultPublishedAt = 1325376000L
+  val NoTitle = "<NO TITLE FOUND>"
+
+  /** G3 + P9 + F11 + F19: explode transcript chunks to store-grain rows
+    * with video metadata flattened on, hosts comma-joined, defaults
+    * coalesced, and null/empty docs guarded out (build_vector_store.py:51-92).
+    */
+  def explodeChunks(docs: Dataset[VideoDoc]): Dataset[ChunkDoc] = {
+    import docs.sparkSession.implicits._
+    docs.toDF()
+      .where(col("video_id").isNotNull && size(col("transcript_chunks")) > 0)
+      .select(
+        col("video_id"),
+        col("show_name"),
+        concat_ws(",", col("hosts")).as("hosts"),
+        coalesce(col("title"), lit(NoTitle)).as("title"),
+        coalesce(col("published_at"), lit(DefaultPublishedAt)).as("published_at"),
+        explode(col("transcript_chunks")).as("chunk"))
+      .select(col("video_id"), col("show_name"), col("hosts"), col("title"),
+        col("published_at"),
+        col("chunk.start").as("start_time"), col("chunk.text").as("text"))
+      .as[ChunkDoc]
+  }
+
+  /** J5: resumable incremental load — drop chunks whose
+    * (video_id, start_time) already exists in the store
+    * (build_vector_store.py:78-80).
+    */
+  def discoverNewChunks(chunks: DataFrame, existing: DataFrame): DataFrame =
+    chunks.join(existing.select("video_id", "start_time"),
+      Seq("video_id", "start_time"), "left_anti")
+
+  /** G5: embed chunk texts through the external model in fixed-size
+    * batches inside each partition (reference encode batch 128,
+    * build_vector_store.py:22-29).
+    */
+  def embedChunks(
+      chunks: Dataset[ChunkDoc],
+      embedder: Embedder,
+      batchSize: Int = 128): Dataset[EmbeddedChunk] = {
+    import chunks.sparkSession.implicits._
+    chunks.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = embedder.embed(batch.map(_.text))
+        batch.lazyZip(vecs).map { (c, v) =>
+          EmbeddedChunk(c.video_id, c.show_name, c.hosts, c.title,
+            c.published_at, c.start_time, c.text, v)
+        }
+      }
+    }
+  }
+
+  /** S10: batched store sink. Parquet stands in for the JDBC/pgvector
+    * write locally; a production deployment swaps `format` for
+    * `jdbc` with `batchsize` (SURVEY S10) without touching callers.
+    */
+  def writeStore(store: DataFrame, path: String): Unit =
+    store.write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,50 @@
+package graft.etl
+
+import graft.external.ChunkCleaner
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Transform stage (SURVEY.md §3.2; reference clean_locally.py +
+  * transformers/utils/cleaning.py): per-chunk LLM cleaning with
+  * PER-VIDEO ALL-OR-NOTHING abort (G4), plus the A6 integrity check.
+  *
+  * Scale posture: cleaning is a typed `map` on the video grain — the
+  * document is already one row, so "group per video" costs nothing and
+  * a chunk failure aborts exactly its own video (reference
+  * cleaning.py:86-97 aborts the video, not the run). No shuffle; the
+  * external-model calls ride inside the task.
+  */
+object Transform {
+
+  /** G4: clean every chunk of every video through the (external)
+    * cleaner; any chunk failure drops the WHOLE video from the output
+    * (it shows up in the A6 integrity check / quarantine instead).
+    */
+  def cleanVideos(docs: Dataset[VideoDoc], cleaner: ChunkCleaner): Dataset[VideoDoc] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      try {
+        val cleaned = doc.transcript_chunks.map(ch =>
+          TranscriptChunk(cleaner.clean(doc.show_name, doc.title, ch.text), ch.start))
+        Some(doc.copy(transcript_chunks = cleaned))
+      } catch {
+        // All-or-nothing: one bad chunk quarantines the video. Task
+        // stays alive (no Spark retry storm for a semantic failure).
+        case _: Exception => None
+      }
+    }
+  }
+
+  /** A6: integrity check — per-video chunk-count equality between raw
+    * and cleaned (transformers/utils/helpers.py:59-70). Returns one row
+    * per raw video with both counts and an `ok` verdict; aborted videos
+    * appear with `n_cleaned` 0 and ok=false.
+    */
+  def integrityCheck(raw: DataFrame, cleaned: DataFrame, idCol: String = "video_id"): DataFrame = {
+    val r = raw.select(col(idCol), size(col("transcript_chunks")).as("n_raw"))
+    val c = cleaned.select(col(idCol), size(col("transcript_chunks")).as("n_cleaned"))
+    r.join(c, Seq(idCol), "left")
+      .withColumn("n_cleaned", coalesce(col("n_cleaned"), lit(0)))
+      .withColumn("ok", col("n_raw") === col("n_cleaned"))
+  }
+}

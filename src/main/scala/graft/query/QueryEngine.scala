@@ -1,0 +1,101 @@
+package graft.query
+
+import graft.external.{Answerer, ContextDoc, Embedder, ParsedQuery, QueryParser}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `QueryAgent.process_query` retrieval lifecycle
+  * (SURVEY.md §3.3; loaders/agents/query_agent.py:234-390) with the two
+  * LLM calls held behind the external traits:
+  *
+  *   parse (external) -> compile filter (P4-P8) -> per-topic hybrid
+  *   search (P7 + O5) -> merge/dedup/top-k (O2) -> display sort (O1)
+  *   -> answer (external) -> citation join (J7 + A4) -> render (F5/F7).
+  *
+  * Engine-side everything is declarative DataFrame composition: the
+  * metadata filter lands on the scan (pushdown), top-k compiles to
+  * TakeOrderedAndProject, and the only driver-side collection is the
+  * <= `contextCount` context rows handed to the answerer — the same
+  * bounded set the reference sends to its LLM.
+  */
+class QueryEngine(
+    store: DataFrame,
+    parser: QueryParser,
+    answerer: Answerer,
+    embedder: Embedder,
+    contextCount: Int = 120) extends Serializable {
+
+  /** P4-P8 filter compilation (reference loaders/utils/filtering.py:18-123):
+    * year range -> published_at epoch bounds, shows -> $in, hosts ->
+    * wildcard-escaped substring match.
+    */
+  def buildFilter(pq: ParsedQuery): Option[FilterSpec] = {
+    val parts = Seq.newBuilder[FilterSpec]
+    pq.yearStart.foreach { y =>
+      parts += FilterSpec.Gte("published_at",
+        java.time.LocalDate.of(y, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
+    }
+    pq.yearEnd.foreach { y =>
+      parts += FilterSpec.Lte("published_at",
+        java.time.LocalDate.of(y, 12, 31).atTime(23, 59, 59)
+          .toEpochSecond(java.time.ZoneOffset.UTC))
+    }
+    if (pq.shows.nonEmpty) parts += FilterSpec.In("show_name", pq.shows)
+    pq.hosts.foreach(h => parts += FilterSpec.Contains("hosts", h))
+    val built = parts.result()
+    if (built.isEmpty) None else Some(FilterSpec.And(built))
+  }
+
+  /** Retrieval: per-topic hybrid (title/text ILIKE) + vector top-k,
+    * merged with keep-best-score dedup and capped at `contextCount`,
+    * then the (published_at, video_id, start_time) display sort.
+    */
+  def retrieve(query: String): DataFrame = {
+    val pq = parser.parse(query)
+    val base = buildFilter(pq).map(f => store.where(FilterSpec.compile(f))).getOrElse(store)
+    val searches: Seq[DataFrame] =
+      if (pq.topics.isEmpty) {
+        val qv = embedder.embed(Seq(query)).head
+        Seq(Retriever.topK(base, "embedding", "video_id", qv, contextCount)
+          .withColumn("topic", lit(null.asInstanceOf[String])))
+      } else pq.topics.map { t =>
+        // P7: case-insensitive hybrid disjunction over title OR text.
+        val hybrid = base.where(
+          lower(col("title")).contains(t.toLowerCase) ||
+          lower(col("text")).contains(t.toLowerCase))
+        val qv = embedder.embed(Seq(t)).head
+        Retriever.topK(hybrid, "embedding", "video_id", qv, contextCount)
+          .withColumn("topic", lit(t))
+      }
+    Retriever.mergeTopicResults(
+        searches.map(_.drop("topic")), Seq("video_id", "start_time"), "score", contextCount)
+      .orderBy(col("published_at"), col("video_id"), col("start_time"))
+  }
+
+  /** Full lifecycle: retrieve, answer (external), then the J7+A4 citation
+    * join and F5/F7 rendering. Returns (answer, rendered citations).
+    */
+  def process(query: String): (graft.external.AgentAnswer, DataFrame) = {
+    val retrieved = retrieve(query)
+    val context = retrieved
+      .select(col("video_id"), col("start_time"), col("text"))
+      .limit(contextCount).collect()
+      .map(r => ContextDoc(r.getString(0), r.getDouble(1), r.getString(2)))
+    val answer = answerer.answer(query, context.toIndexedSeq)
+
+    val spark: SparkSession = store.sparkSession
+    import spark.implicits._
+    val cited = answer.sources.toDF("video_id", "t")
+      .select(col("video_id"), col("t").cast("int").as("start_time"))
+    val citedDocs = Citations.citedDocuments(retrieved, cited, "video_id", "start_time")
+    val grouped = Citations.groupCitations(citedDocs, "video_id", "start_time")
+    val rendered = grouped
+      .withColumn("first_ts", col("timestamps").getItem(0))
+      .select(col("video_id"),
+        col("timestamps"),
+        Citations.displayTimestamp(col("first_ts")).as("display_ts"),
+        Citations.watchUrl(col("video_id"), col("first_ts")).as("url"))
+      .orderBy(col("video_id"))
+    (answer, rendered)
+  }
+}

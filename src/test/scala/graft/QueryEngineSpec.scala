@@ -1,0 +1,65 @@
+package graft
+
+import graft.external._
+import graft.query.QueryEngine
+import org.apache.spark.sql.functions._
+
+/** §3.3 lifecycle test: parse(stub) -> filter -> hybrid+vector retrieval
+  * -> merge -> answer(stub) -> citation join -> render.
+  */
+class QueryEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val embedder = new HashEmbedder(dim = 16)
+
+  private def store() = {
+    val rows = Seq(
+      // (video_id, show_name, hosts, title, published_at, start_time, text)
+      ("v1", "Alpha Show", "ana,common", "Spark basics", 1577836800L, 10.0, "intro to spark engines"),
+      ("v1", "Alpha Show", "ana,common", "Spark basics", 1577836800L, 20.0, "catalyst optimizer details"),
+      ("v2", "Beta Show", "bob", "Cooking pasta", 1609459200L, 5.0, "boil the water first"),
+      ("v3", "Alpha Show", "ana", "Spark advanced", 1640995200L, 3.0, "tungsten codegen internals"))
+    val withVec = rows.map { case (v, s, h, t, p, st, tx) =>
+      (v, s, h, t, p, st, tx, embedder.embed(Seq(tx)).head)
+    }
+    withVec.toDF("video_id", "show_name", "hosts", "title",
+      "published_at", "start_time", "text", "embedding")
+  }
+
+  private val parser = new DictionaryQueryParser(
+    knownShows = Seq("Alpha Show", "Beta Show"), knownHosts = Seq("ana", "bob"))
+
+  test("filter compilation: years + show + host narrow the store") {
+    val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
+    val pq = parser.parse("""what did ana say on Alpha Show in 2020 about "spark"?""")
+    assert(pq.shows == Seq("Alpha Show"))
+    assert(pq.hosts == Seq("ana"))
+    assert(pq.topics == Seq("spark"))
+    assert(pq.yearStart.contains(2020) && pq.yearEnd.contains(2020))
+    val spec = engine.buildFilter(pq).get
+    val filtered = store().where(graft.query.FilterSpec.compile(spec))
+    // only v1 rows are Alpha Show + ana + published in 2020
+    assert(filtered.select("video_id").distinct().as[String].collect().toSeq == Seq("v1"))
+  }
+
+  test("retrieve: topic hybrid search returns display-sorted rows") {
+    val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
+    val out = engine.retrieve("""tell me about "spark" please""")
+    val ids = out.select("video_id", "start_time").as[(String, Double)].collect().toSeq
+    // hybrid ILIKE on title/text matches v1 (title) and v3 (title); sorted
+    // by (published_at, video_id, start_time)
+    assert(ids == Seq(("v1", 10.0), ("v1", 20.0), ("v3", 3.0)))
+  }
+
+  test("process: echo answerer citations flow through J7/A4 and render") {
+    val engine = new QueryEngine(store(), parser, new EchoAnswerer(maxCitations = 2), embedder)
+    val (answer, citations) = engine.process("""anything on "spark"?""")
+    assert(answer.sources.nonEmpty)
+    val rows = citations.collect()
+    assert(rows.nonEmpty)
+    val r = rows.head
+    assert(r.getAs[String]("url").startsWith("https://www.youtube.com/watch?v="))
+    assert(r.getAs[String]("url").contains("&t="))
+    assert(r.getAs[String]("display_ts").matches("\\d+:\\d{2}(:\\d{2})?"))
+  }
+}
