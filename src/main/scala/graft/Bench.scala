@@ -36,9 +36,10 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        // Full-row materialization: every output column feeds the hash.
+        // Full-row materialization: every output column feeds the hash;
+        // bit_xor aggregation cannot overflow under ANSI mode.
         df.select(xxhash64(df.columns.map(col).toIndexedSeq: _*).as("h"))
-          .agg(sum(col("h"))).collect()
+          .agg(bit_xor(col("h"))).collect()
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -22,8 +22,15 @@ object VectorFunctions {
   /** L2 norm. */
   def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def vecCosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 when either vector has zero norm. Native
+    * Catalyst expression (one tight loop per row, codegen'd) — the HOF
+    * form below is kept as the reference implementation for tests.
+    */
+  def vecCosine(a: Column, b: Column): Column =
+    VecCosineOps.vecCosineNative(a, b)
+
+  /** HOF reference implementation of cosine (identical semantics). */
+  def vecCosineHof(a: Column, b: Column): Column = {
     val denom = vecNorm(a) * vecNorm(b)
     when(denom === 0.0, lit(0.0)).otherwise(vecDot(a, b) / denom)
   }

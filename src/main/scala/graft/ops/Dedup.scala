@@ -30,15 +30,21 @@ object Dedup {
       i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
   }
 
-  /** Deterministic 64-bit MinHash signature: for each of `numHashes`
-    * seeded permutations, the min over shingle hashes of
-    * xxhash64(shingle, seed). Pure builtin expressions (codegen'd).
+  /** Deterministic 64-bit MinHash signature, computed in ONE pass: hash
+    * each shingle once, then fold the shingle-hash array carrying all
+    * `numHashes` running minimums in an array accumulator (permutation i
+    * of shingle s = xxhash64(base_hash(s), i)).
+    *
+    * The naive form — `numHashes` separate `array_min(transform(sh,...))`
+    * expressions — embeds the whole shingle-building tree once PER HASH:
+    * higher-order functions are interpreted (no codegen CSE), so every
+    * row would rebuild its shingle array `numHashes` times. At 100 TB
+    * that multiplies the dominant cost by 32.
     */
   def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = shingles(textCol, shingleN)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
+    val baseHashes = transform(shingles(textCol, shingleN), s => xxhash64(s))
+    aggregate(baseHashes, array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => transform(acc, (v, i) => least(v, xxhash64(h, i))))
   }
 
   /** MinHash-LSH candidate pairs: band the signature, explode one row per

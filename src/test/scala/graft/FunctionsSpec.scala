@@ -96,4 +96,26 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(rows(1)._1 - 1.0) < 1e-12)
     assert(rows(2)._2 == 5.0)
   }
+
+  test("native vec_cosine expression is bit-identical to the HOF form") {
+    // Pseudo-random float vectors (deterministic), plus zero-vector and
+    // length-mismatch edges; assert EXACT equality so swapping the
+    // native expression into declared queries cannot change hashes.
+    def vec(seed: Int, n: Int): Array[Float] = Array.tabulate(n) { i =>
+      (scala.util.hashing.MurmurHash3.productHash((seed, i)).toDouble /
+        Int.MaxValue.toDouble).toFloat
+    }
+    val pairs = Seq(
+      (vec(1, 64), vec(2, 64)),
+      (vec(3, 64), vec(3, 64)),
+      (Array(0f, 0f, 0f), vec(4, 3)),
+      (vec(5, 8), vec(6, 5)), // mismatched lengths
+      (vec(7, 5), vec(8, 8)))
+    val df = pairs.toDF("a", "b")
+      .select(vecCosine(col("a"), col("b")).as("native"),
+        vecCosineHof(col("a"), col("b")).as("hof"))
+    df.as[(Option[Double], Option[Double])].collect().foreach { case (n, h) =>
+      assert(n == h, s"native $n != hof $h")
+    }
+  }
 }
