@@ -458,6 +458,22 @@ object SparkEntry {
           hex(substring(col("payload"), 1, 4)).as("magic"))
         .orderBy(col("doc_id"))),
 
+    "q54_format_sniff" -> ((s, d) => {
+      // Multimodal: magic-byte format sniff over constructed binary
+      // payloads (png/jpeg prefixes spliced onto text bytes).
+      val pngPrefix = lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+      val jpegPrefix = lit(Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte))
+      documents(s, d)
+        .withColumn("payload",
+          when(col("doc_id") % 3 === 0, concat(pngPrefix, col("text").cast("binary")))
+            .when(col("doc_id") % 3 === 1, concat(jpegPrefix, col("text").cast("binary")))
+            .otherwise(col("text").cast("binary")))
+        .select(col("doc_id"),
+          graft.multimodal.MultiModal.sniffFormat(col("payload")).as("format"),
+          length(col("payload")).as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- rows-only entries (not SQL-expressible: hash fns / typed
     //      flatMap; driver records the weaker rows>0 check) ------------
     "q30_minhash_pairs" -> ((s, d) =>
@@ -859,5 +875,17 @@ Hosts: %s
          octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 4))) AS magic
          FROM documents ORDER BY doc_id""",
+    "q54_format_sniff" ->
+      """WITH b AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+                WHEN doc_id % 3 = 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+                ELSE encode(text) END AS payload FROM documents)
+         SELECT doc_id,
+           CASE WHEN left(hex(payload), 16) = '89504E470D0A1A0A' THEN 'png'
+                WHEN left(hex(payload), 6) = 'FFD8FF' THEN 'jpeg'
+                WHEN left(hex(payload), 8) = '47494638' THEN 'gif'
+                ELSE 'unknown' END AS format,
+           octet_length(payload) AS n_bytes
+         FROM b ORDER BY doc_id""",
   )
 }

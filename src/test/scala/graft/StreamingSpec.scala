@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("windowedCounts: watermarked tumbling windows over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.windowedCounts(input.toDF(), "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(12), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: per-user state closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("sess").outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      // second batch: 30 min later -> previous session closed, new one open
+      input.addData(Event(3, ts(35), 7, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "n_events", "total_value", "closed")
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+      assert(rows.contains((7L, 2L, 3.0, false))) // running update, batch 1
+      assert(rows.contains((7L, 2L, 3.0, true)))  // closed on gap, batch 2
+      assert(rows.contains((7L, 1L, 4.0, false))) // new session open
+    } finally q.stop()
+  }
+
+  test("incrementalStoreSink: replayed chunks are idempotent via anti-join") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft-stream-store").toFile.getAbsolutePath + "/st"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toFile.getAbsolutePath
+
+    val input = MemoryStream[(String, Double, String)]
+    val df = input.toDF().toDF("video_id", "start_time", "text")
+    input.addData(("v1", 0.0, "a"), ("v1", 10.0, "b"))
+    val q1 = StreamingOps.incrementalStoreSink(df, store, ckpt)
+    q1.awaitTermination()
+    // second run re-sends an existing chunk plus one new one
+    input.addData(("v1", 10.0, "b"), ("v2", 0.0, "c"))
+    val q2 = StreamingOps.incrementalStoreSink(df, store, ckpt)
+    q2.awaitTermination()
+
+    val back = spark.read.parquet(store).select("video_id", "start_time")
+      .as[(String, Double)].collect().toSet
+    assert(back == Set(("v1", 0.0), ("v1", 10.0), ("v2", 0.0)))
+  }
+}
