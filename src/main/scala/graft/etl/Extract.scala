@@ -1,5 +1,7 @@
 package graft.etl
 
+import graft.chunk.Snippet
+import graft.external.{MetadataFetcher, TranscriptFetcher, VideoMeta}
 import graft.functions.TimeFunctions
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,6 +58,60 @@ object Extract {
     val conflicts = work.columns.toSet.intersect(apiData.columns.toSet) - idCol
     val left = conflicts.foldLeft(work)((df, c) => df.drop(c))
     left.join(apiData, Seq(idCol), "inner")
+  }
+
+  /** S2: one-time staging snapshot — write only when the target does not
+    * exist yet (the reference's MySQL->SQLite cache guarded by an
+    * existence check, fetch_raw_data.py:42-48). Returns the snapshot.
+    */
+  def ensureSnapshot(spark: SparkSession, source: => DataFrame, path: String): DataFrame = {
+    if (!new java.io.File(path).exists())
+      source.write.mode("errorifexists").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** S11: skip/failure state as a small JSON checkpoint used as J4/J5
+    * anti-join input (fetch_raw_data.py:20-39,108-117). Missing file ->
+    * empty state (the reference's corrupt/absent-file fallback).
+    */
+  def readSkipState(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    if (new java.io.File(path).exists())
+      spark.read.schema("video_id STRING").json(path)
+    else Seq.empty[String].toDF("video_id")
+  }
+
+  /** S11 writeback: overwrite the skip-state checkpoint. */
+  def writeSkipState(ids: DataFrame, path: String): Unit =
+    ids.select(col("video_id")).coalesce(1).write.mode("overwrite").json(path)
+
+  /** S4: batched metadata enrichment — <= `batchSize` ids per API call,
+    * inside mapPartitions (youtube.py:44-81; the reference's 50-id
+    * batching becomes per-partition grouped calls, so the connector sees
+    * identical batch shapes at any scale).
+    */
+  def fetchMetadata(
+      ids: Dataset[String],
+      fetcher: MetadataFetcher,
+      batchSize: Int = 50): Dataset[VideoMeta] = {
+    import ids.sparkSession.implicits._
+    ids.mapPartitions(_.grouped(batchSize).flatMap(b => fetcher.fetch(b).valuesIterator))
+  }
+
+  /** S5: per-video transcript fetch; videos with no transcript get an
+    * empty snippet list and a false flag (the status the reference
+    * records in its skip state).
+    */
+  def fetchTranscripts(
+      ids: Dataset[String],
+      fetcher: TranscriptFetcher): Dataset[(String, Boolean, Seq[Snippet])] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      fetcher.fetch(id) match {
+        case Some(snips) => (id, true, snips)
+        case None => (id, false, Seq.empty[Snippet])
+      }
+    }
   }
 
   /** S8: partitioned document sink — year/month derived from

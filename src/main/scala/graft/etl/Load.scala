@@ -77,4 +77,17 @@ object Load {
     */
   def writeStore(store: DataFrame, path: String): Unit =
     store.write.mode("overwrite").parquet(path)
+
+  /** S10 JDBC form: the reference's 256-doc insert batching
+    * (build_vector_store.py:92-114, BATCH_SIZE loaders/utils/config.py:14)
+    * maps to the JDBC writer's batchsize — executors write partitions
+    * concurrently in `batchSize`-row statements. (No database ships in
+    * this container; the parquet form above is the tested path.)
+    */
+  def writeStoreJdbc(store: DataFrame, url: String, table: String,
+      batchSize: Int = 256): Unit =
+    store.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode("append").save()
 }

@@ -35,6 +35,12 @@ object Transform {
     }
   }
 
+  /** S9: cleaned-document mirror sink — same partitioned layout as the
+    * raw sink, different root (transformers/utils/helpers.py:73-89).
+    */
+  def writeCleanedMirror(cleaned: DataFrame, root: String): Unit =
+    Extract.writePartitioned(cleaned, root)
+
   /** A6: integrity check — per-video chunk-count equality between raw
     * and cleaned (transformers/utils/helpers.py:59-70). Returns one row
     * per raw video with both counts and an `ok` verdict; aborted videos

@@ -30,22 +30,15 @@ object Dedup {
       i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
   }
 
-  /** Deterministic 64-bit MinHash signature, computed in ONE pass: hash
-    * each shingle once, then fold the shingle-hash array carrying all
-    * `numHashes` running minimums in an array accumulator (permutation i
-    * of shingle s = xxhash64(base_hash(s), i)).
-    *
-    * The naive form — `numHashes` separate `array_min(transform(sh,...))`
-    * expressions — embeds the whole shingle-building tree once PER HASH:
-    * higher-order functions are interpreted (no codegen CSE), so every
-    * row would rebuild its shingle array `numHashes` times. At 100 TB
-    * that multiplies the dominant cost by 32.
+  /** Deterministic 64-bit MinHash signature — native Catalyst
+    * expression ([[graft.functions.MinHashSigExpr]]): tokenize, shingle,
+    * and fold all `numHashes` running minimums in one tight loop per
+    * row. (Successive HOF forms were 32x interpreted passes, then one
+    * interpreted pass; the native loop is what makes the signature
+    * stage viable when it IS the corpus-scale job.)
     */
-  def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column = {
-    val baseHashes = transform(shingles(textCol, shingleN), s => xxhash64(s))
-    aggregate(baseHashes, array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => transform(acc, (v, i) => least(v, xxhash64(h, i))))
-  }
+  def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column =
+    graft.functions.MinHashOps.minhashSignature(textCol, shingleN, numHashes)
 
   /** MinHash-LSH candidate pairs: band the signature, explode one row per
     * band, self-join on (band_idx, band_hash). Returns distinct candidate
@@ -97,8 +90,13 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
-    val sets = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+    // Only docs that appear in some candidate pair pay the shingle-set
+    // cost: semi-join first, THEN build the (expensive) set arrays.
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val sets = df.select(col(idCol).as("id"), col(textCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shingles(col(textCol), shingleN).as("sh"))
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -129,23 +127,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum over
-    * tokens of (+1 if token-hash bit set else -1). Expressed with builtin
-    * HOFs as a SINGLE pass over the token hashes carrying a 64-counter
-    * array accumulator (the per-bit-separate form costs 64 passes per
-    * document and risks blowing the whole-stage-codegen size limit).
+    * tokens of (+1 if token-hash bit set else -1). Token hashing is one
+    * builtin HOF pass; the 64-counter vote fold is a native Catalyst
+    * expression ([[graft.functions.SimHash64Expr]]) — a JIT'd primitive
+    * loop instead of a per-token interpreted array accumulator.
     */
   def simhash64(textCol: Column): Column = {
     val tokens = split(lower(trim(textCol)), "\\s+")
     val hashes = transform(tokens, t => xxhash64(t))
-    val total = size(hashes)
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    // One fold over token hashes; the accumulator is the 64 bit-vote
-    // counters, updated with a zip over the constant mask array.
-    val votes = aggregate(hashes, array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks,
-        (v, m) => v + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(0L)))
-    val bits = zip_with(votes, masks,
-      (v, m) => when(v * 2 > total, m).otherwise(lit(0L)))
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+    graft.functions.SimHashOps.simhash64FromHashes(hashes)
   }
 }

@@ -129,6 +129,33 @@ class EtlSpec extends SparkSpec {
     assert(vecs("fine text").toSeq == again("fine text").toSeq)
   }
 
+  test("Extract: snapshot is one-time; skip-state roundtrip with absent-file default") {
+    val snap = Files.createTempDirectory("graft-snap").toFile.getAbsolutePath + "/cat"
+    var builds = 0
+    def source = { builds += 1; Seq("vidA", "vidB").toDF("video_id") }
+    assert(Extract.ensureSnapshot(spark, source, snap).count() == 2)
+    assert(Extract.ensureSnapshot(spark, source, snap).count() == 2)
+    assert(builds == 1) // second call reads the cache, never re-queries
+
+    val skipPath = Files.createTempDirectory("graft-skip").toFile.getAbsolutePath + "/skip"
+    assert(Extract.readSkipState(spark, skipPath).count() == 0) // absent -> empty
+    Extract.writeSkipState(Seq("vidZ").toDF("video_id"), skipPath)
+    assert(Extract.readSkipState(spark, skipPath).as[String].collect().toSeq == Seq("vidZ"))
+  }
+
+  test("Extract: batched metadata fetch drops unknown ids; transcript fetch flags silent") {
+    val ids = Seq("vidA", "vid-missing", "vidB").toDS()
+    val meta = Extract.fetchMetadata(ids, new StubMetadataFetcher, batchSize = 2)
+      .collect().map(m => m.video_id -> m).toMap
+    assert(meta.keySet == Set("vidA", "vidB"))
+    assert(meta("vidA").duration >= 60L)
+
+    val tr = Extract.fetchTranscripts(Seq("vidA", "vid-silent").toDS(), new StubTranscriptFetcher)
+      .collect().map(t => t._1 -> t).toMap
+    assert(tr("vidA")._2 && tr("vidA")._3.nonEmpty)
+    assert(!tr("vid-silent")._2 && tr("vid-silent")._3.isEmpty)
+  }
+
   test("pipeline end-to-end: extract -> clean -> explode -> embed -> store roundtrip") {
     val dir = writeFixtures()
     val store = Files.createTempDirectory("graft-store").toFile.getAbsolutePath
