@@ -35,6 +35,31 @@ object Transform {
     }
   }
 
+  /** A5: G4 with running counters — executor-side LongAccumulators for
+    * cleaned/aborted totals (the reference's `total_added`/`total_skipped`
+    * driver counters, build_vector_store.py:46-120; accumulators are the
+    * distributed equivalent). Counters are populated once an action runs.
+    */
+  def cleanVideosWithStats(
+      docs: Dataset[VideoDoc],
+      cleaner: ChunkCleaner): (Dataset[VideoDoc], org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) = {
+    import docs.sparkSession.implicits._
+    val sc = docs.sparkSession.sparkContext
+    val cleanedAcc = sc.longAccumulator("videos_cleaned")
+    val abortedAcc = sc.longAccumulator("videos_aborted")
+    val out = docs.flatMap { doc =>
+      try {
+        val cleaned = doc.transcript_chunks.map(ch =>
+          TranscriptChunk(cleaner.clean(doc.show_name, doc.title, ch.text), ch.start))
+        cleanedAcc.add(1)
+        Some(doc.copy(transcript_chunks = cleaned))
+      } catch {
+        case _: Exception => abortedAcc.add(1); None
+      }
+    }
+    (out, cleanedAcc, abortedAcc)
+  }
+
   /** S9: cleaned-document mirror sink — same partitioned layout as the
     * raw sink, different root (transformers/utils/helpers.py:73-89).
     */

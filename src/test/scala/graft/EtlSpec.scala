@@ -106,6 +106,12 @@ class EtlSpec extends SparkSpec {
     assert(bad == Seq(("vidB", 2, 0)))
   }
 
+  test("Transform: running counters track cleaned vs aborted videos (A5)") {
+    val (out, cleaned, aborted) = Transform.cleanVideosWithStats(docs.toDS(), new StubChunkCleaner())
+    out.count() // action populates accumulators
+    assert(cleaned.value == 2 && aborted.value == 1)
+  }
+
   test("Load: explode to chunk grain with hosts join + defaults; J5 anti-join; G5 embed") {
     val chunks = Load.explodeChunks(docs.toDS())
     assert(chunks.count() == 5)
