@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.{IsoDurationSecondsExpr, MinHashSigExpr, SimHash64Expr, VecCosineExpr}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SQL surface for graft's custom Catalyst expressions: registers
+  * `iso_duration_seconds`, `vec_cosine`, `simhash64`, and
+  * `minhash_signature` in the session function registry so
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` works like any builtin.
+  *
+  * Two entry points:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (spark-submit path);
+  *  - `GraftFunctions.register(spark)` (imperative, for an already-built
+  *    session).
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "iso_duration_seconds" -> { args => IsoDurationSecondsExpr(args.head) },
+    "vec_cosine" -> { args => VecCosineExpr(args(0), args(1)) },
+    "simhash64" -> { args => SimHash64Expr(args.head) },
+    "minhash_signature" -> { args =>
+      MinHashSigExpr(args(0),
+        intLit(args(1), "shingleN"), intLit(args(2), "numHashes"))
+    })
+
+  /** Imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.registry.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

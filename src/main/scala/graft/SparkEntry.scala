@@ -458,6 +458,40 @@ object SparkEntry {
           hex(substring(col("payload"), 1, 4)).as("magic"))
         .orderBy(col("doc_id"))),
 
+    "q55_session_window" -> ((s, d) =>
+      // §2.9 session windows: per-user gap-merged sessions (10-minute
+      // inactivity closes a session).
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))),
+    "q56_cube" -> ((s, d) =>
+      // Grouping-sets surface: CUBE over returnflag x linestatus.
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+    "q57_percentile" -> ((s, d) =>
+      // Exact interpolated percentiles per group.
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"))
+        .orderBy(col("o_orderpriority"))),
+    "q58_asof_join" -> ((s, d) => {
+      // As-of join: latest purchase at-or-before each click, per user —
+      // union+window composition (one shuffle, no range cross join).
+      val e = events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.ops.AsOfJoin.asofMatchedTs(clicks, purchases, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("matched_ts"))
+        .orderBy(col("event_id"))
+    }),
     "q54_format_sniff" -> ((s, d) => {
       // Multimodal: magic-byte format sniff over constructed binary
       // payloads (png/jpeg prefixes spliced onto text bytes).
@@ -875,6 +909,33 @@ Hosts: %s
          octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 4))) AS magic
          FROM documents ORDER BY doc_id""",
+    "q55_session_window" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
+           FROM events),
+         s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM o)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n
+         FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""",
+    "q56_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q57_percentile" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q58_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.ts AS matched_ts
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
     "q54_format_sniff" ->
       """WITH b AS (SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
