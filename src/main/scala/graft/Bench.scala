@@ -26,9 +26,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm the session (codegen, parquet footer caches) so the first
-    // measured query is not charged JVM/session startup.
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // Warm the session so the first measured query is not charged JVM /
+    // codegen / parquet-footer startup: run a small query through the
+    // same shapes the suite uses (scan -> broadcast join -> decimal agg
+    // -> xor materialization).
+    {
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val w = n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_regionkey"))
+        .agg(sum(col("n_nationkey").cast("decimal(20,4)")).cast("double").as("s"))
+      w.select(xxhash64(w.columns.map(col).toIndexedSeq: _*).as("h"))
+        .agg(bit_xor(col("h"))).collect()
+    }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -458,6 +458,11 @@ object SparkEntry {
           hex(substring(col("payload"), 1, 4)).as("magic"))
         .orderBy(col("doc_id"))),
 
+    "q59_embedding_dedup" -> ((s, d) =>
+      // Embedding-cosine near-dup pairs blocked by label (exact within
+      // block; LSH buckets replace the block at corpus scale).
+      Dedup.embeddingNearDuplicates(embeddings(s, d), "embedding", "vec_id", "label", 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
     "q55_session_window" -> ((s, d) =>
       // §2.9 session windows: per-user gap-merged sessions (10-minute
       // inactivity closes a session).
@@ -909,6 +914,13 @@ Hosts: %s
          octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 4))) AS magic
          FROM documents ORDER BY doc_id""",
+    "q59_embedding_dedup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])) >= 0.4
+         ORDER BY id_a, id_b""",
     "q55_session_window" ->
       """WITH o AS (SELECT user_id, ts, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'

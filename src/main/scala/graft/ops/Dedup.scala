@@ -126,6 +126,26 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Embedding-cosine near-dup pairs within a blocking key: exact
+    * cosine (native expression) over same-block pairs. The block key
+    * bounds the pair count (the unblocked form is quadratic — at corpus
+    * scale use [[Similarity.lshTopK]] buckets as the block instead).
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.vecCosine
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .where(vecCosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum over
     * tokens of (+1 if token-hash bit set else -1). Token hashing is one
     * builtin HOF pass; the 64-counter vote fold is a native Catalyst
