@@ -301,10 +301,15 @@ object SparkEntry {
 
     // ---- vector similarity (O5 + extension) ------------------------
     "q28_cosine_topk" -> ((s, d) => {
+      // Single-query top-k with the query vector supplied as a
+      // broadcast 1-row join (no driver-side collection in the builder).
       val emb = embeddings(s, d)
       val qvec = emb.where(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0)
-      graft.query.Retriever.topK(emb, "embedding", "vec_id", qvec.toArray, 100)
+        .select(col("embedding").as("q_embedding"))
+      emb.crossJoin(broadcast(qvec))
+        .withColumn("score", vecCosine(col("embedding"), col("q_embedding")))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(100)
         .select(col("vec_id"), round(col("score"), 4).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
     }),
@@ -533,6 +538,14 @@ object SparkEntry {
     "q52_ivf_assign" -> ((s, d) =>
       Similarity.ivfAssign(embeddings(s, d), nlist = 16)
         .orderBy(col("vec_id"))),
+    "q60_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      Similarity.ivfTopK(emb, qs, nlist = 16, nprobe = 4, k = 5)
+        .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
     "q53_chunk_transcript" -> ((s, d) => {
       // G1 chunker inside the plan (typed flatMap) + G3 chunk grain:
       // synthesize per-source transcripts from documents, chunk with

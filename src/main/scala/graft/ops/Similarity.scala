@@ -93,4 +93,50 @@ object Similarity {
       .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
         .as("centroid_id"))
   }
+
+  /** End-to-end IVF search: assign the store to `nlist` coarse lists
+    * once, assign each query to its `nprobe` nearest lists, then score
+    * only store vectors in probed lists and window-rank per query.
+    *
+    * At 100 TB the store side is written bucketed/partitioned by
+    * `centroid_id`, so a probe reads `nprobe/nlist` of the data; here
+    * the list join expresses the same pruning. Recall < 1 by design
+    * (raise `nprobe` toward `nlist` for the exact result).
+    */
+  def ivfTopK(
+      store: DataFrame,
+      queries: DataFrame,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      storeEmbCol: String = "embedding",
+      queryEmbCol: String = "q_embedding",
+      storeIdCol: String = "vec_id",
+      queryIdCol: String = "q_id"): DataFrame = {
+    val centroids = store
+      .withColumn("__h", xxhash64(col(storeIdCol)))
+      .orderBy(col("__h"))
+      .limit(nlist)
+      .select(col(storeIdCol).as("centroid_id"), col(storeEmbCol).as("centroid_emb"))
+    val assigned = store.crossJoin(broadcast(centroids))
+      .withColumn("__sim", vecCosine(col(storeEmbCol), col("centroid_emb")))
+      .groupBy(col(storeIdCol), col(storeEmbCol))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("centroid_id"))
+    // Each query probes its nprobe nearest lists.
+    val probeW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__qsim").desc, col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("__qsim", vecCosine(col(queryEmbCol), col("centroid_emb")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nprobe)
+      .select(col(queryIdCol), col(queryEmbCol), col("centroid_id"))
+    val rankW = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(storeIdCol))
+    probes.join(assigned, Seq("centroid_id"))
+      .withColumn("score", vecCosine(col(storeEmbCol), col(queryEmbCol)))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col(storeIdCol), col("score"), col("rank"))
+  }
 }

@@ -21,6 +21,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 8)
   }
 
+  test("ivfTopK: probed-list search finds exact neighbors at full probe") {
+    val embedder = new graft.external.HashEmbedder(dim = 16)
+    val store = (0L until 60L).map(i => (i, embedder.embed(Seq(s"doc $i")).head))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, embedder.embed(Seq("doc 5")).head))
+      .toDF("q_id", "q_embedding")
+    // nprobe == nlist probes everything -> must find doc 5 (cosine 1.0) first
+    val full = graft.ops.Similarity.ivfTopK(store, queries, nlist = 4, nprobe = 4, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(full.head.getAs[Long]("vec_id") == 5L)
+    assert(math.abs(full.head.getAs[Double]("score") - 1.0) < 1e-9)
+    // partial probe returns <= k ranked rows from probed lists only
+    val part = graft.ops.Similarity.ivfTopK(store, queries, nlist = 4, nprobe = 1, k = 3)
+      .collect()
+    assert(part.length <= 3 && part.forall(_.getAs[Long]("q_id") == 100L))
+  }
+
+  test("salted join spreads a hot key and preserves results") {
+    val left = (0 until 1000).map(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "payload")
+    val right = Seq(("hot", "H"), ("k950", "A")).toDF("key", "tag")
+    val out = graft.ops.Skew.saltedJoin(left, right, "key", "payload", saltFactor = 8)
+    val plain = left.join(right, Seq("key"), "inner")
+    assert(out.count() == plain.count())
+    assert(out.select("key", "payload", "tag").except(
+      plain.select("key", "payload", "tag")).count() == 0)
+
+    val counts = graft.ops.Skew.saltedCount(left, "key", "payload", 8)
+      .where(col("key") === "hot").as[(String, Long)].collect().toSeq
+    assert(counts == Seq(("hot", 900L)))
+  }
+
   test("asof join matches latest right ts at-or-before each left row") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val clicks = Seq((1L, 7L, ts(10)), (2L, 7L, ts(30)), (3L, 8L, ts(5)))
