@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions._
+import graft.ops.Dedup
+import graft.query.FilterSpec
+import graft.query.FilterSpec._
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded property-style suites (same style as ChunkSplitterSpec):
+  * deterministic generated cases asserting semantic invariants —
+  * filter-compiler equivalence against an in-memory reference
+  * evaluator, hosts split/join inverses, cosine bounds, MinHash
+  * determinism.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- FilterSpec compile ≡ reference evaluation -------------------
+
+  private def genSpec(rnd: Random, depth: Int): FilterSpec = {
+    def leaf(): FilterSpec = rnd.nextInt(6) match {
+      case 0 => Gte("a", rnd.nextInt(100))
+      case 1 => Lte("a", rnd.nextInt(100))
+      case 2 => Gt("b", rnd.nextInt(100))
+      case 3 => Lt("b", rnd.nextInt(100))
+      case 4 => EqTo("a", rnd.nextInt(100))
+      case 5 => In("b", Seq.fill(3)(rnd.nextInt(100)))
+    }
+    if (depth == 0) leaf()
+    else rnd.nextInt(4) match {
+      case 0 => And(Seq.fill(2)(genSpec(rnd, depth - 1)))
+      case 1 => Or(Seq.fill(2)(genSpec(rnd, depth - 1)))
+      case 2 => Not(genSpec(rnd, depth - 1))
+      case _ => leaf()
+    }
+  }
+
+  private def evalRef(spec: FilterSpec, a: Int, b: Int): Boolean = spec match {
+    case Gte(f, v) => (if (f == "a") a else b) >= v.asInstanceOf[Int]
+    case Lte(f, v) => (if (f == "a") a else b) <= v.asInstanceOf[Int]
+    case Gt(f, v)  => (if (f == "a") a else b) > v.asInstanceOf[Int]
+    case Lt(f, v)  => (if (f == "a") a else b) < v.asInstanceOf[Int]
+    case EqTo(f, v) => (if (f == "a") a else b) == v.asInstanceOf[Int]
+    case In(f, vs) => vs.contains(if (f == "a") a else b)
+    case And(ss)   => ss.forall(evalRef(_, a, b))
+    case Or(ss)    => ss.exists(evalRef(_, a, b))
+    case Not(s)    => !evalRef(s, a, b)
+    case other     => fail(s"unexpected $other")
+  }
+
+  test("property: compiled FilterSpec selects exactly the reference-evaluated rows") {
+    val rnd = new Random(7)
+    val rows = Seq.tabulate(200)(i => (rnd.nextInt(100), rnd.nextInt(100), i))
+    val df = rows.toDF("a", "b", "id").cache()
+    for (_ <- 1 to 25) {
+      val spec = genSpec(rnd, 3)
+      val expected = rows.collect { case (a, b, id) if evalRef(spec, a, b) => id }.toSet
+      val got = df.where(FilterSpec.compile(spec)).select("id").as[Int].collect().toSet
+      assert(got == expected, s"spec $spec")
+    }
+  }
+
+  // ---- hosts split/join inverses -----------------------------------
+
+  test("property: joinHosts then splitHosts is identity on comma-free hosts") {
+    val rnd = new Random(11)
+    val cases = Seq.tabulate(50) { _ =>
+      Seq.fill(rnd.nextInt(4))(("h" + rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString))
+    }
+    val df = cases.toDF("hosts")
+      .select(TextFunctions.splitHosts(TextFunctions.joinHosts(col("hosts"))).as("rt"))
+    val back = df.as[Seq[String]].collect().toSeq
+    cases.zip(back).foreach { case (orig, rt) => assert(rt == orig) }
+  }
+
+  // ---- cosine bounds + self-similarity -----------------------------
+
+  test("property: cosine within [-1,1] and exactly 1 on self (nonzero)") {
+    val rnd = new Random(13)
+    val vecs = Seq.tabulate(50)(_ => Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    val df = vecs.map(v => (v, v)).toDF("a", "b")
+      .select(vecCosine(col("a"), col("b")).as("self"))
+    df.as[Double].collect().foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+    val pairs = vecs.sliding(2).map(p => (p(0), p(1))).toSeq
+    val cross = pairs.toDF("a", "b")
+      .select(vecCosine(col("a"), col("b")).as("c")).as[Double].collect()
+    cross.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+  }
+
+  // ---- MinHash determinism + identical-text collision --------------
+
+  test("property: minhash signatures deterministic; identical texts always band-collide") {
+    val rnd = new Random(17)
+    val texts = Seq.tabulate(20)(_ =>
+      Seq.fill(10 + rnd.nextInt(20))("w" + rnd.nextInt(30)).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val sig1 = df.select(Dedup.minhashSignature(col("text"), 3, 16).as("s"))
+      .as[Seq[Long]].collect().toSeq
+    val sig2 = df.select(Dedup.minhashSignature(col("text"), 3, 16).as("s"))
+      .as[Seq[Long]].collect().toSeq
+    assert(sig1 == sig2)
+
+    // duplicate every doc; candidates must contain every (i, i+20) pair
+    val dup = (texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      texts.zipWithIndex.map { case (t, i) => (i.toLong + 20, t) }).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(dup, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    (0 until 20).foreach(i => assert(cands.contains((i.toLong, i.toLong + 20))))
+  }
+}

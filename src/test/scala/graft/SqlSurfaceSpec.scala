@@ -53,6 +53,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(counts == Seq(("hot", 900L)))
   }
 
+  test("bucketed tables join without any Exchange in the plan") {
+    val chunks = (0 until 200).map(i => (s"vid${i % 20}", i * 10.0, s"text $i"))
+      .toDF("video_id", "start_time", "text")
+    val cited = (0 until 20 by 2).map(i => (s"vid$i", i))
+      .toDF("video_id", "times")
+    graft.core.Layout.writeBucketed(chunks, "b_chunks", "video_id", 4)
+    graft.core.Layout.writeBucketed(cited, "b_cited", "video_id", 4)
+    // Disable auto-broadcast so the sort-merge path shows the property
+    // under test: matching bucket specs -> zero Exchange.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.core.Layout.bucketedJoin(spark, "b_chunks", "b_cited", "video_id")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("asof join matches latest right ts at-or-before each left row") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val clicks = Seq((1L, 7L, ts(10)), (2L, 7L, ts(30)), (3L, 8L, ts(5)))
