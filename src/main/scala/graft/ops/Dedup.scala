@@ -51,15 +51,25 @@ object Dedup {
       idCol: String,
       shingleN: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      persistBanded: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-    val banded = sig.select(col("id"),
+    val bandedPlan = sig.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band_idx", "band_hash")))
+    // The banded relation (id, band_idx, band_hash — N*bands tiny rows)
+    // is referenced by both self-join sides AND by every downstream
+    // consumer of the candidate set; without persistence each reference
+    // re-runs the signature scan over the full corpus (observed 10
+    // signature passes in the unpersisted plan). MEMORY_AND_DISK: tiny
+    // relative to the corpus, spills if not.
+    val banded = if (persistBanded)
+      bandedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else bandedPlan
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
