@@ -20,12 +20,16 @@ object TextFunctions {
 
   /** F8 `clean_text_chunk`: profanity marker to stars, zero-width/nbsp
     * cleanup, caption artifacts (`>>`), bracketed tag removal, whitespace
-    * collapse, trim. Order matters and mirrors the reference semantics.
+    * collapse, trim. Order matters and mirrors the reference EXACTLY:
+    * the profanity marker is `[\\u00a0__\\u00a0]` with NON-BREAKING
+    * spaces (helpers.py:18) and is replaced BEFORE nbsp->space
+    * normalization; an ASCII-space `[ __ ]` is NOT a profanity marker
+    * and falls through to bracket-tag removal, like the reference.
     */
   def cleanTextChunk(c: Column): Column = {
-    val profanity = regexp_replace(c, "\\[\\s*__\\s*\\]", "****")
-    val zw        = regexp_replace(profanity, "​", "")
-    val nbsp      = regexp_replace(zw, " ", " ")
+    val profanity = regexp_replace(c, "\\[\\u00a0__\\u00a0\\]", "****")
+    val zw        = regexp_replace(profanity, "\\u200b", "")
+    val nbsp      = regexp_replace(zw, "\\u00a0", " ")
     val arrows    = regexp_replace(nbsp, ">>", "")
     val tags      = regexp_replace(arrows, "\\[[^\\]]*\\]", "")
     normalizeWhitespace(tags)

@@ -96,7 +96,9 @@ class EtlSpec extends SparkSpec {
     val byId = cleaned.collect().map(d => d.video_id -> d).toMap
     assert(byId.keySet == Set("vidA", "vidC")) // vidB aborted wholesale
     assert(byId("vidA").transcript_chunks.head.text == "hello world")
-    assert(byId("vidC").transcript_chunks.head.text == "clean **** content")
+    // ASCII-space [ __ ] is a bracket tag (removed), not the reference's
+    // nbsp profanity marker (which would star out).
+    assert(byId("vidC").transcript_chunks.head.text == "clean content")
     // chunk counts preserved for surviving videos (A6 precondition)
     assert(byId("vidA").transcript_chunks.size == 2)
 

@@ -25,10 +25,22 @@ class FunctionsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(3723L, 45L, 0L, 0L, 0L))
   }
 
-  test("cleanTextChunk: profanity, captions artifacts, tags, whitespace") {
-    val df = Seq("[ __ ] hello  >> world [Music]  ok now ​!")
-      .toDF("t").select(TextFunctions.cleanTextChunk(col("t")).as("c"))
-    assert(df.as[String].head() == "**** hello world ok now !")
+  test("cleanTextChunk: reference goldens (tests/transformers/utils/test_helpers.py)") {
+    // Ported verbatim from the reference's parametrized cases. The
+    // profanity marker uses NON-BREAKING spaces (\u00a0); an ASCII-space
+    // [ __ ] is a plain bracket tag and gets removed, not starred.
+    val cases = Seq(
+      "Text with profanity reference [\u00a0__\u00a0]" ->
+        "Text with profanity reference ****",
+      "Text with\u200bzero\u200bwidth\u00a0space" ->
+        "Text withzerowidth space",
+      "Text with >> arrows" -> "Text with arrows",
+      "Text [with bracket tags] and content" -> "Text and content",
+      "Text with   multiple   spaces" -> "Text with multiple spaces",
+      "[ __ ] ascii marker is a tag" -> "ascii marker is a tag")
+    val df = cases.map(_._1).toDF("t")
+      .select(TextFunctions.cleanTextChunk(col("t")).as("c"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
   }
 
   test("cleanLlmResponse: marker split, CHUNK tags, smart quotes") {
