@@ -106,4 +106,16 @@ class ChunkSplitterSpec extends AnyFunSuite {
       assert(allWords.toSet.subsetOf(chunkWords.toSet))
     }
   }
+
+  test("reference behavioral case (test_transcript.py chunk_size=50, overlap=20)") {
+    val snippets = Seq(
+      Snippet("This is the first sentence.", 0.0, 2.0),
+      Snippet("This is the second sentence that provides overlap.", 2.0, 3.0),
+      Snippet("This is the third and final sentence.", 5.0, 2.5))
+    val chunks = ChunkSplitter.chunkTranscript(snippets, chunkSize = 50, chunkOverlap = 20)
+    assert(chunks.length > 1)
+    assert(chunks.head.start == 0.0)
+    assert(chunks.last.text.contains("final sentence"))
+    assert(chunks.last.start >= 2.0)
+  }
 }

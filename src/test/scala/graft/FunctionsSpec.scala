@@ -97,6 +97,25 @@ class FunctionsSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(1325376000L, 0L))
   }
 
+  test("reference goldens: iso_string_to_epoch + format_duration (test_datetime.py)") {
+    // naive ISO assumed UTC; tz-aware converted; empty -> 0.
+    val epochs = Seq("2012-01-01T00:00:00", "2024-07-23T12:30:00",
+      "2024-07-23T12:30:00+05:00", "").toDF("t")
+      .select(TimeFunctions.isoToEpoch(col("t")).as("e"))
+    assert(epochs.as[Long].collect().toSeq ==
+      Seq(1325376000L, 1721737800L, 1721719800L, 0L))
+
+    val durs = Seq(5.12345, 125.678, 180.0, 3725.5, 7320.0, 0.0).toDF("s")
+      .select(TimeFunctions.formatDuration(col("s")).as("f"))
+    assert(durs.as[String].collect().toSeq == Seq(
+      "5.12 seconds",
+      "2 minutes, 5.68 seconds",
+      "3 minutes, 0.00 seconds",
+      "1 hour, 2 minutes, 5.50 seconds",
+      "2 hours, 2 minutes, 0.00 seconds",
+      "0.00 seconds"))
+  }
+
   test("vector cosine/dot/norm/normalize") {
     val df = Seq((Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
       (Array(1f, 1f, 0f), Array(1f, 1f, 0f)),
