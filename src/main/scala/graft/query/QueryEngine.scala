@@ -25,20 +25,37 @@ class QueryEngine(
     embedder: Embedder,
     contextCount: Int = 120) extends Serializable {
 
-  /** P4-P8 filter compilation (reference loaders/utils/filtering.py:18-123):
-    * year range -> published_at epoch bounds, shows -> $in, hosts ->
-    * wildcard-escaped substring match.
+  /** P4-P8 filter compilation, bug-for-bug with the reference
+    * (loaders/utils/filtering.py:18-123): exact year -> [Jan 1, Dec 31
+    * 23:59:59]; range "a-b" -> [Jan 1 a, Dec 31 b]; before y ->
+    * [2012-01-01 epoch floor, Dec 31 (y-1)]; after y -> [Jan 1 (y+1),
+    * Dec 31 of the CURRENT year]; shows -> $in; each host -> substring
+    * match (the reference's escaped-%LIKE% equals literal contains).
     */
-  def buildFilter(pq: ParsedQuery): Option[FilterSpec] = {
+  def buildFilter(
+      pq: ParsedQuery,
+      nowYear: Int = java.time.LocalDate.now(java.time.ZoneOffset.UTC).getYear): Option[FilterSpec] = {
+    def jan1(y: Int): Long =
+      java.time.LocalDate.of(y, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    def dec31(y: Int): Long =
+      java.time.LocalDate.of(y, 12, 31).atTime(23, 59, 59)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
     val parts = Seq.newBuilder[FilterSpec]
-    pq.yearStart.foreach { y =>
-      parts += FilterSpec.Gte("published_at",
-        java.time.LocalDate.of(y, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond)
-    }
-    pq.yearEnd.foreach { y =>
-      parts += FilterSpec.Lte("published_at",
-        java.time.LocalDate.of(y, 12, 31).atTime(23, 59, 59)
-          .toEpochSecond(java.time.ZoneOffset.UTC))
+    (pq.exactYear, pq.yearRange, pq.beforeYear, pq.afterYear) match {
+      case (Some(y), _, _, _) =>
+        parts += FilterSpec.Gte("published_at", jan1(y))
+        parts += FilterSpec.Lte("published_at", dec31(y))
+      case (None, Some((a, b)), _, _) =>
+        parts += FilterSpec.Gte("published_at", jan1(a))
+        parts += FilterSpec.Lte("published_at", dec31(b))
+      case (None, None, Some(y), _) =>
+        // Reference floors "before" at the 2012-01-01 default epoch.
+        parts += FilterSpec.Gte("published_at", 1325376000L)
+        parts += FilterSpec.Lte("published_at", dec31(y - 1))
+      case (None, None, None, Some(y)) =>
+        parts += FilterSpec.Gte("published_at", jan1(y + 1))
+        parts += FilterSpec.Lte("published_at", dec31(nowYear))
+      case _ => ()
     }
     if (pq.shows.nonEmpty) parts += FilterSpec.In("show_name", pq.shows)
     pq.hosts.foreach(h => parts += FilterSpec.Contains("hosts", h))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.external._
-import graft.query.QueryEngine
+import graft.query.{FilterSpec, QueryEngine}
 import org.apache.spark.sql.functions._
 
 /** §3.3 lifecycle test: parse(stub) -> filter -> hybrid+vector retrieval
@@ -35,11 +35,31 @@ class QueryEngineSpec extends SparkSpec {
     assert(pq.shows == Seq("Alpha Show"))
     assert(pq.hosts == Seq("ana"))
     assert(pq.topics == Seq("spark"))
-    assert(pq.yearStart.contains(2020) && pq.yearEnd.contains(2020))
+    assert(pq.exactYear.contains(2020))
     val spec = engine.buildFilter(pq).get
     val filtered = store().where(graft.query.FilterSpec.compile(spec))
     // only v1 rows are Alpha Show + ana + published in 2020
     assert(filtered.select("video_id").distinct().as[String].collect().toSeq == Seq("v1"))
+  }
+
+  test("year-filter goldens match reference build_filter (test_filtering.py)") {
+    val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
+    def epoch(s: String): Long =
+      java.time.LocalDateTime.parse(s).toEpochSecond(java.time.ZoneOffset.UTC)
+    def bounds(pq: ParsedQuery, nowYear: Int = 2024): (Long, Long) = {
+      val FilterSpec.And(parts) = engine.buildFilter(pq, nowYear).get: @unchecked
+      val g = parts.collectFirst { case FilterSpec.Gte("published_at", v: Long) => v }.get
+      val l = parts.collectFirst { case FilterSpec.Lte("published_at", v: Long) => v }.get
+      (g, l)
+    }
+    assert(bounds(ParsedQuery(exactYear = Some(2023))) ==
+      ((epoch("2023-01-01T00:00:00"), epoch("2023-12-31T23:59:59"))))
+    assert(bounds(ParsedQuery(yearRange = Some((2020, 2022)))) ==
+      ((epoch("2020-01-01T00:00:00"), epoch("2022-12-31T23:59:59"))))
+    assert(bounds(ParsedQuery(beforeYear = Some(2019))) ==
+      ((1325376000L, epoch("2018-12-31T23:59:59"))))
+    assert(bounds(ParsedQuery(afterYear = Some(2022)), nowYear = 2024) ==
+      ((epoch("2023-01-01T00:00:00"), epoch("2024-12-31T23:59:59"))))
   }
 
   test("retrieve: topic hybrid search returns display-sorted rows") {
