@@ -66,26 +66,40 @@ class QueryEngine(
   /** Retrieval: per-topic hybrid (title/text ILIKE) + vector top-k,
     * merged with keep-best-score dedup and capped at `contextCount`,
     * then the (published_at, video_id, start_time) display sort.
+    *
+    * Mirrors query_agent.py:234-306 exactly: with no filter AND no
+    * topics nothing is searched; with topics, the embedding query for
+    * topic T is the SIBLING topics comma-joined (or the raw query when
+    * T is the only topic) while T itself drives the hybrid ILIKE
+    * metadata filter (:273-281).
     */
   def retrieve(query: String): DataFrame = {
     val pq = parser.parse(query)
-    val base = buildFilter(pq).map(f => store.where(FilterSpec.compile(f))).getOrElse(store)
+    val filter = buildFilter(pq)
+    val base = filter.map(f => store.where(FilterSpec.compile(f))).getOrElse(store)
     val searches: Seq[DataFrame] =
       if (pq.topics.isEmpty) {
-        val qv = embedder.embed(Seq(query)).head
-        Seq(Retriever.topK(base, "embedding", "video_id", qv, contextCount)
-          .withColumn("topic", lit(null.asInstanceOf[String])))
+        if (filter.isEmpty) Seq.empty // reference returns None: no search
+        else {
+          val qv = embedder.embed(Seq(query)).head
+          Seq(Retriever.topK(base, "embedding", "video_id", qv, contextCount))
+        }
       } else pq.topics.map { t =>
         // P7: case-insensitive hybrid disjunction over title OR text.
         val hybrid = base.where(
           lower(col("title")).contains(t.toLowerCase) ||
           lower(col("text")).contains(t.toLowerCase))
-        val qv = embedder.embed(Seq(t)).head
+        val siblings = pq.topics.filterNot(_ == t)
+        val searchText = if (siblings.nonEmpty) siblings.mkString(", ") else query
+        val qv = embedder.embed(Seq(searchText)).head
         Retriever.topK(hybrid, "embedding", "video_id", qv, contextCount)
-          .withColumn("topic", lit(t))
       }
-    Retriever.mergeTopicResults(
-        searches.map(_.drop("topic")), Seq("video_id", "start_time"), "score", contextCount)
+    if (searches.isEmpty) {
+      store.select(store.columns.map(col).toIndexedSeq: _*)
+        .withColumn("score", lit(0.0)).limit(0)
+        .orderBy(col("published_at"), col("video_id"), col("start_time"))
+    } else Retriever.mergeTopicResults(
+        searches, Seq("video_id", "start_time"), "score", contextCount)
       .orderBy(col("published_at"), col("video_id"), col("start_time"))
   }
 

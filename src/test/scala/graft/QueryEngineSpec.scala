@@ -71,6 +71,11 @@ class QueryEngineSpec extends SparkSpec {
     assert(ids == Seq(("v1", 10.0), ("v1", 20.0), ("v3", 3.0)))
   }
 
+  test("retrieve: no filter and no topics searches nothing (reference None)") {
+    val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
+    assert(engine.retrieve("completely unconstrained question").count() == 0)
+  }
+
   test("process: echo answerer citations flow through J7/A4 and render") {
     val engine = new QueryEngine(store(), parser, new EchoAnswerer(maxCitations = 2), embedder)
     val (answer, citations) = engine.process("""anything on "spark"?""")
