@@ -49,4 +49,47 @@ object Citations {
 
   /** F5 — display timestamp `H:MM:SS` / `M:SS` (query_agent.py:161-168). */
   def displayTimestamp(startSec: Column): Column = TimeFunctions.hms(startSec)
+
+  /** O3 + F5/F7 — the reference's structured source list
+    * (query_agent.py:146-191): one row per cited video sorted by
+    * release date, carrying video/thumbnail links and a `references`
+    * array of (timestamp_sec = t+buffer, formatted_time of the RAW t,
+    * timestamp_href) structs for every cited timestamp ascending.
+    *
+    * `grouped` is [[groupCitations]] output; `meta` is video-grain
+    * metadata (idCol, title, show_name, published_at).
+    */
+  def structuredSources(grouped: DataFrame, meta: DataFrame, idCol: String): DataFrame =
+    grouped
+      .join(meta.select(col(idCol), col("title"), col("show_name"),
+        col("published_at")).dropDuplicates(idCol), Seq(idCol))
+      .select(
+        col("title"), col("show_name"), col("published_at"),
+        concat(lit("https://www.youtube.com/watch?v="), col(idCol)).as("video_href"),
+        concat(lit("https://i.ytimg.com/vi/"), col(idCol), lit("/mqdefault.jpg"))
+          .as("thumbnail_src"),
+        transform(col("timestamps"), t => struct(
+          (t.cast("long") + 10).as("timestamp_sec"),
+          TimeFunctions.hms(t).as("formatted_time"),
+          concat(lit("https://www.youtube.com/watch?v="), col(idCol),
+            lit("&t="), (t.cast("long") + 10), lit("s")).as("timestamp_href")))
+          .as("references"))
+      .orderBy(col("published_at"))
+
+  /** F15/F20 — the reference's per-doc LLM context block
+    * (query_agent.py:308-328): numbered transcript text + JSON metadata,
+    * numbering in display order.
+    */
+  def formatContext(docs: DataFrame, orderCols: Seq[String], textCol: String,
+      metaCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    docs
+      .withColumn("__idx", row_number().over(w))
+      .withColumn("page_content",
+        format_string("TRANSCRIPT #%d TEXT:\n```%s```\nTRANSCRIPT #%d METADATA:\n```%s```\n\n",
+          col("__idx"), col(textCol), col("__idx"),
+          to_json(struct(metaCols.map(col): _*))))
+      .drop("__idx")
+  }
 }

@@ -120,13 +120,7 @@ class QueryEngine(
       .select(col("video_id"), col("t").cast("int").as("start_time"))
     val citedDocs = Citations.citedDocuments(retrieved, cited, "video_id", "start_time")
     val grouped = Citations.groupCitations(citedDocs, "video_id", "start_time")
-    val rendered = grouped
-      .withColumn("first_ts", col("timestamps").getItem(0))
-      .select(col("video_id"),
-        col("timestamps"),
-        Citations.displayTimestamp(col("first_ts")).as("display_ts"),
-        Citations.watchUrl(col("video_id"), col("first_ts")).as("url"))
-      .orderBy(col("video_id"))
+    val rendered = Citations.structuredSources(grouped, retrieved, "video_id")
     (answer, rendered)
   }
 }

@@ -83,8 +83,29 @@ class QueryEngineSpec extends SparkSpec {
     val rows = citations.collect()
     assert(rows.nonEmpty)
     val r = rows.head
-    assert(r.getAs[String]("url").startsWith("https://www.youtube.com/watch?v="))
-    assert(r.getAs[String]("url").contains("&t="))
-    assert(r.getAs[String]("display_ts").matches("\\d+:\\d{2}(:\\d{2})?"))
+    assert(r.getAs[String]("video_href").startsWith("https://www.youtube.com/watch?v="))
+    assert(r.getAs[String]("thumbnail_src").endsWith("/mqdefault.jpg"))
+    val refs: collection.Seq[org.apache.spark.sql.Row] =
+      r.getAs[collection.Seq[org.apache.spark.sql.Row]]("references")
+    assert(refs.nonEmpty)
+    val ref0 = refs.head
+    // timestamp_sec carries the +10 buffer; formatted_time renders the RAW t
+    assert(ref0.getAs[String]("timestamp_href").contains(s"&t=${ref0.getAs[Long]("timestamp_sec")}s"))
+    assert(ref0.getAs[String]("formatted_time").matches("\\d+:\\d{2}(:\\d{2})?"))
+    // videos ordered by release date
+    val pubs = rows.map(_.getAs[Long]("published_at")).toSeq
+    assert(pubs == pubs.sorted)
+  }
+
+  test("formatContext: numbered transcript blocks with JSON metadata") {
+    val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
+    val retrieved = engine.retrieve("""tell me about "spark" please""")
+    val ctx = graft.query.Citations.formatContext(retrieved,
+      Seq("published_at", "video_id", "start_time"), "text",
+      Seq("video_id", "show_name", "title", "start_time"))
+    val first = ctx.orderBy("published_at", "video_id", "start_time")
+      .select("page_content").as[String].head()
+    assert(first.startsWith("TRANSCRIPT #1 TEXT:\n```"))
+    assert(first.contains("METADATA:\n```{\"video_id\":\"v1\""))
   }
 }
