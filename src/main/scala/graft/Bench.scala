@@ -70,7 +70,7 @@ object Bench {
     // One bare line on stdout (build.sbt routes forked stdout through
     // un-prefixed so the driver can json-parse it), plus a file copy.
     println(line)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
     catch { case _: Throwable => () }
     spark.stop()
   }

@@ -24,11 +24,19 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "iso_duration_seconds" -> { args => IsoDurationSecondsExpr(args.head) },
-    "vec_cosine" -> { args => VecCosineExpr(args(0), args(1)) },
-    "simhash64" -> { args => SimHash64Expr(args.head) },
+    "iso_duration_seconds" -> { args =>
+      arity("iso_duration_seconds", args, 1); IsoDurationSecondsExpr(args.head) },
+    "vec_cosine" -> { args =>
+      arity("vec_cosine", args, 2); VecCosineExpr(args(0), args(1)) },
+    "simhash64" -> { args =>
+      arity("simhash64", args, 1); SimHash64Expr(args.head) },
     "minhash_signature" -> { args =>
+      arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),
         intLit(args(1), "shingleN"), intLit(args(2), "numHashes"))
     })

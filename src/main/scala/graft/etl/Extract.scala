@@ -65,7 +65,7 @@ object Extract {
     * existence check, fetch_raw_data.py:42-48). Returns the snapshot.
     */
   def ensureSnapshot(spark: SparkSession, source: => DataFrame, path: String): DataFrame = {
-    if (!new java.io.File(path).exists())
+    if (!graft.core.FsUtil.exists(spark, path))
       source.write.mode("errorifexists").parquet(path)
     spark.read.parquet(path)
   }
@@ -76,7 +76,7 @@ object Extract {
     */
   def readSkipState(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    if (new java.io.File(path).exists())
+    if (graft.core.FsUtil.exists(spark, path))
       spark.read.schema("video_id STRING").json(path)
     else Seq.empty[String].toDF("video_id")
   }

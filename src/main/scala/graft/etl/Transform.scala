@@ -39,6 +39,13 @@ object Transform {
     * cleaned/aborted totals (the reference's `total_added`/`total_skipped`
     * driver counters, build_vector_store.py:46-120; accumulators are the
     * distributed equivalent). Counters are populated once an action runs.
+    *
+    * Standard Spark accumulator caveat: updates happen inside a
+    * TRANSFORMATION, so re-evaluation (a second action on the returned
+    * Dataset, task retries, speculation) adds again. Read the counters
+    * after exactly one action, or persist the output first if running
+    * several; for exact once-only counts use [[integrityCheck]]'s
+    * aggregation instead.
     */
   def cleanVideosWithStats(
       docs: Dataset[VideoDoc],

@@ -16,7 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Native Catalyst Expression with codegen (static call into the parser)
   * so it stays inside whole-stage codegen on the scan path.
   */
-case class IsoDurationSecondsExpr(child: Expression) extends UnaryExpression {
+case class IsoDurationSecondsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[org.apache.spark.sql.types.DataType]] =
+    Seq(Seq(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "iso_duration_seconds"

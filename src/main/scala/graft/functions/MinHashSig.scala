@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * a minimum.
   */
 case class MinHashSigExpr(child: Expression, shingleN: Int, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[org.apache.spark.sql.types.DataType]] =
+    Seq(Seq(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -44,7 +47,11 @@ object MinHashOps {
   private val Seed = 42L
 
   def signature(text: UTF8String, shingleN: Int, numHashes: Int): ArrayData = {
-    val toks = text.toString.toLowerCase.trim.split("\\s+")
+    // Locale.ROOT: the default-locale toLowerCase is locale-sensitive
+    // (tr-TR maps I to dotless i), which would make signatures differ
+    // across executor JVMs and diverge from Spark's locale-independent
+    // lower() used by the Jaccard-verify tokenization.
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val nShingles = toks.length - shingleN + 1
     var i = 0

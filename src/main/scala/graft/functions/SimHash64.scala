@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * cost drops from thousands of interpreted expression evaluations to
   * ~tokens*64 integer ops.
   */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[org.apache.spark.sql.types.DataType]] =
+    Seq(Seq(org.apache.spark.sql.types.ArrayType(LongType)))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * primitive loop per row (no allocation), inside whole-stage codegen
   * via a static call — the same pattern as [[IsoDurationSecondsExpr]].
   */
-case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[org.apache.spark.sql.types.DataType]] = {
+    val vec = Seq[org.apache.spark.sql.types.DataType](
+      ArrayType(FloatType), ArrayType(DoubleType))
+    Seq(vec, vec)
+  }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_cosine"
 
@@ -28,14 +34,15 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
     case _ => false
   }
 
-  // Length mismatch -> null, mirroring the HOF form exactly (zip_with
-  // null-pads the shorter side, which nulls the whole fold).
+  // Length mismatch or any null element -> null, mirroring the HOF form
+  // exactly (zip_with null-pads the shorter side and a null element
+  // nulls the whole fold).
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val ad = a.asInstanceOf[ArrayData]; val bd = b.asInstanceOf[ArrayData]
     if (ad.numElements() != bd.numElements()) null
-    else VecCosineOps.cosine(ad, elemIsFloat(left), bd, elemIsFloat(right))
+    else VecCosineOps.cosineBoxed(ad, elemIsFloat(left), bd, elemIsFloat(right))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -43,8 +50,10 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
       s"""if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.VecCosineOps$$.MODULE$$.cosine(
+         |  java.lang.Double graft_vc_r = graft.functions.VecCosineOps$$.MODULE$$.cosineBoxed(
          |    $a, ${elemIsFloat(left)}, $b, ${elemIsFloat(right)});
+         |  if (graft_vc_r == null) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = graft_vc_r.doubleValue(); }
          |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
@@ -53,14 +62,16 @@ case class VecCosineExpr(left: Expression, right: Expression) extends BinaryExpr
 }
 
 object VecCosineOps {
-  /** One-pass cosine over equal-length vectors (the expression returns
-    * null before calling this when lengths differ).
+  /** One-pass cosine over equal-length vectors; null when any element
+    * is null (matching the HOF fold). The expression handles the
+    * length-mismatch null before calling this.
     */
-  def cosine(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
+  def cosineBoxed(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     var dot = 0.0; var sa = 0.0; var sb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; sa += x * x; sb += y * y

@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import graft.functions.TimeFunctions
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -107,7 +106,11 @@ object MultiModal {
       everySec: Double,
       durationCol: String = "duration_sec",
       idCol: String = "asset_id"): DataFrame = {
-    val n = TimeFunctions.chunkCount(col(durationCol), everySec.toLong)
+    require(everySec > 0, s"everySec must be positive, got $everySec")
+    // ceil(duration / everySec) in double — truncating the interval to a
+    // long would divide by zero for sub-second intervals and over-count
+    // frames for fractional ones.
+    val n = ceil(col(durationCol) / everySec).cast("long")
     assets
       .where(col(durationCol) > 0)
       .select(col(idCol),

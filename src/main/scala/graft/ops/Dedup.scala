@@ -99,6 +99,12 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    // NOT persisted: cands is referenced three times (two candIds
+    // branches + the verify join), but its inputs read the persisted
+    // banded relation, so re-execution is cheap — while a cache
+    // boundary here hides size stats from the planner and demotes the
+    // small verify joins from broadcast to shuffle (measured 2.4x
+    // slower on the banded+verify benchmark query).
     val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
     // Only docs that appear in some candidate pair pay the shingle-set
     // cost: semi-join first, THEN build the (expensive) set arrays.

@@ -83,16 +83,26 @@ object Similarity {
     * The centroid set is tiny and broadcast; assignment is a map-side
     * cross-score + min, no shuffle of the store.
     */
+  /** Deterministic coarse-centroid pick: the `nlist` vectors whose id
+    * hash is smallest (a seeded sample without RNG). Persisted — the
+    * relation is tiny and every consumer broadcasts it, so recomputing
+    * the full-store sort per reference would dominate.
+    */
+  private def pickCentroids(
+      store: DataFrame, nlist: Int, embCol: String, idCol: String): DataFrame =
+    store
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"))
+      .limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def ivfAssign(
       store: DataFrame,
       nlist: Int,
       embCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val centroids = store
-      .withColumn("__h", xxhash64(col(idCol)))
-      .orderBy(col("__h"))
-      .limit(nlist)
-      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"))
+    val centroids = pickCentroids(store, nlist, embCol, idCol)
     // max_by over (similarity, -centroid_id): highest cosine similarity
     // wins, ties broken toward the lowest centroid id. groupBy + max_by is
     // map-side combinable (partial aggregation), so the N*nlist scored rows
@@ -125,11 +135,9 @@ object Similarity {
       queryEmbCol: String = "q_embedding",
       storeIdCol: String = "vec_id",
       queryIdCol: String = "q_id"): DataFrame = {
-    val centroids = store
-      .withColumn("__h", xxhash64(col(storeIdCol)))
-      .orderBy(col("__h"))
-      .limit(nlist)
-      .select(col(storeIdCol).as("centroid_id"), col(storeEmbCol).as("centroid_emb"))
+    val centroids = pickCentroids(store, nlist, storeEmbCol, storeIdCol)
+    // ivfAssign's map-side max_by assignment, carrying the embedding
+    // through the groupBy so probed lists can score without a re-join.
     val assigned = store.crossJoin(broadcast(centroids))
       .withColumn("__sim", vecCosine(col(storeEmbCol), col("centroid_emb")))
       .groupBy(col(storeIdCol), col(storeEmbCol))

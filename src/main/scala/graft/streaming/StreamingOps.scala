@@ -110,7 +110,7 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val fresh =
-          if (new java.io.File(storePath).exists()) {
+          if (graft.core.FsUtil.exists(spark, storePath)) {
             val existing = spark.read.parquet(storePath).select("video_id", "start_time")
             batch.join(existing, Seq("video_id", "start_time"), "left_anti")
           } else batch

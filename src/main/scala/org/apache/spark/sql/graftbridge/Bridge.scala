@@ -9,6 +9,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * an `org.apache.spark.sql` subpackage purely for access; contains no
   * Spark-internal logic.
   */
+/** Input-type declaration for graft expressions: `AbstractDataType` /
+  * `TypeCollection` are private[sql], so this bridge trait maps a
+  * public `Seq[Seq[DataType]]` (outer = argument position, inner =
+  * accepted alternatives) onto ExpectsInputTypes.
+  */
+trait GraftExpectsInputTypes
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  def acceptedTypes: Seq[Seq[org.apache.spark.sql.types.DataType]]
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    acceptedTypes.map {
+      case Seq(one) => one
+      case many => org.apache.spark.sql.types.TypeCollection(many: _*)
+    }
+}
+
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
