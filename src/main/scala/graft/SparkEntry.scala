@@ -463,6 +463,13 @@ object SparkEntry {
           hex(substring(col("payload"), 1, 4)).as("magic"))
         .orderBy(col("doc_id"))),
 
+    "q61_length_histogram" -> ((s, d) =>
+      // §2.11 text analysis: document length histogram (100-char buckets).
+      documents(s, d)
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")) / count(lit(1))).cast("double").as("avg_chars"))
+        .orderBy(col("bucket"))),
     "q59_embedding_dedup" -> ((s, d) =>
       // Embedding-cosine near-dup pairs blocked by label (exact within
       // block; LSH buckets replace the block at corpus scale).
@@ -927,6 +934,11 @@ Hosts: %s
          octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 4))) AS magic
          FROM documents ORDER BY doc_id""",
+    "q61_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) / count(*) AS DOUBLE) AS avg_chars
+         FROM documents GROUP BY 1 ORDER BY bucket""",
     "q59_embedding_dedup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b

@@ -149,4 +149,28 @@ class FunctionsSpec extends SparkSpec {
       assert(n == h, s"native $n != hof $h")
     }
   }
+
+  test("native vec_cosine: null array elements yield null, matching HOF") {
+    val df = Seq(
+      (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)),
+      (Array[java.lang.Float](1f, 2f), Array[java.lang.Float](1f, 2f)))
+      .toDF("a", "b")
+      .select(vecCosine(col("a"), col("b")).as("native"),
+        vecCosineHof(col("a"), col("b")).as("hof"))
+    val rows = df.as[(Option[Double], Option[Double])].collect().toSeq
+    assert(rows.head._1.isEmpty && rows.head._2.isEmpty)
+    assert(rows(1)._1 == rows(1)._2 && rows(1)._1.nonEmpty)
+  }
+
+  test("custom expressions reject wrong input types at analysis time") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64('not-an-array')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_cosine(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
 }

@@ -45,6 +45,17 @@ class MultiModalSpec extends SparkSpec {
     assert(feats(2L) == again(2L))
   }
 
+  test("sampleFrames: fractional intervals count correctly, sub-second allowed") {
+    val one = Seq(MediaAsset(9L, "video", Array[Byte](1), 10.0)).toDS().toDF()
+    // 10s every 2.5s -> ceil(10/2.5) = 4 frames at 0, 2.5, 5, 7.5
+    val frames = MultiModal.sampleFrames(one, everySec = 2.5)
+      .select("frame_ts").as[Double].collect().sorted.toSeq
+    assert(frames == Seq(0.0, 2.5, 5.0, 7.5))
+    // sub-second interval must not divide by a truncated zero
+    assert(MultiModal.sampleFrames(one, everySec = 0.5).count() == 20)
+    intercept[IllegalArgumentException](MultiModal.sampleFrames(one, everySec = 0.0))
+  }
+
   test("sampleFrames: one row per sampled timestamp, stills excluded") {
     val frames = MultiModal.sampleFrames(assets.toDS().toDF(), everySec = 60.0)
       .select("asset_id", "frame_idx", "frame_ts")
