@@ -534,6 +534,10 @@ object SparkEntry {
       documents(s, d)
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
+    "q62_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(documents(s, d), "text", "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
     "q51_lsh_ann" -> ((s, d) => {
       val emb = embeddings(s, d)
       val qs = emb.where(col("vec_id") < 5)

@@ -142,6 +142,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SimHash near-dup pairs: band the 64-bit simhash into four 16-bit
+    * bands — any pair within Hamming distance 3 shares at least one
+    * intact band (pigeonhole), so the banded self-join finds ALL such
+    * pairs with no all-pairs scan — then verify with
+    * bit_count(xor) <= `maxHamming`. Same scale shape as MinHash-LSH:
+    * uniform hash-bucket shuffle, candidates-only verification.
+    */
+  def simhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key: exact
     * cosine (native expression) over same-block pairs. The block key
     * bounds the pair count (the unblocked form is quadratic — at corpus

@@ -32,6 +32,17 @@ class OpsSpec extends SparkSpec {
     assert(verified == Set((1L, 2L)))
   }
 
+  test("simhash near-dup join finds planted pair via banding, skips unrelated") {
+    val df = Seq((1L, base), (2L, base.replace("today", "tomorrow")),
+      (3L, "zzz qqq completely unrelated vocabulary entirely xyz abc"),
+      (4L, base))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDuplicates(df, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical -> hamming 0
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: near-dup texts within small hamming distance, unrelated far") {
     val df = Seq((1L, base), (2L, base.replace("today", "tomorrow")),
       (3L, "zzz qqq completely unrelated vocabulary entirely xyz abc"))
