@@ -60,6 +60,17 @@ object Extract {
     left.join(apiData, Seq(idCol), "inner")
   }
 
+  /** S1: catalog table scan over JDBC (the reference's MySQL source,
+    * database.py:69-104). Predicates composed on the returned DataFrame
+    * push down into the remote query (`PushedFilters` on the JDBC scan),
+    * mirroring the reference's hand-built `WHERE channel_id < 3`.
+    */
+  def readJdbcTable(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .load()
+
   /** S2: one-time staging snapshot — write only when the target does not
     * exist yet (the reference's MySQL->SQLite cache guarded by an
     * existence check, fetch_raw_data.py:42-48). Returns the snapshot.
