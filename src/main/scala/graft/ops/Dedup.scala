@@ -61,22 +61,38 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band_idx", "band_hash")))
-    // The banded relation (id, band_idx, band_hash — N*bands tiny rows)
-    // is referenced by both self-join sides AND by every downstream
-    // consumer of the candidate set; without persistence each reference
-    // re-runs the signature scan over the full corpus (observed 10
-    // signature passes in the unpersisted plan). MEMORY_AND_DISK: tiny
-    // relative to the corpus, spills if not.
-    val banded = if (persistBanded)
+    bandedCandidatePairs(bandedPlan, "band_hash", Nil, persistBanded)
+  }
+
+  /** Distinct candidate id pairs (id_a < id_b) from a banded relation
+    * `(id, band_idx, <bandValCol>, carryCols...)`: self-join on the
+    * band key, optionally carrying extra per-id columns through as
+    * `<c>_a`/`<c>_b` (for verification without a re-join).
+    *
+    * The banded relation (N*bands tiny rows) is persisted by default:
+    * it is referenced by both self-join sides AND every downstream
+    * consumer of the candidate set — unpersisted, each reference
+    * re-runs the full-corpus hashing scan (observed 10 signature
+    * passes in one plan). MEMORY_AND_DISK: tiny relative to the
+    * corpus, spills if not.
+    */
+  private def bandedCandidatePairs(
+      bandedPlan: DataFrame,
+      bandValCol: String,
+      carryCols: Seq[String],
+      persist: Boolean): DataFrame = {
+    val banded = if (persist)
       bandedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else bandedPlan
     val a = banded.as("a")
     val b = banded.as("b")
+    val carried = carryCols.flatMap(c =>
+      Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b")))
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
+        col(s"a.$bandValCol") === col(s"b.$bandValCol") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +: carried: _*)
       .distinct()
   }
 
@@ -160,16 +176,10 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band_idx", "band_val")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .distinct()
+    bandedCandidatePairs(banded, "band_val", Seq("sh"), persist = true)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key: exact
