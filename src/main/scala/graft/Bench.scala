@@ -66,7 +66,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"materialization":"bit_xor(xxhash64(*))","sf":${jstr(sfDir)}}"""
     // One bare line on stdout (build.sbt routes forked stdout through
     // un-prefixed so the driver can json-parse it), plus a file copy.
     println(line)

@@ -89,6 +89,27 @@ class PropertySpec extends SparkSpec {
     cross.foreach(c => assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
   }
 
+  // ---- As-of join invariants ---------------------------------------
+
+  test("property: asof matched_ts is the max right ts <= left ts per key") {
+    val rnd = new Random(19)
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    for (_ <- 1 to 5) {
+      val left = Seq.tabulate(40)(i => (i.toLong, (rnd.nextInt(5)).toLong, ts(rnd.nextInt(100))))
+      val right = Seq.tabulate(30)(_ => ((rnd.nextInt(6)).toLong, ts(rnd.nextInt(100))))
+      val out = graft.ops.AsOfJoin.asofMatchedTs(
+          left.toDF("event_id", "user_id", "ts"), right.toDF("user_id", "ts"),
+          "user_id", "ts")
+        .select("event_id", "matched_ts")
+        .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+      for ((id, key, t) <- left) {
+        val expected = right.filter(r => r._1 == key && !r._2.after(t))
+          .map(_._2).sortBy(_.getTime).lastOption
+        assert(out(id) == expected, s"left row $id key $key ts $t")
+      }
+    }
+  }
+
   // ---- MinHash determinism + identical-text collision --------------
 
   test("property: minhash signatures deterministic; identical texts always band-collide") {
