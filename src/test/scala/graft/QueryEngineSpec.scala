@@ -71,6 +71,14 @@ class QueryEngineSpec extends SparkSpec {
     assert(ids == Seq(("v1", 10.0), ("v1", 20.0), ("v3", 3.0)))
   }
 
+  test("parser resolves host aliases to canonical names (PRIMARY_HOST_MAP shape)") {
+    val p = new DictionaryQueryParser(Nil, Seq("ana arbol"),
+      hostAliases = Map("ana" -> "ana arbol", "banana" -> "ana arbol"))
+    assert(p.parse("what did banana say?").hosts == Seq("ana arbol"))
+    // direct + alias hits dedupe to one canonical entry
+    assert(p.parse("ana arbol on things").hosts == Seq("ana arbol"))
+  }
+
   test("retrieve: no filter and no topics searches nothing (reference None)") {
     val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
     assert(engine.retrieve("completely unconstrained question").count() == 0)
