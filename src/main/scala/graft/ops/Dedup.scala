@@ -124,8 +124,10 @@ object Dedup {
     val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
     // Only docs that appear in some candidate pair pay the shingle-set
     // cost: semi-join first, THEN build the (expensive) set arrays.
-    val candIds = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
+    // explode instead of a two-branch union so the candidate self-join
+    // subtree appears ONCE here (each reference re-executes it).
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingles(col(textCol), shingleN).as("sh"))
