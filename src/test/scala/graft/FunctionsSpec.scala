@@ -16,6 +16,11 @@ class FunctionsSpec extends SparkSpec {
     assert(IsoDurationSeconds.parse("") == 0L)
     assert(IsoDurationSeconds.parse("garbage") == 0L)
     assert(IsoDurationSeconds.parse(null) == 0L)
+    // reference test_youtube.py goldens verbatim
+    assert(IsoDurationSeconds.parse("PT15M50S") == 950L)
+    assert(IsoDurationSeconds.parse("PT5S") == 5L)
+    assert(IsoDurationSeconds.parse("P1M") == 0L)   // month -> 0
+    assert(IsoDurationSeconds.parse("P1Y2M") == 0L) // year+month -> 0
   }
 
   test("iso_duration_seconds: runs as a Catalyst expression incl. codegen") {
