@@ -54,6 +54,11 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      } finally {
+        // Operators persist mid-plan relations (banded LSH, IVF
+        // centroids); release them so the loop's block-manager footprint
+        // stays flat across 60+ queries.
+        graft.core.Caches.releaseAll()
       }
     }
 
@@ -62,14 +67,20 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"materialization":"bit_xor(xxhash64(*))","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"materialization":"bit_xor(xxhash64(*))","sf":${jstr(sfDir)}}"""
     // One bare line on stdout (build.sbt routes forked stdout through
     // un-prefixed so the driver can json-parse it), plus a file copy.
     println(line)
+    // The full line above can exceed a log-tail capture that truncates from
+    // the front; emit a short self-contained summary LAST so the headline
+    // metric always survives and parses.
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
     catch { case _: Throwable => () }
     spark.stop()

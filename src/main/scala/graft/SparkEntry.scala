@@ -326,9 +326,12 @@ object SparkEntry {
     "q23_near_dedup" -> ((s, d) =>
       // MinHash-LSH banded candidates verified by true trigram Jaccard —
       // the scale path (no all-pairs ever materializes). The oracle
-      // computes exact all-pairs Jaccard >= 0.8, which agrees because at
-      // verify scale every >=0.8 pair is >=0.9 and 8x4 banding recall
-      // there is ~1-1e-9 (deterministic: confirmed by the gate).
+      // computes exact all-pairs Jaccard >= 0.8. NOTE: agreement is
+      // empirically gated per dataset, not semantically guaranteed —
+      // 8x4 banding recall is ~0.985 for a pair at Jaccard exactly 0.8
+      // and approaches 1 only as similarity -> 1. It holds here because
+      // the generator's near-dup pairs all sit >= 0.9 (recall >= 0.9998)
+      // and the gate re-confirms every round at both verify scales.
       Dedup.nearDuplicates(documents(s, d), "text", "doc_id", threshold = 0.8)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -952,7 +955,10 @@ Hosts: %s
          ORDER BY id_a, id_b""",
     "q55_session_window" ->
       """WITH o AS (SELECT user_id, ts, event_id,
-           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
+           -- >= matches Spark session_window semantics exactly: a session
+           -- covers [ts, ts+gap) so an event at precisely gap distance
+           -- starts a NEW session (strict > would merge it).
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '10 minutes'
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
            FROM events),
          s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id

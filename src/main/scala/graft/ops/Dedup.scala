@@ -74,15 +74,15 @@ object Dedup {
     * consumer of the candidate set — unpersisted, each reference
     * re-runs the full-corpus hashing scan (observed 10 signature
     * passes in one plan). MEMORY_AND_DISK: tiny relative to the
-    * corpus, spills if not.
+    * corpus, spills if not. Registered with [[graft.core.Caches]] so a
+    * long-lived session can release it after the terminal action.
     */
   private def bandedCandidatePairs(
       bandedPlan: DataFrame,
       bandValCol: String,
       carryCols: Seq[String],
       persist: Boolean): DataFrame = {
-    val banded = if (persist)
-      bandedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = if (persist) graft.core.Caches.persistTracked(bandedPlan)
     else bandedPlan
     val a = banded.as("a")
     val b = banded.as("b")

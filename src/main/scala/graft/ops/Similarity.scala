@@ -84,18 +84,18 @@ object Similarity {
     * cross-score + min, no shuffle of the store.
     */
   /** Deterministic coarse-centroid pick: the `nlist` vectors whose id
-    * hash is smallest (a seeded sample without RNG). Persisted — the
-    * relation is tiny and every consumer broadcasts it, so recomputing
-    * the full-store sort per reference would dominate.
+    * hash is smallest (a seeded sample without RNG). Persisted (tracked
+    * via [[graft.core.Caches]] for release) — the relation is tiny and
+    * every consumer broadcasts it, so recomputing the full-store sort
+    * per reference would dominate.
     */
   private def pickCentroids(
       store: DataFrame, nlist: Int, embCol: String, idCol: String): DataFrame =
-    store
+    graft.core.Caches.persistTracked(store
       .withColumn("__h", xxhash64(col(idCol)))
       .orderBy(col("__h"))
       .limit(nlist)
-      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb")))
 
   def ivfAssign(
       store: DataFrame,

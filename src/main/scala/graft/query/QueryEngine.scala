@@ -23,7 +23,13 @@ class QueryEngine(
     parser: QueryParser,
     answerer: Answerer,
     embedder: Embedder,
-    contextCount: Int = 120) extends Serializable {
+    contextCount: Int = 120,
+    // "Current year" used by after-N filters (reference semantics).
+    // Captured ONCE at construction so every plan the engine builds is
+    // reproducible across calls and year boundaries; inject a fixed
+    // value in tests.
+    nowYear: Int = java.time.LocalDate.now(java.time.ZoneOffset.UTC).getYear)
+  extends Serializable {
 
   /** P4-P8 filter compilation, bug-for-bug with the reference
     * (loaders/utils/filtering.py:18-123): exact year -> [Jan 1, Dec 31
@@ -34,7 +40,7 @@ class QueryEngine(
     */
   def buildFilter(
       pq: ParsedQuery,
-      nowYear: Int = java.time.LocalDate.now(java.time.ZoneOffset.UTC).getYear): Option[FilterSpec] = {
+      nowYear: Int = this.nowYear): Option[FilterSpec] = {
     def jan1(y: Int): Long =
       java.time.LocalDate.of(y, 1, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
     def dec31(y: Int): Long =

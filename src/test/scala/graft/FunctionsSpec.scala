@@ -146,7 +146,12 @@ class FunctionsSpec extends SparkSpec {
       (vec(3, 64), vec(3, 64)),
       (Array(0f, 0f, 0f), vec(4, 3)),
       (vec(5, 8), vec(6, 5)), // mismatched lengths
-      (vec(7, 5), vec(8, 8)))
+      (vec(7, 5), vec(8, 8)),
+      // zero-norm + mismatched length: HOF's denom==0 -> 0.0 branch wins
+      // over the null-padded dot, so this is 0.0, NOT null.
+      (Array(0f, 0f, 0f), vec(9, 5)),
+      (vec(10, 7), Array.empty[Float]),  // empty side: zero norm -> 0.0
+      (Array.empty[Float], Array.empty[Float]))
     val df = pairs.toDF("a", "b")
       .select(vecCosine(col("a"), col("b")).as("native"),
         vecCosineHof(col("a"), col("b")).as("hof"))
