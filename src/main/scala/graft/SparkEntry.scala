@@ -575,6 +575,39 @@ object SparkEntry {
       graft.chunk.ChunkTranscript.chunkDF(transcripts)
         .orderBy(col("video_id"), col("start"), col("text"))
     }),
+
+    // ---- structured LLM output (SURVEY §1.3: Pydantic -> from_json) --
+    "q63_structured_output" -> ((s, d) => {
+      // Schema-on-read parse of a raw LLM-answer column into the
+      // AgentResponse struct: fenced/preamble responses recovered,
+      // malformed JSON -> null fields, missing keys -> null fields.
+      // Response strings are synthesized deterministically so the
+      // DuckDB oracle builds byte-identical input.
+      val id = col("doc_id").cast("string")
+      val body = concat(
+        lit("{\"query_response\": \"Answer "), id,
+        lit("\", \"sources\": [{\"video_id\": \"v"), id,
+        lit("\", \"start_time\": "), (col("doc_id") % 100).cast("string"),
+        lit(".5}, {\"video_id\": \"w"), id, lit("\", \"start_time\": 0.25}]}"))
+      val fenced = concat(
+        lit("Let me think.\n```json\n{\"query_response\": \"Answer "), id,
+        lit("\", \"sources\": [{\"video_id\": \"v"), id,
+        lit("\", \"start_time\": "), (col("doc_id") % 100).cast("string"),
+        lit(".5}]}\n```"))
+      documents(s, d)
+        .withColumn("resp",
+          when(col("doc_id") % 7 === 0, lit("{\"query_response\": \"broken\", \"sources\": "))
+            .when(col("doc_id") % 11 === 3, lit("{\"query_response\": \"no sources here\"}"))
+            .when(col("doc_id") % 5 === 1, fenced)
+            .otherwise(body))
+        .withColumn("p", graft.query.StructuredOutput.parseAgentResponse(col("resp")))
+        .select(col("doc_id"),
+          col("p.query_response").as("query_response"),
+          size(col("p.sources")).cast("long").as("n_sources"),
+          get(col("p.sources"), lit(0)).getField("video_id").as("first_video"),
+          get(col("p.sources"), lit(0)).getField("start_time").as("first_start"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -995,5 +1028,23 @@ Hosts: %s
                 ELSE 'unknown' END AS format,
            octet_length(payload) AS n_bytes
          FROM b ORDER BY doc_id""",
+    "q63_structured_output" ->
+      """WITH r AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '{"query_response": "broken", "sources": '
+                WHEN doc_id % 11 = 3 THEN '{"query_response": "no sources here"}'
+                WHEN doc_id % 5 = 1 THEN 'Let me think.
+```json
+{"query_response": "Answer ' || doc_id || '", "sources": [{"video_id": "v' || doc_id || '", "start_time": ' || (doc_id % 100) || '.5}]}
+```'
+                ELSE '{"query_response": "Answer ' || doc_id || '", "sources": [{"video_id": "v' || doc_id || '", "start_time": ' || (doc_id % 100) || '.5}, {"video_id": "w' || doc_id || '", "start_time": 0.25}]}'
+           END AS resp FROM documents),
+         x AS (SELECT doc_id, regexp_extract(resp, '(?s)\{.*\}', 0) AS j0 FROM r),
+         p AS (SELECT doc_id, CASE WHEN json_valid(j0) THEN j0 END AS j FROM x)
+         SELECT doc_id,
+           json_extract_string(j, '$.query_response') AS query_response,
+           CAST(json_array_length(j, '$.sources') AS BIGINT) AS n_sources,
+           json_extract_string(j, '$.sources[0].video_id') AS first_video,
+           CAST(json_extract_string(j, '$.sources[0].start_time') AS DOUBLE) AS first_start
+         FROM p ORDER BY doc_id""",
   )
 }

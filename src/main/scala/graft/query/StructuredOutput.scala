@@ -1,0 +1,129 @@
+package graft.query
+
+import graft.external.{AgentAnswer, Answerer, ContextDoc, ParsedQuery}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-on-read parsing of structured LLM output (SURVEY.md §1.3).
+  *
+  * The reference binds LLM responses to Pydantic models via LangChain's
+  * `PydanticOutputParser` (kfai/loaders/utils/parsing.py:17-66, models at
+  * kfai/loaders/utils/types.py:47-109): `QueryParseResponse` for the
+  * query-parsing call and `AgentResponse{query_response, sources[]}` for
+  * the answer call, with any parse failure collapsing to None. The Spark
+  * re-expression is `from_json` with an explicit schema — a codegen'd
+  * column operation, so a pipeline that stores millions of raw LLM
+  * responses parses them distributed, not row-at-a-time on a driver:
+  *
+  *  - fence/preamble recovery: LangChain tolerates reasoning preambles
+  *    and ```json fences around the object; [[extractJson]] mirrors that
+  *    by taking the outermost `{...}` span (greedy, dotall).
+  *  - malformed JSON -> null fields (from_json PERMISSIVE), the
+  *    column-level analog of parse_query's `except -> None`.
+  *  - missing keys -> null fields, like Pydantic's defaults-on-absence.
+  */
+object StructuredOutput {
+
+  /** `SourceCitation` (types.py:90-99). */
+  val sourceCitationSchema: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("start_time", DoubleType)))
+
+  /** `AgentResponse` (types.py:100-109). */
+  val agentResponseSchema: StructType = StructType(Seq(
+    StructField("query_response", StringType),
+    StructField("sources", ArrayType(sourceCitationSchema))))
+
+  /** `QueryParseResponse` (types.py:47-87) — year fields are strings in
+    * the reference model (the parser normalizes them downstream).
+    */
+  val queryParseSchema: StructType = StructType(Seq(
+    StructField("shows", ArrayType(StringType)),
+    StructField("hosts", ArrayType(StringType)),
+    StructField("topics", ArrayType(StringType)),
+    StructField("exact_year", StringType),
+    StructField("year_range", StringType),
+    StructField("before_year", StringType),
+    StructField("after_year", StringType)))
+
+  /** Outermost `{...}` span of a raw LLM response (greedy, dotall) —
+    * recovers the JSON object from reasoning preambles and markdown
+    * fences the way LangChain's JSON parser does. No-match -> '' ->
+    * null after from_json.
+    */
+  def extractJson(c: Column): Column = regexp_extract(c, "(?s)\\{.*\\}", 0)
+
+  /** Raw answer text -> `AgentResponse` struct column (null fields on
+    * malformed input).
+    */
+  def parseAgentResponse(c: Column): Column =
+    from_json(extractJson(c), agentResponseSchema)
+
+  /** Raw parser-LLM text -> `QueryParseResponse` struct column. */
+  def parseQueryResponse(c: Column): Column =
+    from_json(extractJson(c), queryParseSchema)
+
+  /** Driver-side single-response parse into the typed [[AgentAnswer]],
+    * for the QueryEngine's answer boundary. Runs the SAME Catalyst
+    * expression as the column path (one-row Dataset), so driver and
+    * distributed parses cannot diverge. Parse failure -> None, like the
+    * reference's `except -> None`.
+    */
+  def toAgentAnswer(spark: SparkSession, raw: String): Option[AgentAnswer] = {
+    import spark.implicits._
+    val row = Seq(raw).toDF("r")
+      .select(parseAgentResponse(col("r")).as("p"))
+      .select(col("p.query_response"), col("p.sources"))
+      .collect().head
+    for {
+      resp <- Option(row.getString(0))
+      srcs = Option(row.getSeq[Row](1)).getOrElse(Seq.empty)
+    } yield AgentAnswer(resp,
+      srcs.map(s => (s.getString(0), Option(s.get(1)).map(_ => s.getDouble(1).toInt).getOrElse(0))))
+  }
+
+  /** Driver-side single-response parse into [[ParsedQuery]] (year
+    * strings -> Ints where numeric; "a-b" range split), mirroring the
+    * reference's post-Pydantic normalization.
+    */
+  def toParsedQuery(spark: SparkSession, raw: String): Option[ParsedQuery] = {
+    import spark.implicits._
+    val row = Seq(raw).toDF("r")
+      .select(parseQueryResponse(col("r")).as("p"))
+      .select(col("p.shows"), col("p.hosts"), col("p.topics"),
+        col("p.exact_year"), col("p.year_range"), col("p.before_year"), col("p.after_year"))
+      .collect().head
+    def strs(i: Int): Seq[String] =
+      Option(row.getSeq[String](i)).getOrElse(Seq.empty)
+    def year(i: Int): Option[Int] =
+      Option(row.getString(i)).flatMap(s => s.trim.toIntOption)
+    val range = Option(row.getString(4)).flatMap { s =>
+      s.split("-", 2) match {
+        case Array(a, b) => for (x <- a.trim.toIntOption; y <- b.trim.toIntOption) yield (x, y)
+        case _ => None
+      }
+    }
+    if (row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3) &&
+        row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6)) None
+    else Some(ParsedQuery(
+      shows = strs(0), hosts = strs(1), topics = strs(2),
+      exactYear = year(3), yearRange = range,
+      beforeYear = year(5), afterYear = year(6)))
+  }
+}
+
+/** Adapter from a raw-text LLM boundary — `(query, context) -> response
+  * text` — to the typed [[Answerer]], via [[StructuredOutput]]'s
+  * schema-on-read parse. An unparsable response throws, matching the
+  * reference's un-guarded `qa_chain.invoke` (query_agent.py:330-341,
+  * where a Pydantic parse failure propagates to the caller).
+  */
+class JsonAnswerer(
+    spark: SparkSession,
+    raw: (String, Seq[ContextDoc]) => String) extends Answerer {
+  override def answer(query: String, context: Seq[ContextDoc]): AgentAnswer =
+    StructuredOutput.toAgentAnswer(spark, raw(query, context)).getOrElse(
+      throw new IllegalArgumentException(
+        s"LLM answer did not parse as AgentResponse for query: $query"))
+}

@@ -105,6 +105,54 @@ class QueryEngineSpec extends SparkSpec {
     assert(pubs == pubs.sorted)
   }
 
+  test("structured output: fenced/malformed/missing-key LLM responses parse like the reference") {
+    import graft.query.StructuredOutput
+    // Fenced answer with preamble -> parsed; citation start_time floats -> Int.
+    val fenced =
+      """Thinking about it...
+        |```json
+        |{"query_response": "Use catalyst.", "sources": [
+        |  {"video_id": "v1", "start_time": 20.0},
+        |  {"video_id": "v3", "start_time": 3.0}]}
+        |```""".stripMargin
+    assert(StructuredOutput.toAgentAnswer(spark, fenced).contains(
+      AgentAnswer("Use catalyst.", Seq(("v1", 20), ("v3", 3)))))
+    // Malformed JSON -> None (reference: parse exception -> None).
+    assert(StructuredOutput.toAgentAnswer(spark, "{\"query_response\": oops").isEmpty)
+    // Missing sources key -> empty citations (Pydantic default-on-absence).
+    assert(StructuredOutput.toAgentAnswer(spark, "{\"query_response\": \"hi\"}").contains(
+      AgentAnswer("hi", Nil)))
+    // QueryParseResponse: arrays + year strings -> typed ParsedQuery.
+    val pq = StructuredOutput.toParsedQuery(spark,
+      """{"shows": ["Alpha Show"], "hosts": [], "topics": ["spark"],
+        | "exact_year": null, "year_range": "2020-2022"}""".stripMargin).get
+    assert(pq.shows == Seq("Alpha Show"))
+    assert(pq.topics == Seq("spark"))
+    assert(pq.yearRange.contains((2020, 2022)))
+    assert(pq.exactYear.isEmpty && pq.beforeYear.isEmpty && pq.afterYear.isEmpty)
+  }
+
+  test("process: JSON answerer (from_json boundary) flows into citation rendering") {
+    // A raw-text LLM stub: cites the first two context docs in a fenced
+    // JSON AgentResponse, like a real structured-output model would.
+    val rawLlm = (query: String, ctx: Seq[ContextDoc]) => {
+      val cites = ctx.take(2).map(c =>
+        s"""{"video_id": "${c.videoId}", "start_time": ${c.startTime}}""").mkString(", ")
+      s"""Let me answer "$query".
+         |```json
+         |{"query_response": "Parsed structurally.", "sources": [$cites]}
+         |```""".stripMargin
+    }
+    val engine = new QueryEngine(store(), parser,
+      new graft.query.JsonAnswerer(spark, rawLlm), embedder)
+    val (answer, citations) = engine.process("""anything on "spark"?""")
+    assert(answer.queryResponse == "Parsed structurally.")
+    assert(answer.sources.size == 2)
+    val rows = citations.collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[String]("video_href").startsWith("https://www.youtube.com/watch?v="))
+  }
+
   test("formatContext: numbered transcript blocks with JSON metadata") {
     val engine = new QueryEngine(store(), parser, new EchoAnswerer(), embedder)
     val retrieved = engine.retrieve("""tell me about "spark" please""")
