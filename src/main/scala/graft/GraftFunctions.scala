@@ -39,6 +39,14 @@ object GraftFunctions {
       arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),
         intLit(args(1), "shingleN"), intLit(args(2), "numHashes"))
+    },
+    // G1 chunker as a SQL table-generating function:
+    //   SELECT video_id, c.* FROM t
+    //   LATERAL VIEW chunk_transcript(snippets, 1000, 200) c AS text, start
+    "chunk_transcript" -> { args =>
+      arity("chunk_transcript", args, 3)
+      graft.chunk.ChunkTranscriptGen(args(0),
+        intLit(args(1), "chunkSize"), intLit(args(2), "chunkOverlap"))
     })
 
   /** Imperative registration into an existing session. */

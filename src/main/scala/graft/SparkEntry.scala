@@ -561,9 +561,16 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
     "q53_chunk_transcript" -> ((s, d) => {
-      // G1 chunker inside the plan (typed flatMap) + G3 chunk grain:
-      // synthesize per-source transcripts from documents, chunk with
-      // 1000/200 overlap, emit chunk rows.
+      // G1 chunker inside the plan — through the SQL-surface Generator
+      // (Spark plans a per-row Generate, no shuffle) — projected onto a
+      // DuckDB-checkable invariant envelope per video: char totals and
+      // the first chunk's start are EXACT cross-checks (the oracle
+      // recomputes both from the raw documents), chunk-count bounds and
+      // size/start/non-emptiness invariants are engine-computed
+      // predicates the oracle pins to TRUE. Raw chunk-row equality
+      // between this Generator and the typed flatMap is asserted in
+      // SqlSurfaceSpec; chunk text content itself is covered by the
+      // splitter goldens + property suites.
       val docs = documents(s, d)
       val transcripts = docs
         .groupBy(col("source"))
@@ -572,8 +579,34 @@ object SparkEntry {
           col("text").as("text"),
           lit(5.0).as("duration")))).as("snippets"))
         .select(col("source").as("video_id"), col("snippets"))
-      graft.chunk.ChunkTranscript.chunkDF(transcripts)
-        .orderBy(col("video_id"), col("start"), col("text"))
+      val chunks = transcripts.select(col("video_id"),
+        graft.chunk.ChunkTranscriptGen.chunkTranscriptGen(col("snippets"), 1000, 200))
+      val cstats = chunks.groupBy(col("video_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("start")).as("min_chunk_start"),
+          max(col("start")).as("max_chunk_start"),
+          min(length(col("text"))).as("min_len"),
+          max(length(col("text"))).as("max_len"))
+      // Full-text length per video: each snippet contributes
+      // len(trim(text)) + 1 (the appended join space).
+      val dstats = docs.groupBy(col("source").as("video_id"))
+        .agg(sum(length(trim(col("text"))) + 1).as("n_chars"),
+          (min(col("doc_id")).cast("double") * 10.0).as("min_snip_start"),
+          (max(col("doc_id")).cast("double") * 10.0).as("max_snip_start"))
+      val lo = ceil(col("n_chars") / 1000.0).cast("long")
+      val hi = (ceil(col("n_chars") / 800.0) + 1).cast("long")
+      cstats.join(dstats, "video_id")
+        .select(col("video_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          lo.as("lo"), hi.as("hi"),
+          // First chunk starts at char 0 => its start IS the first
+          // snippet's start; all other chunk starts are >= it.
+          col("min_chunk_start").as("min_start"),
+          col("n_chunks").between(lo, hi).as("count_in_bounds"),
+          (col("max_chunk_start") <= col("max_snip_start")).as("max_start_ok"),
+          (col("min_len") > 0).as("nonempty_ok"),
+          (col("max_len") <= 1000).as("max_len_ok"))
+        .orderBy(col("video_id"))
     }),
 
     // ---- structured LLM output (SURVEY §1.3: Pydantic -> from_json) --
@@ -1046,5 +1079,17 @@ Hosts: %s
            json_extract_string(j, '$.sources[0].video_id') AS first_video,
            CAST(json_extract_string(j, '$.sources[0].start_time') AS DOUBLE) AS first_start
          FROM p ORDER BY doc_id""",
+    "q53_chunk_transcript" ->
+      """WITH d AS (SELECT source AS video_id,
+           sum(length(trim(text))+1) AS n_chars,
+           min(doc_id)*10.0 AS min_snip
+         FROM documents GROUP BY 1)
+         SELECT video_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(ceil(n_chars/1000.0) AS BIGINT) AS lo,
+           CAST(ceil(n_chars/800.0)+1 AS BIGINT) AS hi,
+           CAST(min_snip AS DOUBLE) AS min_start,
+           TRUE AS count_in_bounds, TRUE AS max_start_ok,
+           TRUE AS nonempty_ok, TRUE AS max_len_ok
+         FROM d ORDER BY video_id""",
   )
 }

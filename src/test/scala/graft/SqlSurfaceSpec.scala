@@ -21,6 +21,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 8)
   }
 
+  test("chunk_transcript Generator: SQL LATERAL VIEW rows == typed chunkDF rows") {
+    GraftFunctions.register(spark)
+    // Real text from the documents table, assembled like q53.
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val transcripts = docs.groupBy(col("source"))
+      .agg(array_sort(collect_list(struct(
+        (col("doc_id").cast("double") * 10.0).as("start"),
+        col("text").as("text"),
+        lit(5.0).as("duration")))).as("snippets"))
+      .select(col("source").as("video_id"), col("snippets"))
+    transcripts.createOrReplaceTempView("transcripts_g1")
+
+    val viaSql = spark.sql(
+      """SELECT video_id, c.text, c.start FROM transcripts_g1
+         LATERAL VIEW chunk_transcript(snippets, 1000, 200) c AS text, start""")
+    val viaColumn = transcripts.select(col("video_id"),
+      graft.chunk.ChunkTranscriptGen.chunkTranscriptGen(col("snippets"), 1000, 200))
+    val viaTyped = graft.chunk.ChunkTranscript.chunkDF(transcripts)
+      .select("video_id", "text", "start")
+
+    val sqlRows = viaSql.as[(String, String, Double)].collect().sorted.toSeq
+    val colRows = viaColumn.as[(String, String, Double)].collect().sorted.toSeq
+    val typedRows = viaTyped.as[(String, String, Double)].collect().sorted.toSeq
+    assert(sqlRows.nonEmpty)
+    assert(sqlRows == typedRows, "SQL Generator diverged from typed flatMap")
+    assert(colRows == typedRows, "Column Generator diverged from typed flatMap")
+    // The SQL surface plans a Generate node, not a shuffle.
+    assert(viaSql.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
   test("ivfTopK: probed-list search finds exact neighbors at full probe") {
     val embedder = new graft.external.HashEmbedder(dim = 16)
     val store = (0L until 60L).map(i => (i, embedder.embed(Seq(s"doc $i")).head))
