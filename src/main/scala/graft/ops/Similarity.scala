@@ -46,9 +46,13 @@ object Similarity {
     * (1 + numPlanes for probeBits=1) on the QUERY side only — the store
     * is never replicated — which is the standard recall lever that
     * avoids lowering numPlanes (which would grow every bucket).
-    * Measured on the (near-uniform random — LSH's worst case) test
-    * embeddings at numPlanes=8: recall@10 0.12 single-probe -> 0.19
-    * with probeBits=1; clustered real embeddings separate far better.
+    * Measured operating points (OpsSpec, deterministic fixtures):
+    * on the near-uniform random test embeddings (LSH's worst case) at
+    * numPlanes=8, recall@10 is 0.12 single-probe -> 0.19 multi-probe;
+    * on a clustered fixture (8 clusters, the data shape ANN serves) at
+    * numPlanes=6 multi-probe, recall@10 = 0.95. Plane count must track
+    * log2(expected cluster count) — over-partitioning beyond the
+    * natural cluster granularity is what kills recall, not store size.
     */
   def lshTopK(
       store: DataFrame,
@@ -97,6 +101,39 @@ object Similarity {
       .limit(nlist)
       .select(col(idCol).as("centroid_id"), col(embCol).as("centroid_emb")))
 
+  /** One Lloyd (k-means) refinement iteration over the coarse
+    * centroids: assign every store vector to its nearest centroid, then
+    * replace each centroid with the element-wise mean of its assigned
+    * vectors. Better-centered lists raise recall at the same `nprobe`
+    * (the sampled pick can land two seeds in one natural cluster and
+    * none in another; the mean re-centers both).
+    *
+    * Scale shape: assignment is the same broadcast cross-score as
+    * [[ivfAssign]]; the mean is posexplode to (centroid, dim) grain +
+    * avg — partial-aggregated map-side, so the shuffle carries at most
+    * nlist*dim pre-combined rows per task, never raw vectors. Centroids
+    * that attract no vectors drop out (standard k-means), leaving
+    * fewer, denser lists.
+    */
+  def refineCentroids(
+      store: DataFrame,
+      centroids: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val assigned = store.crossJoin(broadcast(centroids))
+      .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
+      .groupBy(col(idCol), col(embCol))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("centroid_id"))
+    assigned
+      .select(col("centroid_id"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("centroid_id"), col("__pos"))
+      .agg(avg(col("__v")).as("__m"))
+      .groupBy(col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("centroid_emb"))
+  }
+
   def ivfAssign(
       store: DataFrame,
       nlist: Int,
@@ -123,7 +160,10 @@ object Similarity {
     * At 100 TB the store side is written bucketed/partitioned by
     * `centroid_id`, so a probe reads `nprobe/nlist` of the data; here
     * the list join expresses the same pruning. Recall < 1 by design
-    * (raise `nprobe` toward `nlist` for the exact result).
+    * (raise `nprobe` toward `nlist` for the exact result). Measured on
+    * the clustered OpsSpec fixture (8 clusters, nlist=8): recall@10 =
+    * 1.0 at nprobe=2; at nprobe=1, 0.91 with sampled centroids -> 0.96
+    * after one Lloyd refinement iteration (`refineIters = 1`).
     */
   def ivfTopK(
       store: DataFrame,
@@ -134,8 +174,14 @@ object Similarity {
       storeEmbCol: String = "embedding",
       queryEmbCol: String = "q_embedding",
       storeIdCol: String = "vec_id",
-      queryIdCol: String = "q_id"): DataFrame = {
-    val centroids = pickCentroids(store, nlist, storeEmbCol, storeIdCol)
+      queryIdCol: String = "q_id",
+      refineIters: Int = 0): DataFrame = {
+    var centroids = pickCentroids(store, nlist, storeEmbCol, storeIdCol)
+    // Optional Lloyd iterations; each refined set is persisted (tracked)
+    // because both the store assignment and the query probes read it.
+    for (_ <- 0 until refineIters)
+      centroids = graft.core.Caches.persistTracked(
+        refineCentroids(store, centroids, storeEmbCol, storeIdCol))
     // ivfAssign's map-side max_by assignment, carrying the embedding
     // through the groupBy so probed lists can score without a re-join.
     val assigned = store.crossJoin(broadcast(centroids))

@@ -102,6 +102,63 @@ class OpsSpec extends SparkSpec {
     assert(out.select("centroid_id").distinct().count() <= 4)
   }
 
+  // Deterministic clustered embedding fixture: `nClusters` well-separated
+  // unit centers (hash-derived), members/queries are renormalized
+  // center + eps*noise perturbations. This is the data shape ANN indexes
+  // exist for (the uniform-random store is LSH's worst case and measures
+  // nothing about retrieval quality).
+  private def clusteredFixture(nClusters: Int, perCluster: Int, dim: Int, eps: Float) = {
+    val embedder = new graft.external.HashEmbedder(dim)
+    def perturb(center: Array[Float], tag: String): Array[Float] = {
+      val noise = embedder.embed(Seq(tag)).head
+      val v = center.indices.map(i => center(i) + eps * noise(i)).toArray
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / norm)
+    }
+    val centers = (0 until nClusters).map(c => embedder.embed(Seq(s"cluster center $c")).head)
+    val store = for { c <- 0 until nClusters; i <- 0 until perCluster }
+      yield ((c.toLong * perCluster + i), perturb(centers(c), s"member $c $i"))
+    val queries = (0 until nClusters).map(c => (1000L + c, perturb(centers(c), s"query $c")))
+    (store.toDF("vec_id", "embedding"), queries.toDF("q_id", "q_embedding"))
+  }
+
+  private def recallVsBrute(store: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int)(
+      approx: org.apache.spark.sql.DataFrame): Double = {
+    val brute = Retriever.neighbors(store, queries, k)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = approx.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    got.intersect(brute).size.toDouble / brute.size
+  }
+
+  test("ANN recall on clustered embeddings: LSH multi-probe and IVF reach 0.8") {
+    val (store, queries) = clusteredFixture(nClusters = 8, perCluster = 40, dim = 64, eps = 0.15f)
+    val k = 10
+    val recall = recallVsBrute(store, queries, k) _
+    // 6 planes = 64 buckets for 8 clusters: buckets stay cluster-sized.
+    // (8+ planes over-partitions this fixture and recall drops below the
+    // floor — plane count must track log2(cluster count), not store size.)
+    val lshRecall = recall(Similarity.lshTopK(store, queries, dim = 64, k = k,
+      numPlanes = 6, probeBits = 1))
+    info(f"LSH multi-probe recall@$k on clustered data: $lshRecall%.3f")
+    assert(lshRecall >= 0.8, f"LSH recall $lshRecall%.3f below 0.8 floor")
+    val ivfRecall = recall(Similarity.ivfTopK(store, queries, nlist = 8, nprobe = 2, k = k))
+    info(f"IVF nprobe=2 recall@$k on clustered data: $ivfRecall%.3f")
+    assert(ivfRecall >= 0.8, f"IVF recall $ivfRecall%.3f below 0.8 floor")
+  }
+
+  test("k-means refinement: one Lloyd iteration does not hurt and lifts single-probe recall") {
+    val (store, queries) = clusteredFixture(nClusters = 8, perCluster = 40, dim = 64, eps = 0.15f)
+    val k = 10
+    val recall = recallVsBrute(store, queries, k) _
+    val plain = recall(Similarity.ivfTopK(store, queries, nlist = 8, nprobe = 1, k = k))
+    val refined = recall(Similarity.ivfTopK(store, queries, nlist = 8, nprobe = 1, k = k,
+      refineIters = 1))
+    info(f"IVF nprobe=1 recall@$k: sampled centroids $plain%.3f -> refined $refined%.3f")
+    assert(refined >= plain, f"refinement regressed recall: $plain%.3f -> $refined%.3f")
+    assert(refined >= 0.8, f"refined single-probe recall $refined%.3f below 0.8 floor")
+  }
+
   test("text analysis: token count, ratios, language id") {
     val df = Seq("The quick brown fox is in the yard and it is happy")
       .toDF("text")
