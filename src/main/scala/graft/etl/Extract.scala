@@ -84,17 +84,24 @@ object Extract {
   /** S11: skip/failure state as a small JSON checkpoint used as J4/J5
     * anti-join input (fetch_raw_data.py:20-39,108-117). Missing file ->
     * empty state (the reference's corrupt/absent-file fallback).
+    * Carries the skip `reason` ("disabled" / "no_translatable",
+    * transcript.py:40-89); legacy reason-less checkpoints read as null.
     */
   def readSkipState(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     if (graft.core.FsUtil.exists(spark, path))
-      spark.read.schema("video_id STRING").json(path)
-    else Seq.empty[String].toDF("video_id")
+      spark.read.schema("video_id STRING, reason STRING").json(path)
+    else Seq.empty[(String, String)].toDF("video_id", "reason")
   }
 
-  /** S11 writeback: overwrite the skip-state checkpoint. */
-  def writeSkipState(ids: DataFrame, path: String): Unit =
-    ids.select(col("video_id")).coalesce(1).write.mode("overwrite").json(path)
+  /** S11 writeback: overwrite the skip-state checkpoint (a `reason`
+    * column is persisted when present).
+    */
+  def writeSkipState(ids: DataFrame, path: String): Unit = {
+    val out = if (ids.columns.contains("reason"))
+      ids.select(col("video_id"), col("reason")) else ids.select(col("video_id"))
+    out.coalesce(1).write.mode("overwrite").json(path)
+  }
 
   /** S4: batched metadata enrichment — <= `batchSize` ids per API call,
     * inside mapPartitions (youtube.py:44-81; the reference's 50-id
@@ -121,6 +128,30 @@ object Extract {
       fetcher.fetch(id) match {
         case Some(snips) => (id, true, snips)
         case None => (id, false, Seq.empty[Snippet])
+      }
+    }
+  }
+
+  /** S5 with the reference's full outcome taxonomy
+    * (transcript.py:40-89): fetched / skipped(reason) / error. Feed
+    * `status = "skipped"` rows (with reason) into [[writeSkipState]];
+    * `"error"` rows are NOT skip-listed, so they re-enter
+    * [[discoverWork]] on the next run — exactly the reference's
+    * "return None -> retried, return video_id -> skipped" split
+    * (fetch_raw_data.py:105-117).
+    */
+  def fetchTranscriptsDetailed(
+      ids: Dataset[String],
+      fetcher: TranscriptFetcher): Dataset[TranscriptFetchRow] = {
+    import ids.sparkSession.implicits._
+    ids.map { id =>
+      fetcher.fetchDetailed(id) match {
+        case graft.external.TranscriptOutcome.Fetched(snips) =>
+          TranscriptFetchRow(id, "fetched", None, snips)
+        case graft.external.TranscriptOutcome.Skip(reason) =>
+          TranscriptFetchRow(id, "skipped", Some(reason), Seq.empty)
+        case graft.external.TranscriptOutcome.TransientError =>
+          TranscriptFetchRow(id, "error", None, Seq.empty)
       }
     }
   }

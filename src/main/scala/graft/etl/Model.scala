@@ -24,6 +24,16 @@ case class VideoDoc(
     duration: Long,
     transcript_chunks: Seq[TranscriptChunk])
 
+/** One transcript-fetch outcome row (S5): `status` is "fetched",
+  * "skipped" (permanent — `reason` carries the reference's skip cause,
+  * transcript.py:40-89) or "error" (transient — retried next run).
+  */
+case class TranscriptFetchRow(
+    video_id: String,
+    status: String,
+    reason: Option[String],
+    snippets: Seq[graft.chunk.Snippet])
+
 /** Flattened chunk-grain row (reference `EmbeddingCMetadata`,
   * loaders/utils/types.py:18-25): what lands in the vector store.
   */

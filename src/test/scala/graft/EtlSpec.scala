@@ -147,8 +147,42 @@ class EtlSpec extends SparkSpec {
 
     val skipPath = Files.createTempDirectory("graft-skip").toFile.getAbsolutePath + "/skip"
     assert(Extract.readSkipState(spark, skipPath).count() == 0) // absent -> empty
+    // Legacy reason-less checkpoint still reads (reason -> null).
     Extract.writeSkipState(Seq("vidZ").toDF("video_id"), skipPath)
-    assert(Extract.readSkipState(spark, skipPath).as[String].collect().toSeq == Seq("vidZ"))
+    assert(Extract.readSkipState(spark, skipPath).as[(String, Option[String])]
+      .collect().toSeq == Seq(("vidZ", None)))
+  }
+
+  test("Extract: skip reasons round-trip; transient errors re-enter work discovery") {
+    val ids = Seq("vidA", "vid-disabled", "vid-untranslatable", "vid-silent").toDS()
+    val outcomes = Extract.fetchTranscriptsDetailed(ids, new StubTranscriptFetcher)
+      .collect().map(r => r.video_id -> r).toMap
+    assert(outcomes("vidA").status == "fetched" && outcomes("vidA").snippets.nonEmpty)
+    assert(outcomes("vid-disabled") ==
+      TranscriptFetchRow("vid-disabled", "skipped", Some("disabled"), Seq.empty))
+    assert(outcomes("vid-untranslatable") ==
+      TranscriptFetchRow("vid-untranslatable", "skipped", Some("no_translatable"), Seq.empty))
+    assert(outcomes("vid-silent") ==
+      TranscriptFetchRow("vid-silent", "error", None, Seq.empty))
+
+    // Only the permanent skips land in skip state, WITH their reasons.
+    val skipPath = Files.createTempDirectory("graft-skip2").toFile.getAbsolutePath + "/skip"
+    val skips = Extract.fetchTranscriptsDetailed(ids, new StubTranscriptFetcher)
+      .where(col("status") === "skipped")
+      .select(col("video_id"), col("reason"))
+    Extract.writeSkipState(skips, skipPath)
+    val back = Extract.readSkipState(spark, skipPath)
+    assert(back.as[(String, Option[String])].collect().toMap ==
+      Map("vid-disabled" -> Some("disabled"),
+        "vid-untranslatable" -> Some("no_translatable")))
+
+    // Next-run work discovery: skipped ids are excluded, the transient
+    // error re-enters (the reference retries None outcomes).
+    val catalog = ids.toDF("video_id")
+    val processed = Seq("vidA").toDF("video_id")
+    val work = Extract.discoverWork(catalog, processed, back)
+      .as[String].collect().toSeq
+    assert(work == Seq("vid-silent"))
   }
 
   test("Extract: batched metadata fetch drops unknown ids; transcript fetch flags silent") {
