@@ -62,35 +62,61 @@ object StreamingOps {
 
   /** Keyed custom state via flatMapGroupsWithState: per-user sessions
     * closed after `gapSec` of event-time silence. Emits a running update
-    * per batch and a final `closed` row when the gap is exceeded.
+    * per batch, and a final `closed` row when a later event exceeds the
+    * gap OR when the watermark passes last-event + gap
+    * (EventTimeTimeout) — so idle keys are closed and their state
+    * EVICTED without ever seeing another event, and total state is
+    * bounded by the set of currently-active sessions.
+    *
+    * Memory: the per-key in-batch buffer holds only primitive
+    * (epoch-ms, value) pairs — not event rows — and late events beyond
+    * `watermark` never reach the function, so a hot key in one
+    * micro-batch costs 16 bytes/event, bounded by the per-trigger input.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionUpdate] = {
+  def sessionize(
+      events: Dataset[Event],
+      gapSec: Long = 1800,
+      watermark: String = "1 hour"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            val ms = e.ts.getTime
-            if (st != null && ms - st.lastMs > gapSec * 1000) {
-              out += SessionUpdate(userId, st.nEvents, st.totalValue,
-                (st.lastMs - st.startMs) / 1000, closed = true)
-              st = null
+          if (state.hasTimedOut) {
+            // Watermark passed lastMs + gap: close and evict the key.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, st.nEvents, st.totalValue,
+              (st.lastMs - st.startMs) / 1000, closed = true))
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+            it.foreach(e => buf += ((e.ts.getTime, e.value)))
+            val sorted = buf.sortInPlaceBy(_._1)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            var st = state.getOption.orNull
+            for ((ms, value) <- sorted) {
+              if (st != null && ms - st.lastMs > gapSec * 1000) {
+                out += SessionUpdate(userId, st.nEvents, st.totalValue,
+                  (st.lastMs - st.startMs) / 1000, closed = true)
+                st = null
+              }
+              st =
+                if (st == null) SessionState(1, value, ms, ms)
+                else SessionState(st.nEvents + 1, st.totalValue + value, st.startMs, ms)
             }
-            st =
-              if (st == null) SessionState(1, e.value, ms, ms)
-              else SessionState(st.nEvents + 1, st.totalValue + e.value, st.startMs, ms)
+            if (st != null) {
+              state.update(st)
+              // Fire when the watermark passes the gap deadline (clamped
+              // above the current watermark, which Spark requires).
+              state.setTimeoutTimestamp(math.max(st.lastMs + gapSec * 1000,
+                state.getCurrentWatermarkMs() + 1))
+              out += SessionUpdate(userId, st.nEvents, st.totalValue,
+                (st.lastMs - st.startMs) / 1000, closed = false)
+            }
+            out.iterator
           }
-          if (st != null) {
-            state.update(st)
-            out += SessionUpdate(userId, st.nEvents, st.totalValue,
-              (st.lastMs - st.startMs) / 1000, closed = false)
-          }
-          out.iterator
       }
   }
 

@@ -50,6 +50,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: watermark timeout closes and evicts idle keys without new events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapSec = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_to").outputMode("update").start()
+    try {
+      input.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      // Only OTHER keys from here on: user 7's session must close via
+      // the event-time timeout, not via a later user-7 event.
+      input.addData(Event(3, ts(60), 8, "click", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(65), 8, "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_to")
+        .select("user_id", "n_events", "total_value", "closed")
+        .as[(Long, Long, Double, Boolean)].collect().toSeq
+      assert(rows.contains((7L, 2L, 3.0, false)), s"missing running update in $rows")
+      assert(rows.contains((7L, 2L, 3.0, true)), s"missing timeout-close in $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: out-of-order hot-key micro-batch splits sessions correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapSec = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_ooo").outputMode("update").start()
+    try {
+      // One micro-batch, one hot key, events out of arrival order:
+      // sorted by event time they form [0,5,9] and [30,31] (gap 10 min).
+      input.addData(
+        Event(1, ts(31), 9, "click", 5.0),
+        Event(2, ts(0), 9, "click", 1.0),
+        Event(3, ts(9), 9, "click", 3.0),
+        Event(4, ts(30), 9, "click", 4.0),
+        Event(5, ts(5), 9, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo")
+        .select("n_events", "total_value", "duration_sec", "closed")
+        .as[(Long, Double, Long, Boolean)].collect().toSeq
+      assert(rows.contains((3L, 6.0, 540L, true)), s"first session wrong in $rows")
+      assert(rows.contains((2L, 9.0, 60L, false)), s"second session wrong in $rows")
+    } finally q.stop()
+  }
+
   test("incrementalStoreSink: replayed chunks are idempotent via anti-join") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-stream-store").toFile.getAbsolutePath + "/st"
