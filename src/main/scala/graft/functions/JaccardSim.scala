@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftExpectsInputTypes
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaccard similarity of two DISTINCT string arrays (shingle sets):
+  * |a ∩ b| / |a ∪ b|, 0.0 when both are empty. Native single-pass form
+  * of `size(array_intersect)/size(array_union)` — those builtins are
+  * CodegenFallback (hash-set per row per op, no common-subexpression
+  * elimination, so a jaccard referenced by both a filter and a
+  * projection paid the set construction twice); this computes
+  * |∪| = |a| + |b| - |∩| from one membership set.
+  */
+case class JaccardSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[DataType]] =
+    Seq(Seq(ArrayType(StringType)), Seq(ArrayType(StringType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSimOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.JaccardSimOps$$.MODULE$$.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSimOps {
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}

@@ -22,13 +22,16 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Word n-gram shingles of a document (lowercased, whitespace-tokenized). */
-  def shingles(textCol: Column, n: Int): Column = {
-    val tokens = split(lower(trim(textCol)), "\\s+")
-    val count = greatest(size(tokens) - (n - 1), lit(0))
-    array_distinct(transform(sequence(lit(0), count - 1),
-      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles of a document (lowercased, whitespace-
+    * tokenized, distinct). Native one-pass expression
+    * ([[graft.functions.WordShinglesExpr]]) — the HOF slide/slice/
+    * concat form was interpreted per shingle and re-executed per plan
+    * reference, dominating near-dup verification at scale.
+    */
+  def shingles(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordShinglesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(textCol), n))
 
   /** Deterministic 64-bit MinHash signature — native Catalyst
     * expression ([[graft.functions.MinHashSigExpr]]): tokenize, shingle,
@@ -96,12 +99,15 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard similarity between two shingle-set columns. */
-  def jaccard(aSh: Column, bSh: Column): Column = {
-    val inter = size(array_intersect(aSh, bSh)).cast("double")
-    val uni = size(array_union(aSh, bSh)).cast("double")
-    when(uni === 0.0, lit(0.0)).otherwise(inter / uni)
-  }
+  /** n-gram Jaccard similarity between two shingle-set columns (inputs
+    * must be distinct arrays, as [[shingles]] produces). Native
+    * single-pass expression ([[graft.functions.JaccardSimExpr]]).
+    */
+  def jaccard(aSh: Column, bSh: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.JaccardSimExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(aSh),
+        org.apache.spark.sql.graftbridge.Bridge.expression(bSh)))
 
   /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >=
     * `threshold`. Candidate generation via banding, verification via a

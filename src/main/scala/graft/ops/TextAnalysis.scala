@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Text-analysis operators for a training-data pipeline: token counting,
   * quality scoring, n-gram-free language ID (stopword voting), and
@@ -15,25 +16,31 @@ object TextAnalysis {
     when(length(trim(textCol)) === 0, lit(0))
       .otherwise(size(split(trim(textCol), "\\s+")))
 
-  /** BPE-ish subword count: word-piece regex split (letters runs, digit
-    * runs, single punctuation), approximating tokenizer granularity.
+  /** BPE-ish subword count: word-piece granularity (letter/digit runs +
+    * single punctuation). Native one-pass expression
+    * ([[graft.functions.SubwordCountExpr]]) — the regex-split + filter
+    * HOF form ran an interpreted lambda per piece and dominated q43 at
+    * multi-million-row scale.
     */
   def subwordCount(textCol: Column): Column =
-    size(filter(
-      split(textCol, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(trim(t)) > 0))
+    Bridge.column(graft.functions.SubwordCountExpr(Bridge.expression(textCol)))
+
+  /** [letters, uppers, punct] one-pass counts (native, CSE-eligible). */
+  private def classCounts(textCol: Column): Column =
+    Bridge.column(graft.functions.CharClassCountsExpr(Bridge.expression(textCol)))
 
   /** Ratio of punctuation chars to total chars (0 for empty). */
   def punctRatio(textCol: Column): Column = {
     val totalLen = length(textCol)
-    val punct = totalLen - length(regexp_replace(textCol, "[\\p{Punct}]", ""))
+    val punct = classCounts(textCol).getItem(2)
     when(totalLen === 0, lit(0.0)).otherwise(punct.cast("double") / totalLen)
   }
 
   /** Ratio of uppercase letters to all letters (0 when no letters). */
   def uppercaseRatio(textCol: Column): Column = {
-    val letters = length(regexp_replace(textCol, "[^\\p{L}]", ""))
-    val uppers = length(regexp_replace(textCol, "[^\\p{Lu}]", ""))
+    val cc = classCounts(textCol)
+    val letters = cc.getItem(0)
+    val uppers = cc.getItem(1)
     when(letters === 0, lit(0.0)).otherwise(uppers.cast("double") / letters)
   }
 
@@ -44,15 +51,14 @@ object TextAnalysis {
     when(toks === 0, lit(0.0)).otherwise(chars.cast("double") / toks)
   }
 
-  private val StopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
-  private val StopwordsDe = Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von")
-  private val StopwordsEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por")
-  private val StopwordsFr = Seq("le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans")
-
-  private def stopwordHits(textCol: Column, words: Seq[String]): Column = {
-    val toks = split(lower(trim(textCol)), "\\s+")
-    size(filter(toks, t => t.isin(words: _*)))
-  }
+  /** [en, de, es, fr] stopword-vote counts — native single pass
+    * ([[graft.functions.StopwordVotesExpr]]); the previous four
+    * tokenize+filter HOFs re-ran per reference (CodegenFallback gets no
+    * CSE), costing ~20 interpreted passes per row in the language-ID
+    * fold.
+    */
+  private def stopwordVotes(textCol: Column): Column =
+    Bridge.column(graft.functions.StopwordVotesExpr(Bridge.expression(textCol)))
 
   /** Fraction of tokens that are English stopwords — a quality /
     * English-ness signal.
@@ -60,7 +66,7 @@ object TextAnalysis {
   def stopwordRatio(textCol: Column): Column = {
     val toks = tokenCount(textCol)
     when(toks === 0, lit(0.0))
-      .otherwise(stopwordHits(textCol, StopwordsEn).cast("double") / toks)
+      .otherwise(stopwordVotes(textCol).getItem(0).cast("double") / toks)
   }
 
   /** Heuristic language ID by stopword voting across en/de/es/fr;
@@ -68,11 +74,9 @@ object TextAnalysis {
     * tie-break by list order (en, de, es, fr).
     */
   def langIdHeuristic(textCol: Column): Column = {
-    val scores = Seq(
-      "en" -> stopwordHits(textCol, StopwordsEn),
-      "de" -> stopwordHits(textCol, StopwordsDe),
-      "es" -> stopwordHits(textCol, StopwordsEs),
-      "fr" -> stopwordHits(textCol, StopwordsFr))
+    val v = stopwordVotes(textCol)
+    val scores = Seq("en" -> v.getItem(0), "de" -> v.getItem(1),
+      "es" -> v.getItem(2), "fr" -> v.getItem(3))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === best && best > 0, lit(lang)).otherwise(acc)
