@@ -54,13 +54,28 @@ object GraftFunctions {
     registry.foreach { case (name, builder) =>
       Bridge.registerFunction(spark, name, builder)
     }
+
+  /** Imperative optimizer-rule registration for an already-built
+    * session (`spark.experimental.extraOptimizations` runs after the
+    * main optimizer batches, where the join patterns are visible).
+    * Idempotent.
+    */
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.HammingBandJoinRule)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
+  }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: functions + optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.HammingBandJoinRule)
+  }
 }

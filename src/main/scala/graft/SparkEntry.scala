@@ -553,6 +553,23 @@ object SparkEntry {
       Dedup.simhashNearDuplicates(documents(s, d), "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
+    "q65_hamming_join_rule" -> ((s, d) => {
+      // The DECLARATIVE Hamming join — a user writes bit_count(xor)<=3
+      // against a nested-loop plan; HammingBandJoinRule re-plans it as
+      // the banded equi-join (exact: pigeonhole recall + first-band
+      // dedup). PlansSpec asserts pair-equality with the hand-banded
+      // operator (q62) and plan shape; here the rule runs inside the
+      // gate/bench so its plan is exercised at every scale.
+      GraftFunctions.registerOptimizations(s)
+      val sh = documents(s, d)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3) &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q51_lsh_ann" -> ((s, d) => {
       val emb = embeddings(s, d)
       val qs = emb.where(col("vec_id") < 5)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HammingBandJoinRule: the declarative `bit_count(a ^ b) <= k` join is
+  * re-planned as a banded equi-join — exact (pigeonhole recall +
+  * first-band dedup), and no nested-loop/cartesian product remains.
+  */
+class PlansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 64-bit keys with planted near-pairs: base patterns + 1-3 flipped
+  // bits, plus identical copies (distance 0, agree on EVERY band — the
+  // duplicate-emission trap), plus far-away patterns.
+  private def fixture() = {
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val other = 0x1234567890abcdefL
+    val rows = Seq(
+      (1L, base),
+      (2L, base ^ 1L),                  // distance 1
+      (3L, base ^ (1L << 17) ^ (1L << 40)), // distance 2
+      (4L, base),                       // identical to 1 (distance 0)
+      (5L, other),                      // far from base family
+      (6L, other ^ (1L << 63)),         // distance 1 from 5
+      (7L, ~base))                      // distance 64 from base
+    rows.toDF("id", "sh")
+  }
+
+  private def hammingJoin(k: Int) = {
+    val a = fixture().select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = fixture().select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(k) &&
+      col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  test("banded rewrite returns exactly the naive join's pairs, once each") {
+    // Naive plan first (rule not yet registered on this session path):
+    val naive = hammingJoin(3).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(naive.nonEmpty && naive.contains((1L, 4L)) && naive.contains((1L, 2L)))
+
+    GraftFunctions.registerOptimizations(spark)
+    val rewritten = hammingJoin(3)
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly-once: the (1,4) identical pair agrees on all 4 bands but
+    // must appear a single time.
+    assert(got.sorted == naive, s"rewritten ${got.sorted} != naive $naive")
+    assert(got.distinct.size == got.size, s"duplicate emissions in $got")
+
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected banded equi-join, got:\n$plan")
+    assert(plan.contains("Generate"), s"expected band explosion in:\n$plan")
+  }
+
+  test("rewrite preserves row multiplicities and extra conjuncts") {
+    GraftFunctions.registerOptimizations(spark)
+    // Duplicate left rows must yield duplicate output rows (no distinct
+    // smuggled in by the rewrite).
+    val a = Seq((1L, 42L), (1L, 42L)).toDF("id_a", "sh_a")
+    val b = Seq((2L, 42L)).toDF("id_b", "sh_b")
+    val out = a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(2))
+    assert(out.count() == 2)
+    // Extra conjunct stays applied.
+    val filtered = a.join(b,
+      bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(2) && col("id_b") > lit(5))
+    assert(filtered.count() == 0)
+  }
+
+  test("rewrite matches simhashNearDuplicates output on real text") {
+    GraftFunctions.registerOptimizations(spark)
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = docs.select(col("doc_id"), graft.ops.Dedup.simhash64(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val viaRule = a.join(b,
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3) && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val viaOp = graft.ops.Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaRule == viaOp, s"rule ${viaRule.size} pairs != operator ${viaOp.size} pairs")
+  }
+}
