@@ -43,10 +43,27 @@ object Dedup {
   def minhashSignature(textCol: Column, shingleN: Int, numHashes: Int): Column =
     graft.functions.MinHashOps.minhashSignature(textCol, shingleN, numHashes)
 
-  /** MinHash-LSH candidate pairs: band the signature, explode one row per
-    * band, self-join on (band_idx, band_hash). Returns distinct candidate
-    * id pairs (a < b). The join key is a hash bucket, so the shuffle is
-    * uniform; no O(n^2) comparison ever happens.
+  /** MinHash-LSH candidate pairs: band the signature, explode one row
+    * per band, self-join on (band_idx, band_hash). Returns distinct
+    * candidate id pairs (a < b). The join key is a hash bucket, so the
+    * shuffle is uniform; no O(n^2) comparison ever happens.
+    *
+    * Cross-band dedup is a `distinct` on the skinny (id_a, id_b) pairs —
+    * NOT the first-agreeing-band filter used by
+    * [[simhashNearDuplicates]]/[[graft.plans.HammingBandJoinRule]]:
+    * that filter needs the band source carried through the join, and a
+    * 32-long MinHash signature on both sides of every banded row
+    * measured SLOWER than the extra skinny shuffle (a SimHash key is
+    * one long, so there the carry is free). Measured both ways at the
+    * 10x bench scale before choosing.
+    *
+    * The banded relation (N*bands tiny rows) is persisted by default:
+    * it is referenced by both self-join sides AND every downstream
+    * consumer of the candidate set — unpersisted, each reference
+    * re-runs the full-corpus hashing scan (observed 10 signature
+    * passes in one plan). MEMORY_AND_DISK; registered with
+    * [[graft.core.Caches]] so a long-lived session can release it
+    * after the terminal action.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -58,37 +75,20 @@ object Dedup {
       persistBanded: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    def bandHash(sig: Column, b: Int): Column =
+      hash(slice(sig, lit(b * rowsPerBand + 1), lit(rowsPerBand)), lit(b))
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
     val bandedPlan = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
-          .as(Seq("band_idx", "band_hash")))
-    bandedCandidatePairs(bandedPlan, "band_hash", persistBanded)
-  }
-
-  /** Distinct candidate id pairs (id_a < id_b) from a banded relation
-    * `(id, band_idx, <bandValCol>)`: self-join on the band key.
-    *
-    * The banded relation (N*bands tiny rows) is persisted by default:
-    * it is referenced by both self-join sides AND every downstream
-    * consumer of the candidate set — unpersisted, each reference
-    * re-runs the full-corpus hashing scan (observed 10 signature
-    * passes in one plan). MEMORY_AND_DISK: tiny relative to the
-    * corpus, spills if not. Registered with [[graft.core.Caches]] so a
-    * long-lived session can release it after the terminal action.
-    */
-  private def bandedCandidatePairs(
-      bandedPlan: DataFrame,
-      bandValCol: String,
-      persist: Boolean): DataFrame = {
-    val banded = if (persist) graft.core.Caches.persistTracked(bandedPlan)
+      posexplode(array((0 until bands).map(b => bandHash(col("sig"), b)): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val banded = if (persistBanded) graft.core.Caches.persistTracked(bandedPlan)
     else bandedPlan
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
-        col(s"a.$bandValCol") === col(s"b.$bandValCol") &&
+        col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
