@@ -67,7 +67,9 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale f-interpolator renders a comma
+    // decimal separator on e.g. de_DE JVMs, breaking the JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v: java.lang.Double)
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum

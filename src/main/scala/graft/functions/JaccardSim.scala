@@ -7,13 +7,14 @@ import org.apache.spark.sql.graftbridge.GraftExpectsInputTypes
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Jaccard similarity of two DISTINCT string arrays (shingle sets):
-  * |a ∩ b| / |a ∪ b|, 0.0 when both are empty. Native single-pass form
-  * of `size(array_intersect)/size(array_union)` — those builtins are
+/** Jaccard similarity of two string arrays AS SETS (duplicates ignored,
+  * like `array_intersect`/`array_union`): |a ∩ b| / |a ∪ b|, 0.0 when
+  * both are empty. Native one-pass form of
+  * `size(array_intersect)/size(array_union)` — those builtins are
   * CodegenFallback (hash-set per row per op, no common-subexpression
   * elimination, so a jaccard referenced by both a filter and a
   * projection paid the set construction twice); this computes
-  * |∪| = |a| + |b| - |∩| from one membership set.
+  * |∪| = |setA| + |distinct(b)| - |∩| from one membership set.
   */
 case class JaccardSimExpr(left: Expression, right: Expression)
     extends BinaryExpression with GraftExpectsInputTypes {
@@ -35,12 +36,19 @@ object JaccardSimOps {
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0
-    val set = new java.util.HashSet[UTF8String](na * 2)
+    val setA = new java.util.HashSet[UTF8String](na * 2)
     var i = 0
-    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    while (i < na) { setA.add(a.getUTF8String(i)); i += 1 }
+    // Distinct b while counting intersections, so duplicate elements on
+    // either side cannot skew the ratio.
+    val seenB = new java.util.HashSet[UTF8String](nb * 2)
     var inter = 0
     i = 0
-    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
-    inter.toDouble / (na + nb - inter).toDouble
+    while (i < nb) {
+      val e = b.getUTF8String(i)
+      if (seenB.add(e) && setA.contains(e)) inter += 1
+      i += 1
+    }
+    inter.toDouble / (setA.size + seenB.size - inter).toDouble
   }
 }

@@ -94,9 +94,9 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard similarity between two shingle-set columns (inputs
-    * must be distinct arrays, as [[shingles]] produces). Native
-    * single-pass expression ([[graft.functions.JaccardSimExpr]]).
+  /** n-gram Jaccard similarity between two shingle-set columns,
+    * set-semantics (duplicates ignored, like array_intersect/union).
+    * Native one-pass expression ([[graft.functions.JaccardSimExpr]]).
     */
   def jaccard(aSh: Column, bSh: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(

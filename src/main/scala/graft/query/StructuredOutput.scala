@@ -68,7 +68,13 @@ object StructuredOutput {
     * for the QueryEngine's answer boundary. Runs the SAME Catalyst
     * expression as the column path (one-row Dataset), so driver and
     * distributed parses cannot diverge. Parse failure -> None, like the
-    * reference's `except -> None`.
+    * reference's `except -> None`; a sources array with schema-invalid
+    * ELEMENTS (null / missing citation fields) is likewise None, while
+    * a sources value that is not an array of objects at all collapses
+    * to null under from_json PERMISSIVE and parses as
+    * answer-without-citations (divergence from Pydantic's hard error —
+    * the column representation cannot distinguish it from an absent
+    * key).
     */
   def toAgentAnswer(spark: SparkSession, raw: String): Option[AgentAnswer] = {
     import spark.implicits._
@@ -79,8 +85,12 @@ object StructuredOutput {
     for {
       resp <- Option(row.getString(0))
       srcs = Option(row.getSeq[Row](1)).getOrElse(Seq.empty)
+      // A source element that failed the struct schema (null element,
+      // null video_id/start_time) is Pydantic's ValidationError -> None,
+      // not a crash.
+      if srcs.forall(s => s != null && !s.isNullAt(0) && !s.isNullAt(1))
     } yield AgentAnswer(resp,
-      srcs.map(s => (s.getString(0), Option(s.get(1)).map(_ => s.getDouble(1).toInt).getOrElse(0))))
+      srcs.map(s => (s.getString(0), s.getDouble(1).toInt)))
   }
 
   /** Driver-side single-response parse into [[ParsedQuery]] (year

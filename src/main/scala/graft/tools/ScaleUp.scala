@@ -22,15 +22,21 @@ object ScaleUp {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
 
-    /** Replicate `df` `factor` times; each column in `shiftCols` is
-      * offset per replica by (max+1) so replicas occupy disjoint key
-      * ranges and per-key group sizes stay constant (10x users, not
-      * 10x-deep users).
+    /** Per-replica shift for a key space = max(PK in the OWNING table)
+      * + 1 — a foreign key must shift by the referenced dimension's key
+      * range, not its own observed max (a dimension row with no fact
+      * reference would otherwise desynchronize the replica offsets and
+      * dangle every cross-replica FK).
       */
-    def replicate(df: DataFrame, shiftCols: Seq[String]): DataFrame = {
-      val shifts = shiftCols.map { c =>
-        c -> (df.agg(max(col(c))).head.getAs[Number](0).longValue() + 1L)
-      }
+    def keySpace(table: DataFrame, pkCol: String): Long =
+      table.agg(max(col(pkCol))).head.getAs[Number](0).longValue() + 1L
+
+    /** Replicate `df` `factor` times; each (column -> shift) moves the
+      * column into its replica's disjoint key range, so join
+      * relationships stay intact and per-key group sizes stay constant
+      * (10x users, not 10x-deep users).
+      */
+    def replicate(df: DataFrame, shifts: Seq[(String, Long)]): DataFrame = {
       val rep = df.withColumn("__r", explode(sequence(lit(0L), lit(factor - 1L))))
       shifts.foldLeft(rep) { case (d, (c, m)) =>
         d.withColumn(c, col(c) + col("__r") * m)
@@ -46,21 +52,34 @@ object ScaleUp {
     write(Tables.region(spark, src), "region")
     write(Tables.nation(spark, src), "nation")
 
-    write(replicate(Tables.customer(spark, src), Seq("c_custkey")), "customer")
-    write(replicate(Tables.supplier(spark, src), Seq("s_suppkey")), "supplier")
-    write(replicate(Tables.part(spark, src), Seq("p_partkey")), "part")
-    write(replicate(Tables.orders(spark, src), Seq("o_orderkey", "o_custkey")), "orders")
+    // Key spaces come from the table that OWNS each key.
+    val custSpace = keySpace(Tables.customer(spark, src), "c_custkey")
+    val suppSpace = keySpace(Tables.supplier(spark, src), "s_suppkey")
+    val partSpace = keySpace(Tables.part(spark, src), "p_partkey")
+    val orderSpace = keySpace(Tables.orders(spark, src), "o_orderkey")
+    val events = Tables.events(spark, src)
+    val eventSpace = keySpace(events, "event_id")
+    val userSpace = keySpace(events, "user_id")
+
+    write(replicate(Tables.customer(spark, src), Seq("c_custkey" -> custSpace)), "customer")
+    write(replicate(Tables.supplier(spark, src), Seq("s_suppkey" -> suppSpace)), "supplier")
+    write(replicate(Tables.part(spark, src), Seq("p_partkey" -> partSpace)), "part")
+    write(replicate(Tables.orders(spark, src),
+      Seq("o_orderkey" -> orderSpace, "o_custkey" -> custSpace)), "orders")
     write(replicate(Tables.lineitem(spark, src),
-      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+      Seq("l_orderkey" -> orderSpace, "l_partkey" -> partSpace,
+        "l_suppkey" -> suppSpace)), "lineitem")
     // events via Tables.events: the nanos ts is normalized to a real
     // timestamp column, so the scaled copy reads without the legacy flag.
-    write(replicate(Tables.events(spark, src), Seq("event_id", "user_id")), "events")
+    write(replicate(events, Seq("event_id" -> eventSpace, "user_id" -> userSpace)), "events")
     // documents: new videos per replica (constant transcript length).
-    write(replicate(Tables.documents(spark, src), Seq("doc_id"))
+    write(replicate(Tables.documents(spark, src),
+      Seq("doc_id" -> keySpace(Tables.documents(spark, src), "doc_id")))
       .withColumn("source",
         when(col("__r") === 0, col("source"))
           .otherwise(concat(col("source"), lit("_r"), col("__r")))), "documents")
-    write(replicate(Tables.embeddings(spark, src), Seq("vec_id")), "embeddings")
+    write(replicate(Tables.embeddings(spark, src),
+      Seq("vec_id" -> keySpace(Tables.embeddings(spark, src), "vec_id"))), "embeddings")
 
     spark.stop()
   }

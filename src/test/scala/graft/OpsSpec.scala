@@ -54,6 +54,22 @@ class OpsSpec extends SparkSpec {
     assert(hamming(m(1L), m(2L)) <= 12)
   }
 
+  test("jaccard treats inputs as sets: duplicate elements cannot skew the ratio") {
+    val df = Seq(
+      (Seq("x", "x"), Seq("x")),        // sets {x},{x} -> 1.0
+      (Seq("a", "a", "b"), Seq("b", "b", "c")), // {a,b},{b,c} -> 1/3
+      (Seq.empty[String], Seq.empty[String]))   // both empty -> 0.0
+      .toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("j"),
+        // the builtin set-semantics reference (empty-union guarded)
+        when(size(array_union(col("a"), col("b"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b")))).as("ref"))
+    val rows = df.as[(Double, Option[Double])].collect().toSeq
+    assert(rows(0)._1 == 1.0 && rows(1)._1 == (1.0 / 3.0) && rows(2)._1 == 0.0)
+    rows.take(2).foreach { case (j, ref) => assert(ref.contains(j)) }
+  }
+
   test("jaccard pairs within block") {
     val df = Seq((1L, "a", base), (2L, "a", base.replace("dog", "cat")),
       (3L, "b", base)).toDF("doc_id", "src", "text")

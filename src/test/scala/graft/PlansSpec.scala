@@ -67,6 +67,55 @@ class PlansSpec extends SparkSpec {
     assert(filtered.count() == 0)
   }
 
+  test("rule converges: skips joins that already carry an equi conjunct (incl. its own output)") {
+    import graft.plans.HammingBandJoinRule
+    val a = Seq((1L, 42L)).toDF("id_a", "sh_a")
+    val b = Seq((2L, 42L)).toDF("id_b", "sh_b")
+    // A Hamming join that ALSO has a cross-side equality is already
+    // hash-joinable; the rule must leave it alone.
+    val equiJoin = a.join(b,
+      bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3) && col("sh_a") === col("sh_b"))
+    val analyzed = equiJoin.queryExecution.analyzed
+    assert(HammingBandJoinRule(analyzed).fastEquals(analyzed))
+    // Fixed point: applying the rule to its own rewrite is identity —
+    // this is what keeps the fixed-point optimizer batch from
+    // re-banding forever when PushDownPredicates folds the residual
+    // Hamming filter back into the rewritten join's condition.
+    val plain = a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3))
+    val once = HammingBandJoinRule(plain.queryExecution.analyzed)
+    assert(!once.fastEquals(plain.queryExecution.analyzed), "rule should fire once")
+    assert(HammingBandJoinRule(once).fastEquals(once), "rule must be a fixed point")
+  }
+
+  test("spark.sql.extensions path: injected rule optimizes and answers correctly") {
+    import org.apache.spark.sql.SparkSession
+    // Build a sibling session on the same SparkContext with the
+    // extensions applied (getOrCreate only honors withExtensions when
+    // no default session exists).
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new GraftExtensions()(_))
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val a = Seq((1L, 42L), (2L, 43L)).toDF("id_a", "sh_a")
+      val b = Seq((3L, 42L), (4L, ~42L)).toDF("id_b", "sh_b")
+      val q = a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3))
+      // Pre-guard this hung in the optimizer (rule re-fired every
+      // fixed-point iteration); now it must plan and answer promptly.
+      val rows = q.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 3L), (2L, 3L)))
+      assert(q.queryExecution.executedPlan.toString.contains("Generate"))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prev.foreach { p => SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p) }
+    }
+  }
+
   test("rewrite matches simhashNearDuplicates output on real text") {
     GraftFunctions.registerOptimizations(spark)
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -119,6 +119,18 @@ class QueryEngineSpec extends SparkSpec {
       AgentAnswer("Use catalyst.", Seq(("v1", 20), ("v3", 3)))))
     // Malformed JSON -> None (reference: parse exception -> None).
     assert(StructuredOutput.toAgentAnswer(spark, "{\"query_response\": oops").isEmpty)
+    // Schema-invalid source ELEMENTS (null / missing citation fields)
+    // are the Pydantic-ValidationError analog -> None, never a crash.
+    assert(StructuredOutput.toAgentAnswer(spark,
+      "{\"query_response\": \"x\", \"sources\": [null]}").isEmpty)
+    assert(StructuredOutput.toAgentAnswer(spark,
+      "{\"query_response\": \"x\", \"sources\": [{\"video_id\": \"v1\"}]}").isEmpty)
+    // A sources value that isn't an array of objects at all collapses
+    // to null under from_json PERMISSIVE — indistinguishable from a
+    // missing key, so it parses as answer-without-citations (documented
+    // divergence from Pydantic's hard error).
+    assert(StructuredOutput.toAgentAnswer(spark,
+      "{\"query_response\": \"x\", \"sources\": [123]}").contains(AgentAnswer("x", Nil)))
     // Missing sources key -> empty citations (Pydantic default-on-absence).
     assert(StructuredOutput.toAgentAnswer(spark, "{\"query_response\": \"hi\"}").contains(
       AgentAnswer("hi", Nil)))
