@@ -182,7 +182,7 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders(s, d)
         .withColumn("running_total",
-          sum(col("o_totalprice").cast("decimal(20,2)")).over(w).cast("double"))
+          (sum(rint(col("o_totalprice") * lit(100.0)).cast("long")).over(w) / lit(100.0)))
         .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -269,7 +269,7 @@ object SparkEntry {
       events(s, d)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          (sum(rint(col("value") * lit(100.0)).cast("long")) / lit(100.0)).as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
     "q22_sliding_window" -> ((s, d) =>
@@ -650,6 +650,22 @@ object SparkEntry {
         .orderBy(col("video_id"))
     }),
 
+    // ---- ETL enrichment merge (J3, right-wins) ----------------------
+    "q66_enrich_merge" -> ((s, d) => {
+      // J3: catalog row ∪ API metadata with right-wins on conflicting
+      // columns (reference dict(video) | youtube_api_data[id]) — the
+      // conflicting `lang` must come out as the API side's uppercase
+      // value, and ids missing on the API side drop (inner).
+      val docs = documents(s, d)
+      val work = docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val api = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), upper(col("lang")).as("lang"),
+          (col("n_chars") * 2).as("api_chars"))
+      graft.etl.Extract.enrich(work, api, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"), col("api_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- structured LLM output (SURVEY §1.3: Pydantic -> from_json) --
     "q63_structured_output" -> ((s, d) => {
       // Schema-on-read parse of a raw LLM-answer column into the
@@ -765,9 +781,9 @@ object SparkEntry {
          WHERE rn <= 3 ORDER BY c_mktsegment, rn""",
     "q41_window_running" ->
       """SELECT o_custkey, o_orderkey,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
+         sum(CAST(round_even(o_totalprice*100, 0) AS BIGINT)) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "q42_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
@@ -840,7 +856,7 @@ object SparkEntry {
     "q21_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
          count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         sum(CAST(round_even(value*100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q22_sliding_window" ->
       """SELECT time_bucket(INTERVAL '10 minutes', ts) - k.k * INTERVAL '10 minutes' AS window_start,
@@ -1102,6 +1118,10 @@ Hosts: %s
                 ELSE 'unknown' END AS format,
            octet_length(payload) AS n_bytes
          FROM b ORDER BY doc_id""",
+    "q66_enrich_merge" ->
+      """SELECT doc_id, source, n_chars, upper(lang) AS lang,
+         n_chars * 2 AS api_chars
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
     "q63_structured_output" ->
       """WITH r AS (SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN '{"query_response": "broken", "sources": '

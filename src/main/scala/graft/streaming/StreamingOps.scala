@@ -57,7 +57,9 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        // Exact order-independent sum via scaled-long integer math
+        // (per-row decimal casts allocate BigDecimals at scale).
+        (sum(rint(col("value") * lit(100.0)).cast("long")) / lit(100.0)).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
 
   /** Keyed custom state via flatMapGroupsWithState: per-user sessions
