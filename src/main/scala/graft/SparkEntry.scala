@@ -601,6 +601,16 @@ object SparkEntry {
         .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }),
+    "q67_embedding_dedup_lsh" -> ((s, d) =>
+      // Corpus-scale embedding near-dup: LSH sign-pattern buckets as
+      // the blocking key (no data column, no quadratic blow-up), exact
+      // cosine verification -> zero false positives; recall floor
+      // asserted on the clustered fixture in OpsSpec. Rows-only (the
+      // hash-derived hyperplanes have no DuckDB mirror); q59 is the
+      // oracle-checked blocked form.
+      Dedup.embeddingNearDuplicatesLsh(embeddings(s, d), "embedding", "vec_id",
+          dim = 64, threshold = 0.4, numPlanes = 6)
+        .orderBy(col("id_a"), col("id_b"))),
     "q53_chunk_transcript" -> ((s, d) => {
       // G1 chunker inside the plan — through the SQL-surface Generator
       // (Spark plans a per-row Generate, no shuffle) — projected onto a

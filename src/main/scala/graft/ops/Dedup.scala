@@ -204,7 +204,8 @@ object Dedup {
   /** Embedding-cosine near-dup pairs within a blocking key: exact
     * cosine (native expression) over same-block pairs. The block key
     * bounds the pair count (the unblocked form is quadratic — at corpus
-    * scale use [[Similarity.lshTopK]] buckets as the block instead).
+    * scale use [[embeddingNearDuplicatesLsh]], which derives the block
+    * from sign-pattern LSH buckets instead of a data column).
     */
   def embeddingNearDuplicates(
       df: DataFrame,
@@ -219,6 +220,41 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .where(vecCosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs at corpus scale: the blocking key
+    * is a random-hyperplane LSH bucket ([[Similarity.lshBucket]]), so
+    * pair candidates are same-bucket only — no data column needed and
+    * no quadratic blow-up on organic corpora. Multi-probe on one side
+    * (each row additionally joins against every bucket at Hamming
+    * distance 1 in sign-pattern space) recovers most pairs that
+    * straddle a hyperplane; like all LSH methods recall < 1 by design —
+    * tune `numPlanes` DOWN toward log2(expected cluster count) or raise
+    * probing for higher recall. Only the probe side explodes (the base
+    * side is joined on its single stored bucket), and the final
+    * `distinct` collapses the few pairs recovered via more than one
+    * probe.
+    */
+  def embeddingNearDuplicatesLsh(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      dim: Int,
+      threshold: Double,
+      numPlanes: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions.vecCosine
+    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.lshBucket(embCol, dim, numPlanes).as("bucket"))
+    val probes = array(col("bucket") +: (0 until numPlanes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = bucketed.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      explode(probes).as("bucket"))
+    val b = bucketed.select(col("id").as("id_b"), col("emb").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where(vecCosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum over

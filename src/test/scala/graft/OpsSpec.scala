@@ -175,6 +175,28 @@ class OpsSpec extends SparkSpec {
     assert(refined >= 0.8, f"refined single-probe recall $refined%.3f below 0.8 floor")
   }
 
+  test("LSH-blocked embedding near-dup: high recall vs exact pairs on clustered data, no false positives") {
+    val (store, _) = clusteredFixture(nClusters = 8, perCluster = 30, dim = 64, eps = 0.15f)
+    val threshold = 0.9
+    import graft.functions.VectorFunctions.vecCosine
+    val a = store.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = store.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val exact = a.crossJoin(b)
+      .where(col("id_a") < col("id_b") &&
+        vecCosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDuplicatesLsh(store, "embedding", "vec_id",
+        dim = 64, threshold = threshold, numPlanes = 6)
+      .as[(Long, Long)].collect().toSeq
+    assert(lsh.distinct.size == lsh.size, "duplicate pair emissions")
+    val lshSet = lsh.toSet
+    // Exact verification means NO false positives ever.
+    assert(lshSet.subsetOf(exact), s"false positives: ${lshSet.diff(exact)}")
+    val recall = lshSet.size.toDouble / exact.size
+    info(f"LSH-blocked near-dup recall at $threshold: $recall%.3f (${exact.size} true pairs)")
+    assert(recall >= 0.8, f"recall $recall%.3f below 0.8 floor")
+  }
+
   test("text analysis: token count, ratios, language id") {
     val df = Seq("The quick brown fox is in the yard and it is happy")
       .toDF("text")
