@@ -120,6 +120,38 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IVF store bucketed by centroid_id: probed lists prune buckets at the scan") {
+    // The ivfTopK scaladoc claims the 100 TB store layout is bucketed
+    // by centroid_id so a probe reads nprobe/nlist of the data. Make
+    // that concrete: write the assigned store bucketed, filter to the
+    // probed lists, and assert the scan itself skips buckets.
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val assigned = graft.ops.Similarity.ivfAssign(emb, nlist = 8)
+      .join(emb, Seq("vec_id"))
+    graft.core.Layout.writeBucketed(assigned, "b_ivf_store", "centroid_id", 8)
+    val store = spark.table("b_ivf_store")
+    val probedLists = store.select("centroid_id").distinct()
+      .as[Long].collect().sorted.take(2)
+    // The planner auto-disables bucketed reading for scans with no
+    // bucket-key join/agg; pin it on so the filter can prune buckets
+    // (at 100 TB this is the knob that makes probes read nprobe/nlist
+    // of the store).
+    val prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = store.where(col("centroid_id").isin(probedLists: _*))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"expected bucket pruning at the scan, got:\n$plan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).get
+      assert(sel.group(1).toInt < sel.group(2).toInt,
+        s"no buckets pruned: ${sel.matched}")
+      assert(probe.count() > 0)
+    } finally spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("asof join matches latest right ts at-or-before each left row") {
     def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
     val clicks = Seq((1L, 7L, ts(10)), (2L, 7L, ts(30)), (3L, 8L, ts(5)))
