@@ -78,6 +78,25 @@ case class StopwordVotesExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `[token count, non-whitespace chars]` in one pass, reproducing the
+  * regex forms exactly: token count = `size(split(trim(text), "\s+"))`
+  * with the empty-string -> 0 guard (including the Java-split artifact
+  * that a leading non-space whitespace char yields an empty first
+  * piece), chars = `length(regexp_replace(trim(text), "\s+", ""))`.
+  */
+case class TokenStatsExpr(child: Expression)
+    extends UnaryExpression with GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "token_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextStatsOps.tokenStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsOps$$.MODULE$$.tokenStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenStatsExpr =
+    copy(child = newChild)
+}
+
 object TextStatsOps {
   private def isAlnum(cp: Int): Boolean =
     Character.isLetter(cp) || {
@@ -130,6 +149,26 @@ object TextStatsOps {
   // Java-regex \s (ASCII): space, tab, LF, VT, FF, CR.
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def tokenStats(text: UTF8String): GenericArrayData = {
+    // Spark's trim() strips ASCII space (0x20) only.
+    val s = text.trim().toString
+    if (s.isEmpty) return new GenericArrayData(Array(0, 0))
+    var tokens = if (isWs(s.charAt(0))) 1 else 0 // Java-split leading-"" piece
+    var nonWs = 0
+    var i = 0
+    val n = s.length
+    var inRun = false
+    while (i < n) {
+      if (isWs(s.charAt(i))) inRun = false
+      else {
+        if (!inRun) { tokens += 1; inRun = true }
+        nonWs += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(tokens, nonWs))
+  }
 
   def stopwordVotes(text: UTF8String): GenericArrayData = {
     // lower() first, like the HOF form (per-token result is identical).

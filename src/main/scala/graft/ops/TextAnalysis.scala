@@ -11,10 +11,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object TextAnalysis {
 
+  /** [token count, non-ws chars] one-pass native stats (CSE-eligible). */
+  private def tokenStats(textCol: Column): Column =
+    Bridge.column(graft.functions.TokenStatsExpr(Bridge.expression(textCol)))
+
   /** Whitespace token count ('' -> 0). */
-  def tokenCount(textCol: Column): Column =
-    when(length(trim(textCol)) === 0, lit(0))
-      .otherwise(size(split(trim(textCol), "\\s+")))
+  def tokenCount(textCol: Column): Column = tokenStats(textCol).getItem(0)
 
   /** BPE-ish subword count: word-piece granularity (letter/digit runs +
     * single punctuation). Native one-pass expression
@@ -46,8 +48,9 @@ object TextAnalysis {
 
   /** Mean whitespace-token length (0 for empty text). */
   def meanWordLength(textCol: Column): Column = {
-    val toks = tokenCount(textCol)
-    val chars = length(regexp_replace(trim(textCol), "\\s+", ""))
+    val ts = tokenStats(textCol)
+    val toks = ts.getItem(0)
+    val chars = ts.getItem(1)
     when(toks === 0, lit(0.0)).otherwise(chars.cast("double") / toks)
   }
 
