@@ -33,6 +33,15 @@ object Dedup {
       graft.functions.WordShinglesExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(textCol), n))
 
+  /** Word n-gram shingles as distinct 64-bit hashes (`array<long>`) —
+    * the form the verify joins shuffle; see
+    * [[graft.functions.WordShingleHashesExpr]] for the trade.
+    */
+  def shingleHashes(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.WordShingleHashesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(textCol), n))
+
   /** Deterministic 64-bit MinHash signature — native Catalyst
     * expression ([[graft.functions.MinHashSigExpr]]): tokenize, shingle,
     * and fold all `numHashes` running minimums in one tight loop per
@@ -127,11 +136,15 @@ object Dedup {
     // cost: semi-join first, THEN build the (expensive) set arrays.
     // explode instead of a two-branch union so the candidate self-join
     // subtree appears ONCE here (each reference re-executes it).
+    // HASHED shingle sets (array<long>, xxh64 per shingle): the two
+    // verify joins shuffle these arrays, and 8-byte hashes move ~3x
+    // less than the shingle strings; jaccard over hashes equals
+    // jaccard over strings short of a same-pair 64-bit collision.
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sets = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col(textCol), shingleN).as("sh"))
+      .select(col("id"), shingleHashes(col(textCol), shingleN).as("sh"))
     cands
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
