@@ -36,9 +36,14 @@ object SparkEntry {
   private def davg(c: Column): Column =
     sum(rint(c * lit(10000.0)).cast("long")) / lit(10000.0) / count(c)
 
+  /** Grid-scaled long sum aggregate (1e-2 grid), pre-division — use
+    * directly with `.over(w)` for window sums.
+    */
+  private def scaledSum2(c: Column): Column =
+    sum(rint(c * lit(100.0)).cast("long"))
+
   /** dsum on the 1e-2 grid (2dp money columns). */
-  private def dsum2(c: Column): Column =
-    sum(rint(c * lit(100.0)).cast("long")) / lit(100.0)
+  private def dsum2(c: Column): Column = scaledSum2(c) / lit(100.0)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -181,8 +186,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       orders(s, d)
-        .withColumn("running_total",
-          (sum(rint(col("o_totalprice") * lit(100.0)).cast("long")).over(w) / lit(100.0)))
+        .withColumn("running_total", scaledSum2(col("o_totalprice")).over(w) / lit(100.0))
         .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -268,8 +272,7 @@ object SparkEntry {
     "q21_tumbling_window" -> ((s, d) =>
       events(s, d)
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          (sum(rint(col("value") * lit(100.0)).cast("long")) / lit(100.0)).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
     "q22_sliding_window" -> ((s, d) =>

@@ -80,9 +80,10 @@ case class StopwordVotesExpr(child: Expression)
 
 /** `[token count, non-whitespace chars]` in one pass, reproducing the
   * regex forms exactly: token count = `size(split(trim(text), "\s+"))`
-  * with the empty-string -> 0 guard (including the Java-split artifact
-  * that a leading non-space whitespace char yields an empty first
-  * piece), chars = `length(regexp_replace(trim(text), "\s+", ""))`.
+  * with the empty-string -> 0 guard — including BOTH split artifacts
+  * (Spark's split uses limit -1, so leading AND trailing non-space
+  * whitespace each contribute an empty piece), chars =
+  * `length(regexp_replace(trim(text), "\s+", ""))`.
   */
 case class TokenStatsExpr(child: Expression)
     extends UnaryExpression with GraftExpectsInputTypes {
@@ -154,7 +155,11 @@ object TextStatsOps {
     // Spark's trim() strips ASCII space (0x20) only.
     val s = text.trim().toString
     if (s.isEmpty) return new GenericArrayData(Array(0, 0))
-    var tokens = if (isWs(s.charAt(0))) 1 else 0 // Java-split leading-"" piece
+    // split(_, "\s+") with Spark's limit=-1 keeps an empty piece at
+    // EACH end when the (space-trimmed) text starts/ends with other
+    // whitespace ("\t" -> ["", ""], size 2).
+    var tokens = (if (isWs(s.charAt(0))) 1 else 0) +
+      (if (isWs(s.charAt(s.length - 1))) 1 else 0)
     var nonWs = 0
     var i = 0
     val n = s.length

@@ -244,9 +244,13 @@ object Dedup {
     * straddle a hyperplane; like all LSH methods recall < 1 by design —
     * tune `numPlanes` DOWN toward log2(expected cluster count) or raise
     * probing for higher recall. Only the probe side explodes (the base
-    * side is joined on its single stored bucket), and the final
-    * `distinct` collapses the few pairs recovered via more than one
-    * probe.
+    * side joins on its single stored bucket), and because one row's
+    * probe values are pairwise distinct while each base row carries
+    * exactly one bucket, a given (id_a, id_b) pair can match on at most
+    * ONE probe — emission is exactly-once with no distinct needed
+    * (OpsSpec asserts it). The bucketed relation is persisted (tracked)
+    * since both join sides reference it and the sign-pattern bucket is
+    * an interpreted HOF fold per row.
     */
   def embeddingNearDuplicatesLsh(
       df: DataFrame,
@@ -256,8 +260,9 @@ object Dedup {
       threshold: Double,
       numPlanes: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions.vecCosine
-    val bucketed = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      Similarity.lshBucket(embCol, dim, numPlanes).as("bucket"))
+    val bucketed = graft.core.Caches.persistTracked(
+      df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        Similarity.lshBucket(embCol, dim, numPlanes).as("bucket")))
     val probes = array(col("bucket") +: (0 until numPlanes).map(p =>
       col("bucket").bitwiseXOR(lit(1L << p))): _*)
     val a = bucketed.select(col("id").as("id_a"), col("emb").as("emb_a"),
@@ -267,7 +272,6 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .where(vecCosine(col("emb_a"), col("emb_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-      .distinct()
   }
 
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum over

@@ -172,6 +172,20 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(1)._1 == rows(1)._2 && rows(1)._1.nonEmpty)
   }
 
+  test("token_stats matches size(split(trim, \\s+)) incl. whitespace edge pieces") {
+    // Spark's split keeps limit=-1 empty pieces at BOTH ends; the
+    // native one-pass form must reproduce that ("\t" -> 2, trailing
+    // "\n" -> extra token).
+    val texts = Seq("hello world\n", "\t", " a  b ", "", "  ", "a\tb\nc", "\ta", "a\t", "a")
+    val df = texts.toDF("t").select(
+      graft.ops.TextAnalysis.tokenCount(col("t")).as("native"),
+      when(length(trim(col("t"))) === 0, lit(0))
+        .otherwise(size(split(trim(col("t")), "\\s+"))).as("ref"))
+    df.as[(Int, Int)].collect().zip(texts).foreach { case ((n, r), t) =>
+      assert(n == r, s"token count diverged on ${t.replace("\n", "\\n").replace("\t", "\\t")}: native $n vs split $r")
+    }
+  }
+
   test("custom expressions reject wrong input types at analysis time") {
     GraftFunctions.register(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
