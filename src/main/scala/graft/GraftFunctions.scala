@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.graftbridge.Bridge
 
 /** SQL surface for graft's custom Catalyst expressions: registers
-  * `iso_duration_seconds`, `vec_cosine`, `simhash64`, and
-  * `minhash_signature` in the session function registry so
+  * `iso_duration_seconds`, `vec_cosine`, `simhash64`,
+  * `minhash_signature`, the `chunk_transcript` table function, and the
+  * structured-LLM-output parsers in the session function registry so
   * `spark.sql("SELECT vec_cosine(a, b) ...")` works like any builtin.
   *
   * Two entry points:
@@ -47,6 +48,16 @@ object GraftFunctions {
       arity("chunk_transcript", args, 3)
       graft.chunk.ChunkTranscriptGen(args(0),
         intLit(args(1), "chunkSize"), intLit(args(2), "chunkOverlap"))
+    },
+    // Structured LLM output (SURVEY §1.3): raw response text -> typed
+    // struct, with fence/preamble recovery and malformed -> null.
+    "parse_agent_response" -> { args =>
+      arity("parse_agent_response", args, 1)
+      graft.query.StructuredOutput.parseAgentResponseExpr(args.head)
+    },
+    "parse_query_response" -> { args =>
+      arity("parse_query_response", args, 1)
+      graft.query.StructuredOutput.parseQueryResponseExpr(args.head)
     })
 
   /** Imperative registration into an existing session. */

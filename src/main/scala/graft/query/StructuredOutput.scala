@@ -64,6 +64,21 @@ object StructuredOutput {
   def parseQueryResponse(c: Column): Column =
     from_json(extractJson(c), queryParseSchema)
 
+  // Expression-level forms for the SQL function registry (a
+  // registry builder must return a plain Catalyst expression tree —
+  // bridging a functions-API Column back produces an unresolved
+  // column node that cannot codegen).
+  import org.apache.spark.sql.catalyst.expressions.{Expression, JsonToStructs, Literal, RegExpExtract}
+
+  private def extractJsonExpr(e: Expression): Expression =
+    RegExpExtract(e, Literal("(?s)\\{.*\\}"), Literal(0))
+
+  def parseAgentResponseExpr(e: Expression): Expression =
+    JsonToStructs(agentResponseSchema, Map.empty, extractJsonExpr(e))
+
+  def parseQueryResponseExpr(e: Expression): Expression =
+    JsonToStructs(queryParseSchema, Map.empty, extractJsonExpr(e))
+
   /** Driver-side single-response parse into the typed [[AgentAnswer]],
     * for the QueryEngine's answer boundary. Runs the SAME Catalyst
     * expression as the column path (one-row Dataset), so driver and

@@ -21,6 +21,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 8)
   }
 
+  test("structured-output parsers callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT parse_agent_response(
+           '```json\n{"query_response": "ok", "sources": [{"video_id": "v1", "start_time": 5.0}]}\n```') AS a,
+         parse_query_response('{"topics": ["spark"], "exact_year": "2020"}') AS p""")
+      .head()
+    val a = r.getStruct(0)
+    assert(a.getAs[String]("query_response") == "ok")
+    assert(a.getAs[collection.Seq[org.apache.spark.sql.Row]]("sources").head
+      .getAs[String]("video_id") == "v1")
+    val p = r.getStruct(1)
+    assert(p.getAs[collection.Seq[String]]("topics") == Seq("spark"))
+    assert(p.getAs[String]("exact_year") == "2020")
+  }
+
   test("chunk_transcript Generator: SQL LATERAL VIEW rows == typed chunkDF rows") {
     GraftFunctions.register(spark)
     // Real text from the documents table, assembled like q53.
