@@ -83,8 +83,11 @@ object Bench {
     // metric always survives and parses.
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
-    catch { case _: Throwable => () }
+    // BENCH_LOCAL.json is the canonical sf0.1 snapshot the docs cite;
+    // a run against any other input must not clobber it.
+    if (sfDir == "/root/testdata/sf0.1")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
