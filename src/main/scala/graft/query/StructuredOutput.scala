@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.external.{AgentAnswer, Answerer, ContextDoc, ParsedQuery}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -79,58 +79,90 @@ object StructuredOutput {
   def parseQueryResponseExpr(e: Expression): Expression =
     JsonToStructs(queryParseSchema, Map.empty, extractJsonExpr(e))
 
-  /** Driver-side single-response parse into the typed [[AgentAnswer]],
-    * for the QueryEngine's answer boundary. Runs the SAME Catalyst
-    * expression as the column path (one-row Dataset), so driver and
-    * distributed parses cannot diverge. Parse failure -> None, like the
-    * reference's `except -> None`; a sources array with schema-invalid
-    * ELEMENTS (null / missing citation fields) is likewise None, while
-    * a sources value that is not an array of objects at all collapses
-    * to null under from_json PERMISSIVE and parses as
-    * answer-without-citations (divergence from Pydantic's hard error —
-    * the column representation cannot distinguish it from an absent
-    * key).
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Evaluate one of the shared parse expressions directly against a
+    * string literal — interpreted Catalyst eval on the driver, NO Spark
+    * job (the previous one-row-Dataset form launched two jobs per
+    * serving-path query just to parse two strings). The expression tree
+    * is the SAME builder the SQL registry and column path use, so
+    * driver and distributed parses cannot diverge; a unit test pins
+    * them byte-for-byte. Timezone-aware nodes get the session-default
+    * zone (the parse schemas carry no timestamp fields, so the zone
+    * never affects the result).
     */
-  def toAgentAnswer(spark: SparkSession, raw: String): Option[AgentAnswer] = {
-    import spark.implicits._
-    val row = Seq(raw).toDF("r")
-      .select(parseAgentResponse(col("r")).as("p"))
-      .select(col("p.query_response"), col("p.sources"))
-      .collect().head
-    for {
-      resp <- Option(row.getString(0))
-      srcs = Option(row.getSeq[Row](1)).getOrElse(Seq.empty)
+  private def evalShared(
+      build: Expression => Expression, raw: String): InternalRow = {
+    val expr = build(Literal(UTF8String.fromString(raw), StringType))
+      .transformUp {
+        case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+          t.withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      }
+    expr.eval(InternalRow.empty).asInstanceOf[InternalRow]
+  }
+
+  /** Driver-side single-response parse into the typed [[AgentAnswer]],
+    * for the QueryEngine's answer boundary. Evaluates the SAME Catalyst
+    * expression as the column path (direct interpreted eval, no job),
+    * so driver and distributed parses cannot diverge. Parse failure ->
+    * None, like the reference's `except -> None`; a sources array with
+    * schema-invalid ELEMENTS (null / missing citation fields) is
+    * likewise None, while a sources value that is not an array of
+    * objects at all collapses to null under from_json PERMISSIVE and
+    * parses as answer-without-citations (divergence from Pydantic's
+    * hard error — the column representation cannot distinguish it from
+    * an absent key).
+    */
+  def toAgentAnswer(raw: String): Option[AgentAnswer] = {
+    val row = evalShared(parseAgentResponseExpr, raw)
+    if (row == null || row.isNullAt(0)) None
+    else {
+      val resp = row.getUTF8String(0).toString
+      val srcs: Seq[InternalRow] =
+        if (row.isNullAt(1)) Seq.empty
+        else {
+          val a = row.getArray(1)
+          (0 until a.numElements()).map(i =>
+            if (a.isNullAt(i)) null else a.getStruct(i, 2))
+        }
       // A source element that failed the struct schema (null element,
       // null video_id/start_time) is Pydantic's ValidationError -> None,
       // not a crash.
-      if srcs.forall(s => s != null && !s.isNullAt(0) && !s.isNullAt(1))
-    } yield AgentAnswer(resp,
-      srcs.map(s => (s.getString(0), s.getDouble(1).toInt)))
+      if (srcs.forall(s => s != null && !s.isNullAt(0) && !s.isNullAt(1)))
+        Some(AgentAnswer(resp,
+          srcs.map(s => (s.getUTF8String(0).toString, s.getDouble(1).toInt))))
+      else None
+    }
   }
 
   /** Driver-side single-response parse into [[ParsedQuery]] (year
     * strings -> Ints where numeric; "a-b" range split), mirroring the
-    * reference's post-Pydantic normalization.
+    * reference's post-Pydantic normalization. Direct expression eval —
+    * no Spark job, no session needed.
     */
-  def toParsedQuery(spark: SparkSession, raw: String): Option[ParsedQuery] = {
-    import spark.implicits._
-    val row = Seq(raw).toDF("r")
-      .select(parseQueryResponse(col("r")).as("p"))
-      .select(col("p.shows"), col("p.hosts"), col("p.topics"),
-        col("p.exact_year"), col("p.year_range"), col("p.before_year"), col("p.after_year"))
-      .collect().head
+  def toParsedQuery(raw: String): Option[ParsedQuery] = {
+    val row = evalShared(parseQueryResponseExpr, raw)
     def strs(i: Int): Seq[String] =
-      Option(row.getSeq[String](i)).getOrElse(Seq.empty)
-    def year(i: Int): Option[Int] =
-      Option(row.getString(i)).flatMap(s => s.trim.toIntOption)
-    val range = Option(row.getString(4)).flatMap { s =>
+      if (row.isNullAt(i)) Seq.empty
+      else {
+        val a = row.getArray(i)
+        (0 until a.numElements()).map(j =>
+          if (a.isNullAt(j)) null else a.getUTF8String(j).toString)
+      }
+    def str(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(row.getUTF8String(i).toString)
+    def year(i: Int): Option[Int] = str(i).flatMap(s => s.trim.toIntOption)
+    if (row == null) return None
+    val range = str(4).flatMap { s =>
       s.split("-", 2) match {
         case Array(a, b) => for (x <- a.trim.toIntOption; y <- b.trim.toIntOption) yield (x, y)
         case _ => None
       }
     }
-    if (row.isNullAt(0) && row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3) &&
-        row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6)) None
+    if ((0 until 7).forall(row.isNullAt)) None
     else Some(ParsedQuery(
       shows = strs(0), hosts = strs(1), topics = strs(2),
       exactYear = year(3), yearRange = range,
@@ -145,10 +177,9 @@ object StructuredOutput {
   * where a Pydantic parse failure propagates to the caller).
   */
 class JsonAnswerer(
-    spark: SparkSession,
     raw: (String, Seq[ContextDoc]) => String) extends Answerer {
   override def answer(query: String, context: Seq[ContextDoc]): AgentAnswer =
-    StructuredOutput.toAgentAnswer(spark, raw(query, context)).getOrElse(
+    StructuredOutput.toAgentAnswer(raw(query, context)).getOrElse(
       throw new IllegalArgumentException(
         s"LLM answer did not parse as AgentResponse for query: $query"))
 }

@@ -115,33 +115,84 @@ class QueryEngineSpec extends SparkSpec {
         |  {"video_id": "v1", "start_time": 20.0},
         |  {"video_id": "v3", "start_time": 3.0}]}
         |```""".stripMargin
-    assert(StructuredOutput.toAgentAnswer(spark, fenced).contains(
+    assert(StructuredOutput.toAgentAnswer(fenced).contains(
       AgentAnswer("Use catalyst.", Seq(("v1", 20), ("v3", 3)))))
     // Malformed JSON -> None (reference: parse exception -> None).
-    assert(StructuredOutput.toAgentAnswer(spark, "{\"query_response\": oops").isEmpty)
+    assert(StructuredOutput.toAgentAnswer("{\"query_response\": oops").isEmpty)
     // Schema-invalid source ELEMENTS (null / missing citation fields)
     // are the Pydantic-ValidationError analog -> None, never a crash.
-    assert(StructuredOutput.toAgentAnswer(spark,
+    assert(StructuredOutput.toAgentAnswer(
       "{\"query_response\": \"x\", \"sources\": [null]}").isEmpty)
-    assert(StructuredOutput.toAgentAnswer(spark,
+    assert(StructuredOutput.toAgentAnswer(
       "{\"query_response\": \"x\", \"sources\": [{\"video_id\": \"v1\"}]}").isEmpty)
     // A sources value that isn't an array of objects at all collapses
     // to null under from_json PERMISSIVE — indistinguishable from a
     // missing key, so it parses as answer-without-citations (documented
     // divergence from Pydantic's hard error).
-    assert(StructuredOutput.toAgentAnswer(spark,
+    assert(StructuredOutput.toAgentAnswer(
       "{\"query_response\": \"x\", \"sources\": [123]}").contains(AgentAnswer("x", Nil)))
     // Missing sources key -> empty citations (Pydantic default-on-absence).
-    assert(StructuredOutput.toAgentAnswer(spark, "{\"query_response\": \"hi\"}").contains(
+    assert(StructuredOutput.toAgentAnswer("{\"query_response\": \"hi\"}").contains(
       AgentAnswer("hi", Nil)))
     // QueryParseResponse: arrays + year strings -> typed ParsedQuery.
-    val pq = StructuredOutput.toParsedQuery(spark,
+    val pq = StructuredOutput.toParsedQuery(
       """{"shows": ["Alpha Show"], "hosts": [], "topics": ["spark"],
         | "exact_year": null, "year_range": "2020-2022"}""".stripMargin).get
     assert(pq.shows == Seq("Alpha Show"))
     assert(pq.topics == Seq("spark"))
     assert(pq.yearRange.contains((2020, 2022)))
     assert(pq.exactYear.isEmpty && pq.beforeYear.isEmpty && pq.afterYear.isEmpty)
+  }
+
+  test("structured output: driver-path direct eval agrees with the column path byte-for-byte") {
+    import graft.query.StructuredOutput
+    import spark.implicits._
+    // The driver path needs no SparkSession (direct interpreted eval of
+    // the shared expression); this pins it to the distributed column
+    // path on every edge the parser distinguishes.
+    val fixtures = Seq(
+      "preamble\n```json\n{\"query_response\": \"A\", \"sources\": [{\"video_id\": \"v\", \"start_time\": 7.5}]}\n```",
+      "{\"query_response\": \"B\", \"sources\": []}",
+      "{\"query_response\": \"C\"}",
+      "{\"query_response\": \"x\", \"sources\": [null]}",
+      "{\"query_response\": \"x\", \"sources\": [{\"video_id\": \"v1\"}]}",
+      "{\"query_response\": \"x\", \"sources\": [123]}",
+      "{\"query_response\": oops",
+      "no json at all",
+      "",
+      "{\"query_response\": \"unicode \\u00e9\\u4e2d\", \"sources\": []}")
+    val colRows = fixtures.toDF("r")
+      .select(StructuredOutput.parseAgentResponse(col("r")).as("p"))
+      .select(col("p.query_response"), col("p.sources"))
+      .collect()
+    fixtures.zip(colRows).foreach { case (raw, row) =>
+      val viaColumn = for {
+        resp <- Option(row.getString(0))
+        srcs = Option(row.getSeq[org.apache.spark.sql.Row](1)).getOrElse(Seq.empty)
+        if srcs.forall(s => s != null && !s.isNullAt(0) && !s.isNullAt(1))
+      } yield AgentAnswer(resp, srcs.map(s => (s.getString(0), s.getDouble(1).toInt)))
+      assert(StructuredOutput.toAgentAnswer(raw) == viaColumn, s"fixture: $raw")
+    }
+    val pqFixtures = Seq(
+      """{"shows": ["S"], "hosts": ["h1", "h2"], "topics": [], "exact_year": "2021"}""",
+      """{"shows": null, "year_range": "2019-2023", "before_year": "x"}""",
+      "{}", "garbage")
+    val pqRows = pqFixtures.toDF("r")
+      .select(StructuredOutput.parseQueryResponse(col("r")).as("p"))
+      .select(col("p.shows"), col("p.hosts"), col("p.topics"), col("p.exact_year"),
+        col("p.year_range"), col("p.before_year"), col("p.after_year"))
+      .collect()
+    pqFixtures.zip(pqRows).foreach { case (raw, row) =>
+      val d = StructuredOutput.toParsedQuery(raw)
+      if ((0 until 7).forall(row.isNullAt)) assert(d.isEmpty, raw)
+      else {
+        val pq = d.get
+        assert(pq.shows == Option(row.getSeq[String](0)).getOrElse(Seq.empty), raw)
+        assert(pq.hosts == Option(row.getSeq[String](1)).getOrElse(Seq.empty), raw)
+        assert(pq.exactYear ==
+          Option(row.getString(3)).flatMap(_.trim.toIntOption), raw)
+      }
+    }
   }
 
   test("process: JSON answerer (from_json boundary) flows into citation rendering") {
@@ -156,7 +207,7 @@ class QueryEngineSpec extends SparkSpec {
          |```""".stripMargin
     }
     val engine = new QueryEngine(store(), parser,
-      new graft.query.JsonAnswerer(spark, rawLlm), embedder)
+      new graft.query.JsonAnswerer(rawLlm), embedder)
     val (answer, citations) = engine.process("""anything on "spark"?""")
     assert(answer.queryResponse == "Parsed structurally.")
     assert(answer.sources.size == 2)
