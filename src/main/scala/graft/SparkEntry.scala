@@ -579,9 +579,25 @@ object SparkEntry {
 
     // ---- rows-only entries (not SQL-expressible: hash fns / typed
     //      flatMap; driver records the weaker rows>0 check) ------------
-    "q30_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashCandidates(documents(s, d), "text", "doc_id")
-        .orderBy(col("id_a"), col("id_b"))),
+    "q30_minhash_pairs" -> ((s, d) => {
+      // Candidate-generation completeness as an oracle row: the EXACT
+      // prefix-filter join (deterministic, complete — Dedup.
+      // jaccardJoinExact) computes every true >= 0.8 pair and its
+      // Jaccard value (both DuckDB-recomputable), and each pair is
+      // flagged `covered` iff the MinHash-LSH candidate generator also
+      // produced it. The oracle recomputes the pairs + values and pins
+      // covered TRUE — banding recall on this corpus is empirically
+      // total (same caveat as q23: guaranteed-in-distribution, not in
+      // adversarial worst case; see the q23 note).
+      val docs = documents(s, d)
+      val exact = Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8)
+      val cands = Dedup.minhashCandidates(docs, "text", "doc_id")
+        .withColumn("cand", lit(true))
+      exact.join(cands, Seq("id_a", "id_b"), "left_outer")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"),
+          coalesce(col("cand"), lit(false)).as("covered"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q50_simhash" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -617,9 +633,32 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
       annEnvelope(Similarity.lshTopK(emb, qs, dim = 64, k = 5, numPlanes = 8), emb)
     }),
-    "q52_ivf_assign" -> ((s, d) =>
-      Similarity.ivfAssign(embeddings(s, d), nlist = 16)
-        .orderBy(col("vec_id"))),
+    "q52_ivf_assign" -> ((s, d) => {
+      // IVF assignment through an argmax-verification envelope: the
+      // centroid ids themselves are hash-picked (no DuckDB mirror),
+      // but "every vector's assigned centroid beats all 15 others on
+      // cosine (ties toward the lower id)" is a per-vector boolean the
+      // oracle pins TRUE — verified by scoring ALL centroids per
+      // vector, not by re-running the assignment's max_by.
+      val emb = embeddings(s, d)
+      val assign = Similarity.ivfAssign(emb, nlist = 16)
+        .withColumnRenamed("centroid_id", "assigned")
+      val cents = Similarity.pickCentroids(emb, 16, "embedding", "vec_id")
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("sim", vecCosine(col("embedding"), col("centroid_emb")))
+        .select(col("vec_id"), col("centroid_id"), col("sim"))
+      val w = Window.partitionBy(col("vec_id"))
+      scored.join(assign, "vec_id")
+        .withColumn("asim",
+          max(when(col("centroid_id") === col("assigned"), col("sim"))).over(w))
+        .groupBy(col("vec_id"))
+        .agg(
+          every(col("sim") < col("asim") ||
+            (col("sim") === col("asim") && col("centroid_id") >= col("assigned")))
+            .as("assigned_argmax"),
+          (count(lit(1)) === lit(16)).as("scored_all_centroids"))
+        .orderBy(col("vec_id"))
+    }),
     "q64_ivf_exact" -> ((s, d) => {
       // IVF exactness property: probing EVERY list (nprobe == nlist)
       // must return exactly the brute-force top-k — which DuckDB can
@@ -1233,6 +1272,22 @@ Hosts: %s
            TRUE AS count_in_bounds, TRUE AS max_start_ok,
            TRUE AS nonempty_ok, TRUE AS max_len_ok
          FROM d ORDER BY video_id""",
+    // q30: exact prefix-filter join pairs + Jaccard values are fully
+    // DuckDB-recomputable; `covered` (MinHash candidate generator
+    // produced the pair too) is pinned TRUE.
+    "q30_minhash_pairs" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard, TRUE AS covered
+         FROM p WHERE jac >= 0.8 ORDER BY id_a, id_b""",
     // ANN envelopes (q51/q60): self is the unique cosine-1.0 maximum
     // and is guaranteed a candidate, so top-1 is pinned exactly; the
     // invariant booleans are engine-computed and pinned TRUE.
@@ -1252,5 +1307,8 @@ Hosts: %s
       """SELECT DISTINCT label,
            TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok
          FROM embeddings ORDER BY label""",
+    "q52_ivf_assign" ->
+      """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
+         FROM embeddings ORDER BY vec_id""",
   )
 }

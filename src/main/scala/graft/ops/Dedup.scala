@@ -174,6 +174,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; public
+    * algorithm): unlike MinHash banding this is deterministic and
+    * complete, with no probabilistic recall caveat.
+    *
+    * Under any global total order on tokens, two sets with
+    * J(A,B) >= t must share their smallest common element within each
+    * side's first |x| - ceil(t*|x|) + 1 tokens (J >= t implies
+    * |A∩B| >= t*|A∪B| >= ceil(t*|x|) for both sides; if the smallest
+    * common element sat outside a side's prefix, the whole
+    * intersection would have to fit in that side's ceil(t*|x|)-1
+    * suffix slots — pigeonhole contradiction). So exploding only the
+    * PREFIX tokens and equi-joining on token finds every qualifying
+    * pair while shuffling ~(1-t) of the token volume; a size filter
+    * (t*max <= min, since J <= min/max) prunes candidates before the
+    * verify join recomputes true Jaccard on the full sets.
+    *
+    * The global order here is the 64-bit shingle hash value itself
+    * (sort ascending — zero extra shuffles). At 100 TB, ordering
+    * tokens by ascending document frequency instead (one extra
+    * token-grain aggregation + re-sort) makes prefixes maximally rare
+    * and is the standard candidate-count lever; the hash order is
+    * correct either way, frequency order is only an optimization.
+    */
+  def jaccardJoinExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    // Empty shingle sets are excluded: a pair with an empty side has
+    // J = 0 under the intersect/union convention, below any t > 0.
+    val sets = df.select(col(idCol).as("id"),
+      array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val prefLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val tokens = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+    val a = tokens.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = tokens.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cands = a.join(b, Seq("tok"))
+      .where(col("id_a") < col("id_b"))
+      .where(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: band the 64-bit simhash into four 16-bit
     * bands — any pair within Hamming distance 3 shares at least one
     * intact band (pigeonhole), so the banded self-join finds ALL such

@@ -93,7 +93,7 @@ object Similarity {
     * every consumer broadcasts it, so recomputing the full-store sort
     * per reference would dominate.
     */
-  private def pickCentroids(
+  def pickCentroids(
       store: DataFrame, nlist: Int, embCol: String, idCol: String): DataFrame =
     graft.core.Caches.persistTracked(store
       .withColumn("__h", xxhash64(col(idCol)))

@@ -32,6 +32,29 @@ class OpsSpec extends SparkSpec {
     assert(verified == Set((1L, 2L)))
   }
 
+  test("prefix-filter exact Jaccard join equals brute-force all-pairs at several thresholds") {
+    // Deterministic corpus with overlapping word sets: doc i shares a
+    // sliding window of the vocabulary with its neighbors, giving a
+    // spread of true Jaccard values (including pairs just above and
+    // below each threshold).
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 30L).map { i =>
+      val words = (0 until 12).map(j => vocab((i.toInt + j) % vocab.size))
+      (i, words.mkString(" "))
+    } ++ Seq((100L, ""), (101L, "x")) // empty / sub-shingle-length edges
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.jaccardJoinExact(df, "text", "doc_id", t, shingleN = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // Brute force: all-pairs within one synthetic block.
+      val brute = Dedup.jaccardPairsWithinBlock(
+        df.withColumn("blk", lit(1)), "text", "doc_id", "blk", 2, t)
+        .as[(Long, Long)].collect().toSet
+      assert(exact == brute, s"threshold $t")
+      if (t == 0.5) assert(brute.nonEmpty) // fixture actually exercises it
+    }
+  }
+
   test("simhash near-dup join finds planted pair via banding, skips unrelated") {
     val df = Seq((1L, base), (2L, base.replace("today", "tomorrow")),
       (3L, "zzz qqq completely unrelated vocabulary entirely xyz abc"),
