@@ -72,7 +72,7 @@ object GraftFunctions {
     * Idempotent.
     */
   def registerOptimizations(spark: SparkSession): Unit = {
-    val rules = Seq(graft.plans.HammingBandJoinRule)
+    val rules = Seq(graft.plans.HammingBandJoinRule, graft.plans.CosineBandJoinRule)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
@@ -88,5 +88,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.HammingBandJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.CosineBandJoinRule)
   }
 }

@@ -63,6 +63,35 @@ object SparkEntry {
     * (probabilistic, data-shape-dependent) stay asserted in OpsSpec —
     * the envelope pins soundness.
     */
+  /** Per-label soundness envelope for near-dup pair results (q67/q68):
+    * every emitted pair re-verified against the raw embeddings table —
+    * ordered, distinct, exact cosine >= threshold (the zero-false-
+    * positive claim as an oracle row). Labels with no pairs still emit
+    * a row (left join + coalesce), so the row set is exactly the
+    * DuckDB-mirrorable label domain. Completeness is probabilistic by
+    * design (LSH recall); the floors stay asserted in OpsSpec/PlansSpec.
+    */
+  private def pairSoundnessEnvelope(
+      emb: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val ver = pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("label")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("re_cos", vecCosine(col("emb_a"), col("emb_b")))
+    val perLabel = ver.groupBy(col("label"))
+      .agg(every(col("id_a") < col("id_b")).as("ordered_raw"),
+        (count_distinct(struct(col("id_a"), col("id_b"))) === count(lit(1)))
+          .as("distinct_raw"),
+        every(col("re_cos") >= lit(threshold)).as("threshold_raw"))
+    emb.select(col("label")).distinct()
+      .join(perLabel, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("ordered_raw"), lit(true)).as("pairs_ordered"),
+        coalesce(col("distinct_raw"), lit(true)).as("pairs_distinct"),
+        coalesce(col("threshold_raw"), lit(true)).as("threshold_ok"))
+      .orderBy(col("label"))
+  }
+
   private def annEnvelope(result: DataFrame, emb: DataFrame): DataFrame = {
     val byRank = Window.partitionBy(col("q_id")).orderBy(col("rank"))
     val ver = result
@@ -693,23 +722,33 @@ object SparkEntry {
       val emb = embeddings(s, d)
       val pairs = Dedup.embeddingNearDuplicatesLsh(emb, "embedding", "vec_id",
         dim = 64, threshold = 0.4, numPlanes = 6)
-      val ver = pairs
-        .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-          col("label")), "id_a")
-        .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-        .withColumn("re_cos", vecCosine(col("emb_a"), col("emb_b")))
-      val perLabel = ver.groupBy(col("label"))
-        .agg(every(col("id_a") < col("id_b")).as("ordered_raw"),
-          (count_distinct(struct(col("id_a"), col("id_b"))) === count(lit(1)))
-            .as("distinct_raw"),
-          every(col("re_cos") >= lit(0.4)).as("threshold_raw"))
-      emb.select(col("label")).distinct()
-        .join(perLabel, Seq("label"), "left_outer")
-        .select(col("label"),
-          coalesce(col("ordered_raw"), lit(true)).as("pairs_ordered"),
-          coalesce(col("distinct_raw"), lit(true)).as("pairs_distinct"),
-          coalesce(col("threshold_raw"), lit(true)).as("threshold_ok"))
-        .orderBy(col("label"))
+      pairSoundnessEnvelope(emb, pairs, 0.4)
+    }),
+    "q68_cosine_join_rule" -> ((s, d) => {
+      // The DECLARATIVE cosine-threshold join: a user writes
+      // vec_cosine(a, b) >= t against what would plan as a
+      // BroadcastNestedLoopJoin; with the opt-in session knob,
+      // CosineBandJoinRule re-plans it as the multi-probe bucketed
+      // equi-join (q67's hand-built shape, derived automatically).
+      // Runs in a child session so the approximate-rewrite knob can
+      // never leak into any other query's planning; the builder
+      // hard-asserts the nested loop is gone before returning. Same
+      // per-label soundness envelope (and oracle) as q67.
+      val s2 = s.newSession()
+      GraftFunctions.registerOptimizations(s2)
+      s2.conf.set("spark.graft.cosineJoin.rewrite", "true")
+      s2.conf.set("spark.graft.cosineJoin.numPlanes", "6")
+      val emb = embeddings(s2, d)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      val pairs = a.join(b,
+          vecCosine(col("emb_a"), col("emb_b")) >= lit(0.4) &&
+          col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val plan = pairs.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "CosineBandJoinRule did not engage — declarative cosine join would run all-pairs")
+      pairSoundnessEnvelope(emb, pairs, 0.4)
     }),
     "q53_chunk_transcript" -> ((s, d) => {
       // G1 chunker inside the plan — through the SQL-surface Generator
@@ -1310,5 +1349,9 @@ Hosts: %s
     "q52_ivf_assign" ->
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
+    "q68_cosine_join_rule" ->
+      """SELECT DISTINCT label,
+           TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok
+         FROM embeddings ORDER BY label""",
   )
 }

@@ -27,8 +27,20 @@ object Similarity {
     (h.toDouble / Int.MaxValue.toDouble)
   }
 
-  /** Sign-pattern LSH bucket id from `numPlanes` fixed hyperplanes. */
-  def lshBucket(embCol: String, dim: Int, numPlanes: Int = 12) = {
+  /** Sign-pattern LSH bucket id from `numPlanes` fixed hyperplanes —
+    * native codegen'd expression ([[graft.functions.LshBucketExpr]];
+    * the HOF fold it replaces was interpreted per row and re-evaluated
+    * per plan reference). `dim` is retained for signature stability but
+    * the plane components are derived from the array's own length
+    * (identical values when they agree, which every caller guarantees).
+    */
+  def lshBucket(embCol: String, dim: Int, numPlanes: Int = 12) =
+    graft.functions.LshBucketOps.lshBucketNative(col(embCol), numPlanes)
+
+  /** The original HOF composition, kept as the bit-parity witness for
+    * [[lshBucket]] (FunctionsSpec pins native == HOF on every edge).
+    */
+  private[graft] def lshBucketHof(embCol: String, dim: Int, numPlanes: Int) = {
     val bits = (0 until numPlanes).map { p =>
       val plane = array((0 until dim).map(d => lit(planeComponent(p, d))): _*)
       val dot = aggregate(

@@ -160,6 +160,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native lsh_bucket expression is bit-identical to the HOF form") {
+    // Same hyperplane derivation, same accumulation order, same sign
+    // test — swapping the native expression into Similarity.lshBucket
+    // must not move a single vector to a different bucket. Edges: null
+    // array and null element both collapse to bucket 0 in the HOF form
+    // (null plane-dots fail the when() and OR to zero) — reproduced.
+    def vec(seed: Int, n: Int): Seq[java.lang.Float] = Seq.tabulate(n) { i =>
+      java.lang.Float.valueOf(
+        (scala.util.hashing.MurmurHash3.productHash((seed, i)).toDouble /
+          Int.MaxValue.toDouble).toFloat)
+    }
+    val rows: Seq[Seq[java.lang.Float]] = Seq(
+      vec(1, 64), vec(2, 64), vec(3, 64), vec(4, 64), vec(5, 64),
+      Seq.fill(64)(java.lang.Float.valueOf(0f)), // zero vector: all dots 0.0 -> all bits set
+      Seq[java.lang.Float](1f, null, 3f) ++ vec(6, 61),   // null element -> bucket 0
+      null)                                                // null array -> bucket 0
+    for (planes <- Seq(4, 6, 8, 12)) {
+      val df = rows.toDF("embedding")
+        .select(
+          graft.functions.LshBucketOps.lshBucketNative(col("embedding"), planes).as("native"),
+          graft.ops.Similarity.lshBucketHof("embedding", 64, planes).as("hof"))
+      df.collect().foreach { r =>
+        val n = r.getLong(0)
+        val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+        assert(n == h, s"planes=$planes: native $n != hof $h")
+      }
+      // Short array: native derives planes from the actual length.
+      val short = Seq(Seq(0.5f, -0.25f, 0.125f).map(java.lang.Float.valueOf))
+        .toDF("embedding")
+        .select(
+          graft.functions.LshBucketOps.lshBucketNative(col("embedding"), planes).as("native"),
+          graft.ops.Similarity.lshBucketHof("embedding", 3, planes).as("hof"))
+        .collect().head
+      assert(short.getLong(0) == short.getLong(1), s"planes=$planes dim=3 parity")
+    }
+  }
+
   test("native vec_cosine: null array elements yield null, matching HOF") {
     val df = Seq(
       (Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](1f, 2f, 3f)),

@@ -116,6 +116,77 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  // ---- CosineBandJoinRule (opt-in approximate rewrite) ----------------
+
+  // Clustered embedding fixture (the data shape similarity joins serve):
+  // well-separated unit centers, members are renormalized perturbations.
+  private def clusteredEmb(nClusters: Int, perCluster: Int, dim: Int) = {
+    val embedder = new graft.external.HashEmbedder(dim)
+    def perturb(center: Array[Float], tag: String): Array[Float] = {
+      val noise = embedder.embed(Seq(tag)).head
+      val v = center.indices.map(i => center(i) + 0.15f * noise(i)).toArray
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / norm)
+    }
+    val centers = (0 until nClusters).map(c => embedder.embed(Seq(s"cluster center $c")).head)
+    (for { c <- 0 until nClusters; i <- 0 until perCluster }
+      yield ((c.toLong * perCluster + i), perturb(centers(c), s"member $c $i")))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def cosineJoin(df: org.apache.spark.sql.DataFrame, t: Double) = {
+    import graft.functions.VectorFunctions.vecCosine
+    val a = df.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = df.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, vecCosine(col("emb_a"), col("emb_b")) >= lit(0.6) &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  test("cosine-threshold join rule: opt-in, bucketed plan, sound, matches the hand-built operator") {
+    GraftFunctions.registerOptimizations(spark)
+    val df = clusteredEmb(nClusters = 8, perCluster = 25, dim = 64)
+    df.persist()
+    try {
+      // Exact reference (nested-loop all-pairs) with the rule OFF.
+      spark.conf.set(graft.plans.CosineBandJoinRule.EnabledKey, "false")
+      val exactDf = cosineJoin(df, 0.6)
+      assert(exactDf.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "expected the naive plan while the knob is off")
+      val exact = exactDf.as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty)
+
+      // Opt in: plan must lose the nested loop and gain the probe explosion.
+      spark.conf.set(graft.plans.CosineBandJoinRule.EnabledKey, "true")
+      spark.conf.set(graft.plans.CosineBandJoinRule.PlanesKey, "6")
+      val rewrittenDf = cosineJoin(df, 0.6)
+      val plan = rewrittenDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"expected bucketed equi-join, got:\n$plan")
+      assert(plan.contains("Generate"), s"expected probe explosion in:\n$plan")
+      val got = rewrittenDf.as[(Long, Long)].collect().toSeq
+
+      // Exactly-once emission, soundness, and recall floor vs exact.
+      assert(got.distinct.size == got.size, "duplicate emissions")
+      assert(got.toSet.subsetOf(exact), "unsound pair emitted")
+      val recall = got.toSet.intersect(exact).size.toDouble / exact.size
+      info(f"declarative cosine-join recall vs exact on clustered data: $recall%.3f")
+      assert(recall >= 0.8, f"recall $recall%.3f below 0.8 floor")
+
+      // The rule's plan IS the hand-built operator's shape: same buckets,
+      // same multi-probe — the pair sets must be identical.
+      val handBuilt = graft.ops.Dedup.embeddingNearDuplicatesLsh(
+        df, "embedding", "vec_id", dim = 64, threshold = 0.6, numPlanes = 6)
+        .as[(Long, Long)].collect().toSet
+      assert(got.toSet == handBuilt,
+        s"rule pairs diverge from embeddingNearDuplicatesLsh: ${got.toSet.diff(handBuilt)} / ${handBuilt.diff(got.toSet)}")
+    } finally {
+      spark.conf.unset(graft.plans.CosineBandJoinRule.EnabledKey)
+      spark.conf.unset(graft.plans.CosineBandJoinRule.PlanesKey)
+      df.unpersist()
+    }
+  }
+
   test("rewrite matches simhashNearDuplicates output on real text") {
     GraftFunctions.registerOptimizations(spark)
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
