@@ -1227,10 +1227,12 @@ Hosts: %s
          ORDER BY id_a, id_b""",
     "q55_session_window" ->
       """WITH o AS (SELECT user_id, ts, event_id,
-           -- >= matches Spark session_window semantics exactly: a session
-           -- covers [ts, ts+gap) so an event at precisely gap distance
-           -- starts a NEW session (strict > would merge it).
-           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '10 minutes'
+           -- Strict > matches Spark session_window semantics exactly:
+           -- each event's window is [ts, ts+gap) and TOUCHING windows
+           -- merge, so an event at precisely gap distance CONTINUES the
+           -- session (pinned empirically by the streaming/batch parity
+           -- test in StreamingSpec).
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
            FROM events),
          s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -99,6 +99,11 @@ object StreamingOps {
             val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
             var st = state.getOption.orNull
             for ((ms, value) <- sorted) {
+              // Strict > matches batch session_window semantics exactly:
+              // each event's window is [ts, ts + gap) and Spark merges
+              // TOUCHING windows, so an event at precisely gap distance
+              // CONTINUES the session (verified empirically; the parity
+              // test pins streaming == batch on this exact boundary).
               if (st != null && ms - st.lastMs > gapSec * 1000) {
                 out += SessionUpdate(userId, st.nEvents, st.totalValue,
                   (st.lastMs - st.startMs) / 1000, closed = true)

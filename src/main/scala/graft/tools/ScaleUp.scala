@@ -13,11 +13,33 @@ import org.apache.spark.sql.functions._
   * sf1) for scaling-curve measurements; correctness gates stay on the
   * driver-generated inputs.
   *
-  * Usage: ScaleUp <srcDir> <destDir> <factor>
+  * Usage: ScaleUp <srcDir> <destDir> <factor> [mutate]
+  *
+  * With the optional `mutate` flag, replicas of documents/embeddings
+  * are DETERMINISTICALLY perturbed so the dedup/ANN family is measured
+  * on organic-shaped data instead of byte-identical copies (identical
+  * copies make every same-text/same-vector group `factor` deep, so
+  * candidate-pair counts grow ~factor^2 — a shape no real corpus has):
+  *
+  *  - documents.text: every word in replica r > 0 gets a per-replica
+  *    suffix. The map is INJECTIVE per replica, so within-replica
+  *    shingle-set Jaccard is preserved exactly (the original near-dup
+  *    structure replicates), while cross-replica Jaccard drops to 0 —
+  *    pair counts scale linearly, the organic shape. n_chars is
+  *    recomputed to stay consistent.
+  *  - embeddings.embedding: replica r > 0 is multiplied by a
+  *    hash-derived per-replica sign mask. Sign flips preserve norms
+  *    and every INTRA-replica cosine exactly (s_d^2 = 1), while
+  *    cross-replica cosines decorrelate to ~0 — cluster geometry
+  *    replicates, near-dup pairs scale linearly.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(src, dst, factorS) = args
+    val (src, dst, factorS, mutate) = args match {
+      case Array(a, b, c) => (a, b, c, false)
+      case Array(a, b, c, "mutate") => (a, b, c, true)
+      case _ => sys.error("usage: ScaleUp <srcDir> <destDir> <factor> [mutate]")
+    }
     val factor = factorS.toInt
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,13 +95,34 @@ object ScaleUp {
     // timestamp column, so the scaled copy reads without the legacy flag.
     write(replicate(events, Seq("event_id" -> eventSpace, "user_id" -> userSpace)), "events")
     // documents: new videos per replica (constant transcript length).
-    write(replicate(Tables.documents(spark, src),
+    val docsRep = replicate(Tables.documents(spark, src),
       Seq("doc_id" -> keySpace(Tables.documents(spark, src), "doc_id")))
       .withColumn("source",
         when(col("__r") === 0, col("source"))
-          .otherwise(concat(col("source"), lit("_r"), col("__r")))), "documents")
-    write(replicate(Tables.embeddings(spark, src),
-      Seq("vec_id" -> keySpace(Tables.embeddings(spark, src), "vec_id"))), "embeddings")
+          .otherwise(concat(col("source"), lit("_r"), col("__r"))))
+    val docsOut =
+      if (!mutate) docsRep
+      else docsRep
+        .withColumn("text",
+          when(col("__r") === 0, col("text"))
+            .otherwise(array_join(
+              transform(split(col("text"), "\\s+"),
+                w => concat(w, lit("~"), col("__r"))), " ")))
+        .withColumn("n_chars", length(col("text")))
+    write(docsOut, "documents")
+    val embRep = replicate(Tables.embeddings(spark, src),
+      Seq("vec_id" -> keySpace(Tables.embeddings(spark, src), "vec_id")))
+    val embOut =
+      if (!mutate) embRep
+      else embRep.withColumn("embedding",
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(zip_with(
+            col("embedding"),
+            transform(sequence(lit(0), size(col("embedding")) - 1),
+              i => when(pmod(xxhash64(col("__r"), i), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f))),
+            (x, s) => x * s)))
+    write(embOut, "embeddings")
 
     spark.stop()
   }

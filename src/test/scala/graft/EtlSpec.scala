@@ -210,4 +210,22 @@ class EtlSpec extends SparkSpec {
     assert(back.count() == 3) // vidA 2 chunks + vidC 1; vidB aborted
     assert(back.schema("embedding").dataType.typeName == "array")
   }
+
+  test("Pipeline.run: one entry point chains the stages; re-runs are idempotent") {
+    val dir = writeFixtures()
+    val out = Files.createTempDirectory("graft-pipeline").toFile.getAbsolutePath
+    val store = Pipeline.run(spark, dir, out)
+    assert(store.count() == 3) // vidA 2 chunks + vidC 1; vidB aborted
+    assert(spark.read.json(s"$out/cleaned").count() == 2) // cleaned mirror written
+    // Resume: nothing new -> the anti-join embeds nothing, store unchanged.
+    assert(Pipeline.run(spark, dir, out).count() == 3)
+    // New raw doc appears -> only ITS chunks are appended.
+    val extra = new java.io.File(s"$dir/2024/01"); extra.mkdirs()
+    Files.writeString(new java.io.File(extra, "vidD.json").toPath,
+      """{"id": 9, "video_id": "vidD", "show_name": "S", "hosts": ["h"],
+        | "title": "t", "description": "d", "published_at": 1700000000,
+        | "duration": 60, "transcript_chunks": [{"text": "brand new", "start": 0.0}]}"""
+        .stripMargin)
+    assert(Pipeline.run(spark, dir, out).count() == 4)
+  }
 }

@@ -50,6 +50,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: closed sessions are identical to batch session_window on the same fixture") {
+    // Ties the streaming path to the oracle-green batch semantics
+    // (q55): same events -> same closed sessions, including the exact
+    // gap-boundary event (600s apart MUST split in both paths).
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(15), 1, "click", 4.0),  // exactly gap (10 min) after -> MERGES (touching windows)
+      Event(4, ts(3), 2, "view", 1.0),    // out of order within the batch
+      Event(5, ts(1), 2, "view", 8.0),
+      Event(6, ts(30), 2, "view", 2.0),   // 27 min gap -> new session
+      Event(7, ts(2), 3, "click", 5.0))   // single-event session
+    val batch = fixture.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"),
+        ((max(col("ts")).cast("long") - min(col("ts")).cast("long"))).as("duration_sec"))
+      .select("user_id", "n_events", "total_value", "duration_sec")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapSec = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("paritysess").outputMode("update").start()
+    try {
+      input.addData(fixture: _*)
+      q.processAllAvailable()
+      // Sentinel far in the future: advances the watermark past every
+      // open session's gap deadline so EventTimeTimeout closes them all.
+      input.addData(Event(99, ts(10000), 999, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("paritysess")
+        .where(col("closed") && col("user_id") =!= 999)
+        .select("user_id", "n_events", "total_value", "duration_sec")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streaming closed sessions $streamed != batch session_window $batch")
+      assert(batch.size == 4) // 1 (boundary-merged) + 2 + 1 sessions
+    } finally q.stop()
+  }
+
   test("sessionize: watermark timeout closes and evicts idle keys without new events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
