@@ -71,6 +71,18 @@ object SparkEntry {
     * DuckDB-mirrorable label domain. Completeness is probabilistic by
     * design (LSH recall); the floors stay asserted in OpsSpec/PlansSpec.
     */
+  /** Plane count for the LSH near-dup queries, tracking corpus size:
+    * with a FIXED plane count, growing the corpus 10x grows every
+    * bucket 10x and in-bucket candidate pairs 100x — the quadratic
+    * creep the operator doc warns about. One extra plane per corpus
+    * doubling keeps expected bucket size (and so per-row candidate
+    * cost) constant; floors at 6 so every correctness-gate SF keeps the
+    * exact plane count its oracle rows were pinned with.
+    */
+  private def adaptivePlanes(emb: DataFrame, targetBucket: Double = 250.0): Int =
+    math.max(6, math.ceil(
+      math.log(emb.count().toDouble / targetBucket) / math.log(2.0)).toInt)
+
   private def pairSoundnessEnvelope(
       emb: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val ver = pairs
@@ -721,7 +733,7 @@ object SparkEntry {
       // OpsSpec; q59 is the oracle-checked exact blocked form.
       val emb = embeddings(s, d)
       val pairs = Dedup.embeddingNearDuplicatesLsh(emb, "embedding", "vec_id",
-        dim = 64, threshold = 0.4, numPlanes = 6)
+        dim = 64, threshold = 0.4, numPlanes = adaptivePlanes(emb))
       pairSoundnessEnvelope(emb, pairs, 0.4)
     }),
     "q68_cosine_join_rule" -> ((s, d) => {
@@ -737,8 +749,8 @@ object SparkEntry {
       val s2 = s.newSession()
       GraftFunctions.registerOptimizations(s2)
       s2.conf.set("spark.graft.cosineJoin.rewrite", "true")
-      s2.conf.set("spark.graft.cosineJoin.numPlanes", "6")
       val emb = embeddings(s2, d)
+      s2.conf.set("spark.graft.cosineJoin.numPlanes", adaptivePlanes(emb).toString)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       val pairs = a.join(b,

@@ -60,10 +60,11 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
           if cond.deterministic && !hasEquiConjunct(cond, left, right) =>
-        splitConjunctivePredicates(cond).iterator
-          .map(c => extractCosine(c, left, right))
-          .collectFirst { case Some((lKey, rKey)) =>
-            rewrite(j, lKey, rKey, numPlanes)
+        val conjuncts = splitConjunctivePredicates(cond)
+        conjuncts.iterator
+          .map(c => (c, extractCosine(c, left, right)))
+          .collectFirst { case (matched, Some((lKey, rKey))) =>
+            rewrite(j, conjuncts, matched, lKey, rKey, numPlanes)
           }
           .getOrElse(j)
     }
@@ -123,7 +124,12 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(
-      j: Join, lKey: Expression, rKey: Expression, numPlanes: Int): LogicalPlan = {
+      j: Join,
+      conjuncts: Seq[Expression],
+      cosineConjunct: Expression,
+      lKey: Expression,
+      rKey: Expression,
+      numPlanes: Int): LogicalPlan = {
     // Probe side (left): own bucket plus each bucket at sign-Hamming
     // distance 1. The probe values of one row are pairwise distinct and
     // the base side carries exactly one bucket, so any row pair matches
@@ -140,8 +146,15 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val rAlias = Alias(LshBucketExpr(rKey, numPlanes), "__graft_bucket")()
     val rProj = Project(j.right.output :+ rAlias, j.right)
 
+    // Re-check the full original condition on candidates, but with the
+    // cosine conjunct LAST: the other conjuncts (id ordering, cheap
+    // attribute predicates) prune same-bucket candidates — including
+    // self-pairs and the mirrored ordering of every pair — before the
+    // O(dim) cosine runs. Measured ~2x on the 10x bench corpus.
+    val reordered = (conjuncts.filterNot(_ eq cosineConjunct) :+ cosineConjunct)
+      .reduce(And)
     val joined = Join(lGen, rProj, Inner,
-      Some(And(EqualTo(probeAttr.head, rAlias.toAttribute), j.condition.get)), j.hint)
+      Some(And(EqualTo(probeAttr.head, rAlias.toAttribute), reordered)), j.hint)
     Project(j.output, joined)
   }
 }

@@ -110,8 +110,15 @@ object ScaleUp {
                 w => concat(w, lit("~"), col("__r"))), " ")))
         .withColumn("n_chars", length(col("text")))
     write(docsOut, "documents")
-    val embRep = replicate(Tables.embeddings(spark, src),
-      Seq("vec_id" -> keySpace(Tables.embeddings(spark, src), "vec_id")))
+    // In mutate mode the label (cluster id) space is shifted per
+    // replica too: an organic 10x corpus has ~10x clusters of the same
+    // size, not 10x-deeper clusters (unshifted labels make every
+    // label-blocked operator quadratically deeper, the exact pathology
+    // mutate mode exists to remove).
+    val embSrc = Tables.embeddings(spark, src)
+    val embRep = replicate(embSrc,
+      Seq("vec_id" -> keySpace(embSrc, "vec_id")) ++
+        (if (mutate) Seq("label" -> keySpace(embSrc, "label")) else Nil))
     val embOut =
       if (!mutate) embRep
       else embRep.withColumn("embedding",
@@ -122,6 +129,7 @@ object ScaleUp {
               i => when(pmod(xxhash64(col("__r"), i), lit(2)) === 0, lit(1.0f))
                 .otherwise(lit(-1.0f))),
             (x, s) => x * s)))
+        .withColumn("label", col("label").cast("int")) // keep the source schema
     write(embOut, "embeddings")
 
     spark.stop()
