@@ -95,12 +95,19 @@ object SparkEntry {
         (count_distinct(struct(col("id_a"), col("id_b"))) === count(lit(1)))
           .as("distinct_raw"),
         every(col("re_cos") >= lit(threshold)).as("threshold_raw"))
+    // corpus_has_pairs pins >= 1 emitted pair on the gate corpora (59
+    // true pairs at 0.4; recall floors in OpsSpec guarantee some are
+    // found) — without it a total recall collapse would pass every
+    // per-label boolean vacuously through the coalesce(TRUE) arm.
+    val total = pairs.agg((count(lit(1)) > 0).as("has_pairs_raw"))
     emb.select(col("label")).distinct()
       .join(perLabel, Seq("label"), "left_outer")
+      .crossJoin(broadcast(total))
       .select(col("label"),
         coalesce(col("ordered_raw"), lit(true)).as("pairs_ordered"),
         coalesce(col("distinct_raw"), lit(true)).as("pairs_distinct"),
-        coalesce(col("threshold_raw"), lit(true)).as("threshold_ok"))
+        coalesce(col("threshold_raw"), lit(true)).as("threshold_ok"),
+        col("has_pairs_raw").as("corpus_has_pairs"))
       .orderBy(col("label"))
   }
 
@@ -682,9 +689,9 @@ object SparkEntry {
       // oracle pins TRUE — verified by scoring ALL centroids per
       // vector, not by re-running the assignment's max_by.
       val emb = embeddings(s, d)
-      val assign = Similarity.ivfAssign(emb, nlist = 16)
-        .withColumnRenamed("centroid_id", "assigned")
       val cents = Similarity.pickCentroids(emb, 16, "embedding", "vec_id")
+      val assign = Similarity.ivfAssign(emb, nlist = 16, centroidsOpt = Some(cents))
+        .withColumnRenamed("centroid_id", "assigned")
       val scored = emb.crossJoin(broadcast(cents))
         .withColumn("sim", vecCosine(col("embedding"), col("centroid_emb")))
         .select(col("vec_id"), col("centroid_id"), col("sim"))
@@ -1358,14 +1365,16 @@ Hosts: %s
          FROM embeddings WHERE vec_id < 5 ORDER BY q_id""",
     "q67_embedding_dedup_lsh" ->
       """SELECT DISTINCT label,
-           TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok
+           TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok,
+           TRUE AS corpus_has_pairs
          FROM embeddings ORDER BY label""",
     "q52_ivf_assign" ->
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
     "q68_cosine_join_rule" ->
       """SELECT DISTINCT label,
-           TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok
+           TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok,
+           TRUE AS corpus_has_pairs
          FROM embeddings ORDER BY label""",
   )
 }

@@ -31,22 +31,31 @@ object Pipeline {
     // Extract: recursive schema'd JSON scan (S3).
     val raw = Extract.readRawDocs(spark, rawDir)
     // Transform: per-chunk clean with all-or-nothing abort (G4), then
-    // the cleaned mirror sink (S9).
+    // the cleaned mirror sink (S9). Persisted: the mirror write and the
+    // Load stage both consume it, and the cleaner is the expensive
+    // per-chunk LLM boundary — without the persist each consumer
+    // re-runs the full cleaning pass. (On resume the clean DOES re-run
+    // over all raw docs — chunk-level work discovery needs every doc's
+    // chunks; only the embedding boundary is skip-listed, like the
+    // reference, whose clean stage is similarly re-run per invocation.)
     val cleaned = Transform.cleanVideos(raw, cleaner)
-    Transform.writeCleanedMirror(cleaned.toDF(), s"$outRoot/cleaned")
-    // Load: chunk-grain explode (G3), resume anti-join (J5), grouped
-    // embedding (G5), batched store sink (S10).
-    val chunks = Load.explodeChunks(cleaned)
-    import chunks.sparkSession.implicits._
-    if (graft.core.FsUtil.exists(spark, storePath)) {
-      // Resume: embed only the chunks the store lacks, append them
-      // (the reference re-run skips stored ids, build_vector_store.py).
-      val fresh = Load.discoverNewChunks(chunks.toDF(), spark.read.parquet(storePath))
-      Load.embedChunks(fresh.as[ChunkDoc], embedder)
-        .toDF().write.mode("append").parquet(storePath)
-    } else {
-      Load.writeStore(Load.embedChunks(chunks, embedder).toDF(), storePath)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Transform.writeCleanedMirror(cleaned.toDF(), s"$outRoot/cleaned")
+      // Load: chunk-grain explode (G3), resume anti-join (J5), grouped
+      // embedding (G5), batched store sink (S10).
+      val chunks = Load.explodeChunks(cleaned)
+      import chunks.sparkSession.implicits._
+      if (graft.core.FsUtil.exists(spark, storePath)) {
+        // Resume: embed only the chunks the store lacks, append them
+        // (the reference re-run skips stored ids, build_vector_store.py).
+        val fresh = Load.discoverNewChunks(chunks.toDF(), spark.read.parquet(storePath))
+        Load.embedChunks(fresh.as[ChunkDoc], embedder)
+          .toDF().write.mode("append").parquet(storePath)
+      } else {
+        Load.writeStore(Load.embedChunks(chunks, embedder).toDF(), storePath)
+      }
+    } finally cleaned.unpersist(blocking = false)
     spark.read.parquet(storePath)
   }
 
@@ -54,7 +63,10 @@ object Pipeline {
     * cleaner/embedder and prints stage counts.
     */
   def main(args: Array[String]): Unit = {
-    val Array(rawDir, outRoot) = args.take(2)
+    val (rawDir, outRoot) = args match {
+      case Array(a, b, _*) => (a, b)
+      case _ => sys.error("usage: Pipeline <rawJsonDir> <outRoot>")
+    }
     val spark = graft.core.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     val store = run(spark, rawDir, outRoot)

@@ -210,7 +210,16 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
       .where(size(col("sh")) > 0)
-    val prefLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    // Candidate-generation bounds carry a small epsilon so double
+    // rounding can only OVER-generate, never drop a qualifying pair:
+    // e.g. t=0.55, |B|=20 -> 0.55*20 = 11.000000000000002 in doubles,
+    // which without the epsilon would prune a pair at exactly J = 11/20
+    // = t (and shorten the prefix below the pigeonhole requirement).
+    // The verify step stays exact — both Spark and DuckDB compare the
+    // same nearest-double of intersect/union against the same literal.
+    val eps = 1e-9
+    val prefLen =
+      (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - lit(eps)) + 1).cast("int")
     val tokens = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
     val a = tokens.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
@@ -218,7 +227,7 @@ object Dedup {
     val cands = a.join(b, Seq("tok"))
       .where(col("id_a") < col("id_b"))
       .where(least(col("sz_a"), col("sz_b")) >=
-        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(eps))
       .select("id_a", "id_b")
       .distinct()
     cands

@@ -150,8 +150,12 @@ object Similarity {
       store: DataFrame,
       nlist: Int,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
-    val centroids = pickCentroids(store, nlist, embCol, idCol)
+      idCol: String = "vec_id",
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
+    // Callers that already hold the centroid relation pass it in —
+    // re-picking would duplicate the full-store sort + cache AND make
+    // agreement between the two picks load-bearing (q52's envelope).
+    val centroids = centroidsOpt.getOrElse(pickCentroids(store, nlist, embCol, idCol))
     // max_by over (similarity, -centroid_id): highest cosine similarity
     // wins, ties broken toward the lowest centroid id. groupBy + max_by is
     // map-side combinable (partial aggregation), so the N*nlist scored rows

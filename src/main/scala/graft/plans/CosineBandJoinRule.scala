@@ -59,7 +59,7 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       s"$PlanesKey must be in [1, 62], got $numPlanes")
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
-          if cond.deterministic && !hasEquiConjunct(cond, left, right) =>
+          if cond.deterministic && !BandJoinGuards.hasCrossSideEquiConjunct(cond, left, right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         conjuncts.iterator
           .map(c => (c, extractCosine(c, left, right)))
@@ -67,19 +67,6 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             rewrite(j, conjuncts, matched, lKey, rKey, numPlanes)
           }
           .getOrElse(j)
-    }
-  }
-
-  /** Same convergence/applicability guard as [[HammingBandJoinRule]]. */
-  private def hasEquiConjunct(
-      cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
-    def splits(a: Expression, b: Expression): Boolean =
-      (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-        (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
-    splitConjunctivePredicates(cond).exists {
-      case EqualTo(a, b) => a.references.nonEmpty && b.references.nonEmpty && splits(a, b)
-      case EqualNullSafe(a, b) => a.references.nonEmpty && b.references.nonEmpty && splits(a, b)
-      case _ => false
     }
   }
 

@@ -52,35 +52,13 @@ object HammingBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
-        if cond.deterministic && !hasEquiConjunct(cond, left, right) =>
+        if cond.deterministic && !BandJoinGuards.hasCrossSideEquiConjunct(cond, left, right) =>
       splitConjunctivePredicates(cond).iterator
         .map(c => extractHamming(c, left, right))
         .collectFirst { case Some((lKey, rKey, k)) if k >= 0 && k <= MaxK =>
           rewrite(j, lKey, rKey, k)
         }
         .getOrElse(j)
-  }
-
-  /** True when the condition already carries a cross-side equality —
-    * then the join is hash-joinable as-is (banding would add nothing),
-    * and, critically, this makes the rule CONVERGE: the rewrite's
-    * output join carries band equalities, so even when a later
-    * fixed-point iteration pushes the residual Hamming filter back into
-    * the join condition (PushDownPredicates does exactly that when the
-    * rule is injected into the main optimizer batch), the rewritten
-    * join can never match again. Without this guard the extensions path
-    * re-banded its own output every iteration until the iteration cap.
-    */
-  private def hasEquiConjunct(
-      cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
-    def splits(a: Expression, b: Expression): Boolean =
-      (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
-        (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
-    splitConjunctivePredicates(cond).exists {
-      case EqualTo(a, b) => a.references.nonEmpty && b.references.nonEmpty && splits(a, b)
-      case EqualNullSafe(a, b) => a.references.nonEmpty && b.references.nonEmpty && splits(a, b)
-      case _ => false
-    }
   }
 
   /** (leftKey, rightKey, k) from one conjunct, or None. */

@@ -43,6 +43,16 @@ class OpsSpec extends SparkSpec {
       (i, words.mkString(" "))
     } ++ Seq((100L, ""), (101L, "x")) // empty / sub-shingle-length edges
     val df = docs.toDF("doc_id", "text")
+    // FP-boundary regression: shingle-superset pair with J exactly
+    // 11/20 = 0.55, where 0.55*20 rounds ABOVE 11 in doubles — the
+    // candidate bounds must carry an epsilon or this pair is silently
+    // dropped from an "exact, complete" join.
+    val wa = (0 until 12).map(i => s"b$i").mkString(" ")       // 11 2-shingles
+    val wb = (0 until 21).map(i => s"b$i").mkString(" ")       // 20, superset
+    val boundary = Seq((200L, wa), (201L, wb)).toDF("doc_id", "text")
+    val bj = Dedup.jaccardJoinExact(boundary, "text", "doc_id", 0.55, shingleN = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bj == Set((200L, 201L)), s"exact-threshold boundary pair missing: $bj")
     for (t <- Seq(0.3, 0.5, 0.8)) {
       val exact = Dedup.jaccardJoinExact(df, "text", "doc_id", t, shingleN = 2)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
