@@ -72,7 +72,8 @@ object GraftFunctions {
     * Idempotent.
     */
   def registerOptimizations(spark: SparkSession): Unit = {
-    val rules = Seq(graft.plans.HammingBandJoinRule, graft.plans.CosineBandJoinRule)
+    val rules = Seq(graft.plans.HammingBandJoinRule, graft.plans.CosineBandJoinRule,
+      graft.plans.JaccardPrefixJoinRule)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
@@ -89,5 +90,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.HammingBandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.CosineBandJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardPrefixJoinRule)
   }
 }

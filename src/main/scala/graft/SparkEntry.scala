@@ -769,6 +769,29 @@ object SparkEntry {
         "CosineBandJoinRule did not engage — declarative cosine join would run all-pairs")
       pairSoundnessEnvelope(emb, pairs, 0.4)
     }),
+    "q69_jaccard_join_rule" -> ((s, d) => {
+      // The DECLARATIVE Jaccard-threshold join: jaccard_sim(a, b) >= t
+      // written against what would plan as a BroadcastNestedLoopJoin;
+      // JaccardPrefixJoinRule (always-on — the rewrite is EXACT)
+      // re-plans it as the prefix-filtered token equi-join. Because the
+      // rewrite is exact this is a FULL-VALUE oracle row: DuckDB
+      // recomputes the same pairs and Jaccard values from all-pairs.
+      GraftFunctions.registerOptimizations(s)
+      val sets = documents(s, d)
+        .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b,
+          Dedup.jaccard(col("sh_a"), col("sh_b")) >= lit(0.8) &&
+          col("id_a") < col("id_b"))
+      val plan = pairs.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "JaccardPrefixJoinRule did not engage — declarative jaccard join would run all-pairs")
+      pairs
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q53_chunk_transcript" -> ((s, d) => {
       // G1 chunker inside the plan — through the SQL-surface Generator
       // (Spark plans a per-row Generate, no shuffle) — projected onto a
@@ -1371,6 +1394,19 @@ Hosts: %s
     "q52_ivf_assign" ->
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
+    "q69_jaccard_join_rule" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jac, 4) AS jaccard
+         FROM p WHERE jac >= 0.8 ORDER BY id_a, id_b""",
     "q68_cosine_join_rule" ->
       """SELECT DISTINCT label,
            TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok,

@@ -1,0 +1,156 @@
+package graft.plans
+
+import graft.functions.JaccardSimExpr
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: plans a Jaccard-similarity threshold join
+  * as an EXACT prefix-filtered token equi-join (the AllPairs/PPJoin
+  * family — the same public algorithm behind
+  * [[graft.ops.Dedup.jaccardJoinExact]], surfaced declaratively).
+  *
+  * A user writing
+  * {{{
+  *   a.join(b, jaccard(a("sh"), b("sh")) >= lit(0.8))
+  * }}}
+  * gets a BroadcastNestedLoopJoin — O(|a|*|b|) set comparisons. But
+  * under any global token order, two sets with J >= t must share their
+  * smallest common token within each side's first
+  * |x| - ceil(t*|x|) + 1 tokens, so exploding only those PREFIX tokens
+  * and equi-joining on the token finds every qualifying pair. Unlike
+  * [[CosineBandJoinRule]] this rewrite is EXACT, so like
+  * [[HammingBandJoinRule]] it is always on (no session knob):
+  *
+  *  - recall: the prefix theorem covers every pair at J >= t, with an
+  *    epsilon on the double bounds so rounding can only over-generate;
+  *  - no duplicates: a candidate pair sharing several prefix tokens is
+  *    emitted only for the SMALLEST shared prefix token
+  *    (`tok = array_min(array_intersect(prefix_l, prefix_r))`), so row
+  *    multiplicities are preserved without a distinct;
+  *  - a null set drops on the token join exactly as the original null
+  *    jaccard comparison dropped it; empty sets have J = 0 < t and are
+  *    dropped by their empty prefix.
+  *
+  * Matches inner joins whose condition carries a conjunct
+  * `jaccard_sim(l, r) >= t` (or `>`, or literal-first reversed) with
+  * t in (0, 1], element arrays declared null-free (shingle/token
+  * columns are), and no cross-side equi conjunct (the shared
+  * convergence guard — the rewrite's own token equality blocks
+  * re-matching). The size filter `t * max(|A|,|B|) <= min(|A|,|B|)`
+  * prunes candidates before the original condition re-checks exact
+  * Jaccard on each one.
+  */
+object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val Eps = 1e-9
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), _)
+        if cond.deterministic &&
+          !BandJoinGuards.hasCrossSideEquiConjunct(cond, left, right) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      conjuncts.iterator
+        .map(c => (c, extractJaccard(c, left, right)))
+        .collectFirst { case (matched, Some((lKey, rKey, t))) =>
+          rewrite(j, conjuncts, matched, lKey, rKey, t)
+        }
+        .getOrElse(j)
+  }
+
+  /** Null-free orderable element array (shingle sets qualify). */
+  private def isTokenArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, false) | ArrayType(StringType, false) => true
+    case _ => false
+  }
+
+  /** (leftKey, rightKey, t) from one `jaccard_sim(a, b) >= t` conjunct
+    * with t in (0, 1], or None. `>` maps to the same bound (the prefix
+    * theorem for >= t covers the strictly-greater subset).
+    */
+  private def extractJaccard(
+      c: Expression,
+      left: LogicalPlan,
+      right: LogicalPlan): Option[(Expression, Expression, Double)] = {
+    def thresh(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) if v > 0.0 && v <= 1.0 => Some(v)
+      case _ => None
+    }
+    def sides(a: Expression, b: Expression): Option[(Expression, Expression)] = {
+      val ok = isTokenArray(a) && isTokenArray(b) &&
+        a.dataType == b.dataType && a.deterministic && b.deterministic
+      if (!ok) None
+      else if (a.references.subsetOf(left.outputSet) &&
+        b.references.subsetOf(right.outputSet)) Some((a, b))
+      else if (b.references.subsetOf(left.outputSet) &&
+        a.references.subsetOf(right.outputSet)) Some((b, a))
+      else None
+    }
+    val kv: Option[(Expression, Expression, Double)] = c match {
+      case GreaterThanOrEqual(JaccardSimExpr(a, b), l) => thresh(l).map(t => (a, b, t))
+      case GreaterThan(JaccardSimExpr(a, b), l) => thresh(l).map(t => (a, b, t))
+      case LessThanOrEqual(l, JaccardSimExpr(a, b)) => thresh(l).map(t => (a, b, t))
+      case LessThan(l, JaccardSimExpr(a, b)) => thresh(l).map(t => (a, b, t))
+      case _ => None
+    }
+    kv.flatMap { case (a, b, t) => sides(a, b).map { case (l, r) => (l, r, t) } }
+  }
+
+  private def rewrite(
+      j: Join,
+      conjuncts: Seq[Expression],
+      jaccardConjunct: Expression,
+      lKey: Expression,
+      rKey: Expression,
+      t: Double): LogicalPlan = {
+
+    // One side: project the sorted-distinct set and its eps-guarded
+    // prefix, then explode the prefix to token grain.
+    def prefixed(child: LogicalPlan, key: Expression)
+        : (LogicalPlan, Attribute, Attribute, Attribute) = {
+      val sortedSet = SortArray(ArrayDistinct(key), Literal(true))
+      val setAlias = Alias(sortedSet, "__graft_set")()
+      val sz = Cast(Size(setAlias.toAttribute, legacySizeOfNull = false), LongType)
+      val required = Ceil(Subtract(
+        Multiply(Literal(t), Cast(sz, DoubleType)), Literal(Eps)))
+      val prefLen = Cast(Add(Subtract(sz, required), Literal(1L)), IntegerType)
+      val prefAlias = Alias(Slice(setAlias.toAttribute, Literal(1), prefLen),
+        "__graft_prefix")()
+      val projected = Project(child.output ++ Seq(setAlias), child)
+      val projected2 = Project(projected.output :+ prefAlias, projected)
+      val gen = Explode(prefAlias.toAttribute)
+      val tokAttr = gen.elementSchema.fields.toSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+      (Generate(gen, unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = tokAttr, child = projected2),
+        setAlias.toAttribute, prefAlias.toAttribute, tokAttr.head)
+    }
+
+    val (lGen, lSet, lPref, lTok) = prefixed(j.left, lKey)
+    val (rGen, rSet, rPref, rTok) = prefixed(j.right, rKey)
+
+    def dsize(a: Attribute): Expression =
+      Cast(Size(a, legacySizeOfNull = false), DoubleType)
+    // t * max(|A|,|B|) - eps <= min(|A|,|B|): J <= min/max, so larger
+    // size mismatches cannot reach t.
+    val sizeFilter = GreaterThanOrEqual(
+      Least(Seq(dsize(lSet), dsize(rSet))),
+      Subtract(Multiply(Literal(t), Greatest(Seq(dsize(lSet), dsize(rSet)))),
+        Literal(Eps)))
+    // Emit each candidate pair exactly once: only at the SMALLEST
+    // shared prefix token.
+    val firstSharedOnly = EqualTo(lTok,
+      ArrayMin(ArrayIntersect(lPref, rPref)))
+    // Original condition re-checked with the jaccard conjunct LAST
+    // (cheap conjuncts prune candidates before the set comparison).
+    val reordered = (conjuncts.filterNot(_ eq jaccardConjunct) :+ jaccardConjunct)
+      .reduce(And)
+
+    val joined = Join(lGen, rGen, Inner,
+      Some(And(EqualTo(lTok, rTok),
+        And(sizeFilter, And(firstSharedOnly, reordered)))), j.hint)
+    Project(j.output, joined)
+  }
+}

@@ -187,6 +187,45 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  // ---- JaccardPrefixJoinRule (always-on EXACT rewrite) ----------------
+
+  test("jaccard-threshold join rule: exact rewrite equals the naive join, once each") {
+    GraftFunctions.registerOptimizations(spark)
+    import graft.ops.Dedup
+    // Sliding-vocabulary corpus (spread of true Jaccard values) plus a
+    // duplicated row (multiplicity trap) and empty/short docs.
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = ((0L until 25L).map { i =>
+      val words = (0 until 10).map(j => vocab((i.toInt + j) % vocab.size))
+      (i, words.mkString(" "))
+    } ++ Seq((50L, ""), (51L, "solo"),
+      (60L, (0 until 10).map(j => vocab(j)).mkString(" ")))) // dup of doc 0's text
+      .toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 2).as("sh"))
+    def declarativeJoin() = {
+      val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Dedup.jaccard(col("sh_a"), col("sh_b")) >= lit(0.5) &&
+          col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    val rewritten = declarativeJoin()
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected prefix-filtered equi-join, got:\n$plan")
+    assert(plan.contains("Generate"), s"expected prefix explosion in:\n$plan")
+    val got = rewritten.as[(Long, Long)].collect().toSeq
+
+    // Naive reference: brute-force within one synthetic block (no rule
+    // involved — jaccardPairsWithinBlock joins on an equi key).
+    val brute = Dedup.jaccardPairsWithinBlock(
+      docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", 2, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet == brute, s"rule ${got.toSet} != brute $brute")
+    assert(got.distinct.size == got.size, s"duplicate emissions in $got")
+    assert(brute.contains((0L, 60L)) && brute.size > 3) // fixture exercises it
+  }
+
   test("rewrite matches simhashNearDuplicates output on real text") {
     GraftFunctions.registerOptimizations(spark)
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
