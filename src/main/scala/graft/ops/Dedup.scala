@@ -131,6 +131,11 @@ object Dedup {
     // boundary here hides size stats from the planner and demotes the
     // small verify joins from broadcast to shuffle (measured 2.4x
     // slower on the banded+verify benchmark query).
+    // NOTE on scale: at ~500k docs the 3x candidate-subtree recompute
+    // (see below) becomes visible (q23 ~57s warm at the 100x spot
+    // check); persisting cands measured 2.4x SLOWER at 10x and
+    // unstable at 100x on this host, so the measured default stands —
+    // a cluster deployment should re-measure both forms at its scale.
     val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
     // Only docs that appear in some candidate pair pay the shingle-set
     // cost: semi-join first, THEN build the (expensive) set arrays.
