@@ -196,25 +196,50 @@ object Dedup {
     * (t*max <= min, since J <= min/max) prunes candidates before the
     * verify join recomputes true Jaccard on the full sets.
     *
-    * The global order here is the 64-bit shingle hash value itself
-    * (sort ascending — zero extra shuffles). At 100 TB, ordering
-    * tokens by ascending document frequency instead (one extra
-    * token-grain aggregation + re-sort) makes prefixes maximally rare
-    * and is the standard candidate-count lever; the hash order is
-    * correct either way, frequency order is only an optimization.
+    * The default global order is the 64-bit shingle hash value itself
+    * (sort ascending — zero extra shuffles); `freqOrdered = true`
+    * switches to ascending corpus document-frequency (see the inline
+    * note), the standard candidate-count lever at corpus scale. Both
+    * orders are exact — OpsSpec pins each against brute force.
     */
   def jaccardJoinExact(
       df: DataFrame,
       textCol: String,
       idCol: String,
       threshold: Double,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      freqOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     // Empty shingle sets are excluded: a pair with an empty side has
     // J = 0 under the intersect/union convention, below any t > 0.
-    val sets = df.select(col(idCol).as("id"),
-      array_sort(shingleHashes(col(textCol), shingleN)).as("sh"))
+    val rawSets = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
+    // The prefix theorem holds under ANY global total order. Hash
+    // order (sort the hashes) costs nothing extra; `freqOrdered` sorts
+    // each document's tokens by ascending corpus document-frequency
+    // (ties by hash) instead — prefixes then hold each document's
+    // RAREST tokens, which is the standard AllPairs candidate-count
+    // lever: a stop-shingle shared by half the corpus can land in
+    // hash-order prefixes and join n^2/4 candidate pairs, but under
+    // frequency order it sorts last and never enters a prefix. Costs
+    // two extra token-grain shuffles (df aggregation + re-sort).
+    // MEASURED: on this corpus the token shuffles cost MORE than the
+    // candidates they save (q30 hash-order 7.2s vs freq-order 9.7s at
+    // 50k docs; 45.6s vs 88s at 500k) — the lever pays off only when
+    // candidate-pair volume, not token volume, dominates (heavy
+    // stop-shingle skew or higher thresholds); hence opt-in.
+    val sets =
+      if (!freqOrdered) rawSets.select(col("id"), array_sort(col("sh")).as("sh"))
+      else {
+        val toks = rawSets.select(col("id"), explode(col("sh")).as("tok"))
+        val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        toks.join(tokDf, "tok")
+          .groupBy(col("id"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("tok")))),
+            s => s.getField("tok")).as("sh"))
+      }
     // Candidate-generation bounds carry a small epsilon so double
     // rounding can only OVER-generate, never drop a qualifying pair:
     // e.g. t=0.55, |B|=20 -> 0.55*20 = 11.000000000000002 in doubles,

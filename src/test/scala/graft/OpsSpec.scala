@@ -53,14 +53,15 @@ class OpsSpec extends SparkSpec {
     val bj = Dedup.jaccardJoinExact(boundary, "text", "doc_id", 0.55, shingleN = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(bj == Set((200L, 201L)), s"exact-threshold boundary pair missing: $bj")
-    for (t <- Seq(0.3, 0.5, 0.8)) {
-      val exact = Dedup.jaccardJoinExact(df, "text", "doc_id", t, shingleN = 2)
+    for (t <- Seq(0.3, 0.5, 0.8); freq <- Seq(false, true)) {
+      val exact = Dedup.jaccardJoinExact(df, "text", "doc_id", t, shingleN = 2,
+        freqOrdered = freq)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       // Brute force: all-pairs within one synthetic block.
       val brute = Dedup.jaccardPairsWithinBlock(
         df.withColumn("blk", lit(1)), "text", "doc_id", "blk", 2, t)
         .as[(Long, Long)].collect().toSet
-      assert(exact == brute, s"threshold $t")
+      assert(exact == brute, s"threshold $t freqOrdered=$freq")
       if (t == 0.5) assert(brute.nonEmpty) // fixture actually exercises it
     }
   }
