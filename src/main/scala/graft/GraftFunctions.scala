@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{IsoDurationSecondsExpr, MinHashSigExpr, SimHash64Expr, VecCosineExpr}
+import graft.functions.{IsoDurationSecondsExpr, JaccardSimExpr, LshBucketExpr, MinHashSigExpr, SimHash64Expr, VecCosineExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -36,6 +36,15 @@ object GraftFunctions {
       arity("vec_cosine", args, 2); VecCosineExpr(args(0), args(1)) },
     "simhash64" -> { args =>
       arity("simhash64", args, 1); SimHash64Expr(args.head) },
+    // Set-semantics Jaccard over token arrays; a SQL join on
+    // `jaccard_sim(a.sh, b.sh) >= t` is re-planned by
+    // JaccardPrefixJoinRule exactly like the Column form.
+    "jaccard_sim" -> { args =>
+      arity("jaccard_sim", args, 2); JaccardSimExpr(args(0), args(1)) },
+    // Sign-pattern LSH bucket id (numPlanes literal).
+    "lsh_bucket" -> { args =>
+      arity("lsh_bucket", args, 2)
+      LshBucketExpr(args(0), intLit(args(1), "numPlanes")) },
     "minhash_signature" -> { args =>
       arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),

@@ -130,4 +130,31 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     (0 until 20).foreach(i => assert(cands.contains((i.toLong, i.toLong + 20))))
   }
+
+  test("property: exact prefix-filter join == brute force on random corpora and thresholds") {
+    // Random small-vocabulary corpora maximize shared shingles (the
+    // prefix filter's hardest case: dense candidate overlap, many
+    // pairs near each threshold), plus random near-duplicates from
+    // single-word edits.
+    val rnd = new Random(23)
+    for (round <- 0 until 3) {
+      val vocabSize = 8 + rnd.nextInt(10)
+      val base = Seq.tabulate(15) { i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(12))("w" + rnd.nextInt(vocabSize)).mkString(" "))
+      }
+      val edited = base.take(5).map { case (id, text) =>
+        val words = text.split(" ").toBuffer
+        words(rnd.nextInt(words.size)) = "w" + rnd.nextInt(vocabSize)
+        (id + 100L, words.mkString(" "))
+      }
+      val df = (base ++ edited).toDF("doc_id", "text")
+      val t = Seq(0.35, 0.5, 0.65, 0.8)(rnd.nextInt(4))
+      val exact = Dedup.jaccardJoinExact(df, "text", "doc_id", t, shingleN = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = Dedup.jaccardPairsWithinBlock(
+        df.withColumn("blk", lit(1)), "text", "doc_id", "blk", 2, t)
+        .as[(Long, Long)].collect().toSet
+      assert(exact == brute, s"round $round t=$t: ${exact.diff(brute)} / ${brute.diff(exact)}")
+    }
+  }
 }

@@ -21,6 +21,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 8)
   }
 
+  test("pure-SQL jaccard-threshold join goes through the prefix-filter rewrite") {
+    GraftFunctions.register(spark)
+    GraftFunctions.registerOptimizations(spark)
+    import graft.ops.Dedup
+    val vocab = (0 until 20).map(i => s"w$i")
+    val docs = (0L until 15L).map { i =>
+      (i, (0 until 8).map(j => vocab((i.toInt + j) % vocab.size)).mkString(" "))
+    }.toDF("doc_id", "text")
+    docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 2).as("sh"))
+      .createOrReplaceTempView("sqlsets")
+    val q = spark.sql(
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sqlsets a JOIN sqlsets b
+           ON jaccard_sim(a.sh, b.sh) >= CAST(0.5 AS DOUBLE) AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"SQL jaccard join not rewritten:\n$plan")
+    val got = q.as[(Long, Long)].collect().toSet
+    val brute = Dedup.jaccardPairsWithinBlock(
+      docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", 2, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(got == brute && brute.nonEmpty, s"SQL-path $got != brute $brute")
+    // lsh_bucket from SQL matches the Column-facing native expression.
+    val b = spark.sql(
+      "SELECT lsh_bucket(array(0.5F, -0.25F, 0.125F), 8) AS bkt").head().getAs[Long]("bkt")
+    val bCol = Seq(Seq(0.5f, -0.25f, 0.125f)).toDF("e")
+      .select(graft.functions.LshBucketOps.lshBucketNative(col("e"), 8).as("bkt"))
+      .head().getAs[Long]("bkt")
+    assert(b == bCol)
+  }
+
   test("structured-output parsers callable from SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
