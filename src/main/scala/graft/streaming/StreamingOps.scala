@@ -127,6 +127,26 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup (the §2.11 batch `Dedup.exact` as a stream):
+    * drop any document whose content hash was already seen, with
+    * BOUNDED state — `dropDuplicatesWithinWatermark` keeps a seen-set
+    * only for the watermark window, so state never grows with corpus
+    * size (the batch form's full-corpus window is impossible on an
+    * unbounded stream; a duplicate arriving later than the watermark
+    * re-admits, the standard trade, and the idempotent store sink's
+    * anti-join downstream still catches replays).
+    */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__h", sha2(col(textCol), 256))
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Incremental store sink: each micro-batch anti-joins against what
     * the store already holds on (video_id, start_time) — the reference's
     * J5 resumability (build_vector_store.py:78-80) as a streaming sink,

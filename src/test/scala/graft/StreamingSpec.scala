@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate content dropped within and across micro-batches, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.dedupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("streamdedup").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha text"),
+        (2L, ts(1), "alpha text"),   // in-batch duplicate -> dropped
+        (3L, ts(2), "beta text"))
+      q.processAllAvailable()
+      input.addData(
+        (4L, ts(3), "alpha text"),   // cross-batch duplicate within watermark -> dropped
+        (5L, ts(4), "gamma text"))
+      q.processAllAvailable()
+      val kept = spark.table("streamdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept.intersect(Set(2L, 4L)).isEmpty, s"duplicates survived: $kept")
+      assert(Set(3L, 5L).subsetOf(kept), s"unique docs missing: $kept")
+      assert(kept.contains(1L) != kept.contains(2L)) // exactly one alpha survivor
+    } finally q.stop()
+  }
+
   test("incrementalStoreSink: replayed chunks are idempotent via anti-join") {
     implicit val sqlCtx = spark.sqlContext
     val store = Files.createTempDirectory("graft-stream-store").toFile.getAbsolutePath + "/st"
