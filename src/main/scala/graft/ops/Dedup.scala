@@ -234,11 +234,15 @@ object Dedup {
       else {
         val toks = rawSets.select(col("id"), explode(col("sh")).as("tok"))
         val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        toks.join(tokDf, "tok")
-          .groupBy(col("id"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("df"), col("tok")))),
-            s => s.getField("tok")).as("sh"))
+        // Persisted (tracked): `sets` is referenced by the prefix
+        // explode AND both verify joins — unpersisted, each reference
+        // re-runs the token explode + df join + re-aggregation.
+        graft.core.Caches.persistTracked(
+          toks.join(tokDf, "tok")
+            .groupBy(col("id"))
+            .agg(transform(
+              array_sort(collect_list(struct(col("df"), col("tok")))),
+              s => s.getField("tok")).as("sh")))
       }
     // Candidate-generation bounds carry a small epsilon so double
     // rounding can only OVER-generate, never drop a qualifying pair:

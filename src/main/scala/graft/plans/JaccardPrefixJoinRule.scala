@@ -143,14 +143,16 @@ object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // shared prefix token.
     val firstSharedOnly = EqualTo(lTok,
       ArrayMin(ArrayIntersect(lPref, rPref)))
-    // Original condition re-checked with the jaccard conjunct LAST
-    // (cheap conjuncts prune candidates before the set comparison).
-    val reordered = (conjuncts.filterNot(_ eq jaccardConjunct) :+ jaccardConjunct)
-      .reduce(And)
+    // Cost-ordered re-check: size filter and the user's cheap residual
+    // conjuncts first (in a symmetric self-join, id_a < id_b discards
+    // the mirrored half), THEN the per-candidate prefix intersection
+    // (ArrayIntersect/ArrayMin are interpreted builtins), and the full
+    // Jaccard set comparison last.
+    val cheap = conjuncts.filterNot(_ eq jaccardConjunct)
+    val ordered = (sizeFilter +: cheap) ++ Seq(firstSharedOnly, jaccardConjunct)
 
     val joined = Join(lGen, rGen, Inner,
-      Some(And(EqualTo(lTok, rTok),
-        And(sizeFilter, And(firstSharedOnly, reordered)))), j.hint)
+      Some((EqualTo(lTok, rTok) +: ordered).reduce(And)), j.hint)
     Project(j.output, joined)
   }
 }

@@ -138,7 +138,6 @@ class StreamingSpec extends SparkSpec {
 
   test("dedupStream: duplicate content dropped within and across micro-batches, bounded state") {
     implicit val sqlCtx = spark.sqlContext
-    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
     val q = StreamingOps.dedupStream(
       input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
@@ -155,9 +154,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val kept = spark.table("streamdedup").select("doc_id")
         .as[Long].collect().toSet
-      assert(kept.intersect(Set(2L, 4L)).isEmpty, s"duplicates survived: $kept")
+      // No survivor-identity guarantee WITHIN a micro-batch (state-store
+      // processing order picks the in-batch winner) — assert exactly one
+      // alpha survivor from batch 1, and that the cross-batch duplicate
+      // (doc 4, after alpha is definitely in state) is dropped.
+      assert(!kept.contains(4L), s"cross-batch duplicate survived: $kept")
       assert(Set(3L, 5L).subsetOf(kept), s"unique docs missing: $kept")
-      assert(kept.contains(1L) != kept.contains(2L)) // exactly one alpha survivor
+      assert(kept.contains(1L) != kept.contains(2L), s"want one alpha survivor: $kept")
     } finally q.stop()
   }
 
