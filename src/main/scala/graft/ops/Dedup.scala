@@ -347,8 +347,9 @@ object Dedup {
     * exactly one bucket, a given (id_a, id_b) pair can match on at most
     * ONE probe — emission is exactly-once with no distinct needed
     * (OpsSpec asserts it). The bucketed relation is persisted (tracked)
-    * since both join sides reference it and the sign-pattern bucket is
-    * an interpreted HOF fold per row.
+    * since both join sides reference it (the bucket itself is now the
+    * codegen'd [[graft.functions.LshBucketExpr]], but the persist still
+    * saves the second full-store scan + embedding deserialization).
     */
   def embeddingNearDuplicatesLsh(
       df: DataFrame,
