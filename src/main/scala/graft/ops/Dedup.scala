@@ -294,9 +294,12 @@ object Dedup {
     def band(sh: Column, b: Int): Column =
       shiftrightunsigned(sh, b * 16).bitwiseAND(0xFFFFL)
     val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
-    val banded = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(b => band(col("sh"), b)): _*))
-        .as(Seq("band_idx", "band_val")))
+    // Persisted (tracked): both self-join sides reference the banded
+    // relation, and its input is the full-corpus tokenize+hash scan.
+    val banded = graft.core.Caches.persistTracked(
+      sh.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(b => band(col("sh"), b)): _*))
+          .as(Seq("band_idx", "band_val"))))
     val a = banded.as("a")
     val b = banded.as("b")
     val firstMatchOnly = (0 until 3).map(j =>
