@@ -792,6 +792,43 @@ object SparkEntry {
           round(Dedup.jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q70_bm25" -> ((s, d) => {
+      // Lexical retrieval (BM25): the keyword half of hybrid RAG
+      // retrieval. Closed-form math over token counts, so this is a
+      // full-value oracle row. Per-term scores snap onto a 1e-6 grid
+      // and sum as exact longs (order-independent across engines; the
+      // raw double sum would be FP-order-dependent), ranked on the
+      // grid sum with id tie-break.
+      val post = graft.ops.Lexical.bm25Postings(documents(s, d), "text", "doc_id")
+      val qterms = Seq("join", "hash", "filter", "scan", "merge")
+      val w = Window.orderBy(col("score_g").desc, col("id"))
+      post.where(col("term").isin(qterms: _*))
+        .groupBy(col("id"))
+        .agg((sum(rint(col("score") * lit(1000000.0)).cast("long")) / lit(1000000.0))
+          .as("score_g"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .select(col("id").as("doc_id"), round(col("score_g"), 4).as("score"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+    "q71_approx_distinct" -> ((s, d) => {
+      // Corpus vocabulary size per language via HyperLogLog — at
+      // 100 TB the exact countDistinct shuffles every token, the HLL
+      // sketch is the scale path (map-side mergeable, constant size).
+      // The sketch value itself has no DuckDB mirror, so the envelope
+      // emits the EXACT count (oracle-recomputable) plus a pinned
+      // within-5%-relative-error boolean for the sketch (default rsd
+      // 0.05; the fixed corpus makes the realized error deterministic).
+      val toks = documents(s, d)
+        .select(col("lang"), explode(graft.ops.Lexical.tokens(col("text"))).as("term"))
+      toks.groupBy(col("lang"))
+        .agg(countDistinct(col("term")).as("n_exact"),
+          approx_count_distinct(col("term")).as("n_hll"))
+        .select(col("lang"), col("n_exact"),
+          (abs(col("n_hll") - col("n_exact")).cast("double") / col("n_exact") <= lit(0.05))
+            .as("hll_within_5pct"))
+        .orderBy(col("lang"))
+    }),
     "q53_chunk_transcript" -> ((s, d) => {
       // G1 chunker inside the plan — through the SQL-surface Generator
       // (Spark plans a per-row Generate, no shuffle) — projected onto a
@@ -1394,6 +1431,33 @@ Hosts: %s
     "q52_ivf_assign" ->
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
+    "q70_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+         sc AS (SELECT tf.doc_id, tf.term,
+            ln(1 + (st.n_docs - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) AS score
+          FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         agg AS (SELECT doc_id,
+            sum(CAST(round_even(score*1000000, 0) AS BIGINT))/1000000.0 AS score_g
+          FROM sc WHERE term IN ('join','hash','filter','scan','merge')
+          GROUP BY doc_id),
+         r AS (SELECT doc_id, score_g,
+            row_number() OVER (ORDER BY score_g DESC, doc_id) AS rank FROM agg)
+         SELECT doc_id, round(score_g, 4) AS score, rank
+         FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q71_approx_distinct" ->
+      """WITH toks AS (SELECT lang,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '')) AS term FROM documents)
+         SELECT lang, count(DISTINCT term) AS n_exact,
+           TRUE AS hll_within_5pct
+         FROM toks GROUP BY lang ORDER BY lang""",
     "q69_jaccard_join_rule" ->
       """WITH toks AS (SELECT doc_id,
            regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical (sparse) retrieval scoring over a document corpus: TF-IDF /
+  * BM25 — the keyword-match half of hybrid retrieval (the reference's
+  * RAG retrieves by embedding cosine + SQL metadata filters; every
+  * production RAG pairs that with a lexical ranker for exact-term
+  * recall).
+  *
+  * Everything is deterministic closed-form math over token counts, so
+  * unlike the hash-derived ANN operators this family is fully
+  * oracle-checkable (DuckDB reproduces identical scores).
+  *
+  * Scale shape: one token-grain explode of the corpus (the same grain
+  * any inverted-index build pays), two hash aggregations (term
+  * frequency per (doc, term), document frequency per term), and a
+  * broadcast of the tiny corpus-stats row. Per-query scoring semi-joins
+  * the posting lists on the query's terms — the inverted-index probe —
+  * so a query touches only its terms' postings, never the corpus.
+  */
+object Lexical {
+
+  /** Lowercased whitespace tokens (the tokenizer the text-analysis
+    * family uses; swap for a real analyzer at the call site).
+    */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+
+  /** Per-(doc, term) BM25 score table — the posting-list relation with
+    * scores precomputed (what a search index materializes):
+    * columns (id, term, tf, df, score).
+    *
+    * BM25: idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
+    * score(d, t) = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * |d|/avgdl)).
+    */
+  def bm25Postings(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val docLen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // Corpus stats are one tiny row — broadcast, never a shuffle key.
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    tf.join(dfreq, "term")
+      .join(docLen, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        idf * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Top-k documents for a bag-of-terms query: semi-join the postings
+    * on the query terms (inverted-index probe), sum per doc, rank.
+    * Duplicate query terms count once (bag -> set), like Lucene's
+    * default.
+    */
+  def bm25TopK(
+      postings: DataFrame,
+      queryTerms: Seq[String],
+      k: Int): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("id"))
+    postings
+      .where(col("term").isin(queryTerms.distinct: _*))
+      .groupBy(col("id"))
+      .agg(sum(col("score")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

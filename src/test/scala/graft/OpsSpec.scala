@@ -231,6 +231,35 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below 0.8 floor")
   }
 
+  test("BM25: hand-computed scores on a tiny corpus; query probe touches only matching postings") {
+    import graft.ops.Lexical
+    val df = Seq(
+      (1L, "spark spark catalyst"),
+      (2L, "spark engine"),
+      (3L, "flink engine runtime")).toDF("doc_id", "text")
+    val post = Lexical.bm25Postings(df, "text", "doc_id", k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // Hand computation: N=3, avgdl = (3+2+3)/3 = 8/3.
+    val avgdl = 8.0 / 3.0
+    def bm25(tf: Long, dfreq: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (3.0 - dfreq + 0.5) / (dfreq + 0.5))
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    }
+    val (tf1, df1, s1) = post((1L, "spark"))
+    assert(tf1 == 2 && df1 == 2)
+    assert(math.abs(s1 - bm25(2, 2, 3)) < 1e-12)
+    val (_, dfFlink, sFlink) = post((3L, "flink"))
+    assert(dfFlink == 1 && math.abs(sFlink - bm25(1, 1, 3)) < 1e-12)
+    // Top-k: 'spark engine' query — doc 2 matches both terms.
+    val postDf = Lexical.bm25Postings(df, "text", "doc_id")
+    val top = Lexical.bm25TopK(postDf, Seq("spark", "engine", "engine"), 3)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(top.keySet == Set(1L, 2L, 3L))
+    assert(top(2L) == 1) // both terms beat either alone
+    // A query with no matching terms returns nothing (index probe).
+    assert(Lexical.bm25TopK(postDf, Seq("absent"), 3).count() == 0)
+  }
+
   test("text analysis: token count, ratios, language id") {
     val df = Seq("The quick brown fox is in the yard and it is happy")
       .toDF("text")
