@@ -811,6 +811,40 @@ object SparkEntry {
         .select(col("id").as("doc_id"), round(col("score_g"), 4).as("score"), col("rank"))
         .orderBy(col("rank"))
     }),
+    "q72_hybrid_rrf" -> ((s, d) => {
+      // Hybrid retrieval capstone: dense cosine top-20 and sparse BM25
+      // top-20 fused by reciprocal-rank fusion (Lexical.rrfFuse) —
+      // rank-based, so the two incomparable score scales need no
+      // calibration. Fully deterministic (each fused score is a sum of
+      // at most two exact 1/(60+rank) doubles), so a full-value oracle
+      // row. The synthetic corpus shares one id space between vec_id
+      // and doc_id.
+      val emb = embeddings(s, d)
+      val qvec = emb.where(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
+      val wc = Window.orderBy(col("cos_score").desc, col("vec_id"))
+      val dense = emb.crossJoin(broadcast(qvec))
+        .withColumn("cos_score", vecCosine(col("embedding"), col("q_embedding")))
+        .withColumn("rank", row_number().over(wc))
+        .where(col("rank") <= 20)
+        .select(col("vec_id").as("id"), col("rank"))
+      val post = graft.ops.Lexical.bm25Postings(documents(s, d), "text", "doc_id")
+      val wb = Window.orderBy(col("score_g").desc, col("id"))
+      val sparse = post
+        .where(col("term").isin("join", "hash", "filter", "scan", "merge"))
+        .groupBy(col("id"))
+        .agg((sum(rint(col("score") * lit(1000000.0)).cast("long")) / lit(1000000.0))
+          .as("score_g"))
+        .withColumn("rank", row_number().over(wb))
+        .where(col("rank") <= 20)
+        .select(col("id"), col("rank"))
+      val wr = Window.orderBy(col("rrf_score").desc, col("id"))
+      graft.ops.Lexical.rrfFuse(Seq(dense, sparse))
+        .withColumn("rank", row_number().over(wr))
+        .where(col("rank") <= 10)
+        .select(col("id"), round(col("rrf_score"), 6).as("rrf"),
+          col("n_lists"), col("rank"))
+        .orderBy(col("rank"))
+    }),
     "q71_approx_distinct" -> ((s, d) => {
       // Corpus vocabulary size per language via HyperLogLog — at
       // 100 TB the exact countDistinct shuffles every token, the HLL
@@ -1451,6 +1485,39 @@ Hosts: %s
             row_number() OVER (ORDER BY score_g DESC, doc_id) AS rank FROM agg)
          SELECT doc_id, round(score_g, 4) AS score, rank
          FROM r WHERE rank <= 20 ORDER BY rank""",
+    "q72_hybrid_rrf" ->
+      """WITH dense AS (
+           SELECT vec_id AS id, row_number() OVER (ORDER BY
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+               vec_id) AS rank
+           FROM embeddings e QUALIFY rank <= 20),
+         toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+         sc AS (SELECT tf.doc_id, tf.term,
+            ln(1 + (st.n_docs - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) AS score
+          FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         agg AS (SELECT doc_id,
+            sum(CAST(round_even(score*1000000, 0) AS BIGINT))/1000000.0 AS score_g
+          FROM sc WHERE term IN ('join','hash','filter','scan','merge')
+          GROUP BY doc_id),
+         sparse AS (SELECT doc_id AS id,
+            row_number() OVER (ORDER BY score_g DESC, doc_id) AS rank
+          FROM agg QUALIFY rank <= 20),
+         u AS (SELECT id, CAST(1.0 AS DOUBLE)/(60+rank) AS c FROM dense
+               UNION ALL
+               SELECT id, CAST(1.0 AS DOUBLE)/(60+rank) AS c FROM sparse),
+         f AS (SELECT id, sum(c) AS rrf_score, count(*) AS n_lists FROM u GROUP BY id),
+         r AS (SELECT id, rrf_score, n_lists,
+            row_number() OVER (ORDER BY rrf_score DESC, id) AS rank FROM f)
+         SELECT id, round(rrf_score, 6) AS rrf, n_lists, rank
+         FROM r WHERE rank <= 10 ORDER BY rank""",
     "q71_approx_distinct" ->
       """WITH toks AS (SELECT lang,
            unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -60,6 +60,28 @@ object Lexical {
       .select(col("id"), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Reciprocal-rank fusion of ranked lists (the standard hybrid-
+    * retrieval combiner: dense cosine top-k + sparse BM25 top-k —
+    * Cormack et al., public algorithm): each list contributes
+    * 1 / (kRrf + rank) per id; ids missing from a list contribute 0.
+    * Rank-based, so the lists' incomparable score scales never need
+    * calibration. Each input is a (id, rank) relation; the result is
+    * (id, rrf_score, n_lists).
+    */
+  def rrfFuse(
+      ranked: Seq[DataFrame],
+      idCol: String = "id",
+      rankCol: String = "rank",
+      kRrf: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "at least one ranked list")
+    ranked
+      .map(df => df.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("rrf_score"), count(lit(1)).as("n_lists"))
+  }
+
   /** Top-k documents for a bag-of-terms query: semi-join the postings
     * on the query terms (inverted-index probe), sum per doc, rank.
     * Duplicate query terms count once (bag -> set), like Lucene's

@@ -260,6 +260,20 @@ class OpsSpec extends SparkSpec {
     assert(Lexical.bm25TopK(postDf, Seq("absent"), 3).count() == 0)
   }
 
+  test("RRF fusion: shared ids sum both contributions, singletons keep one") {
+    import graft.ops.Lexical
+    val dense = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("id", "rank")
+    val sparse = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val f = Lexical.rrfFuse(Seq(dense, sparse))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(f.keySet == Set(1L, 2L, 3L, 4L))
+    assert(math.abs(f(2L)._1 - (1.0 / 62 + 1.0 / 61)) < 1e-15 && f(2L)._2 == 2)
+    assert(math.abs(f(1L)._1 - 1.0 / 61) < 1e-15 && f(1L)._2 == 1)
+    assert(math.abs(f(4L)._1 - 1.0 / 63) < 1e-15)
+    // The doc ranked 2nd in BOTH lists must outscore any single-list top-1.
+    assert(f(2L)._1 > f(1L)._1 && f(2L)._1 > f(3L)._1)
+  }
+
   test("text analysis: token count, ratios, language id") {
     val df = Seq("The quick brown fox is in the yard and it is happy")
       .toDF("text")
