@@ -83,6 +83,43 @@ object SparkEntry {
     math.max(6, math.ceil(
       math.log(emb.count().toDouble / targetBucket) / math.log(2.0)).toInt)
 
+  /** BM25 ranks for the fixed bench query terms (q70, and q72's sparse
+    * half — one definition so the two cannot desynchronize): per-term
+    * scores snap onto a 1e-6 grid and sum as exact longs
+    * (order-independent across engines; a raw double sum would be
+    * FP-order-dependent), ranked on the grid sum with id tie-break.
+    * Columns: (id, score_g, rank).
+    */
+  private def bm25GridRanks(docs: DataFrame): DataFrame = {
+    val post = graft.ops.Lexical.bm25Postings(docs, "text", "doc_id")
+    val w = Window.orderBy(col("score_g").desc, col("id"))
+    post.where(col("term").isin("join", "hash", "filter", "scan", "merge"))
+      .groupBy(col("id"))
+      .agg((sum(rint(col("score") * lit(1000000.0)).cast("long")) / lit(1000000.0))
+        .as("score_g"))
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** DuckDB mirror of [[bm25GridRanks]] up to the grid-summed
+    * aggregate — shared CTE text for the q70 and q72 oracles.
+    */
+  private val bm25OracleCtes: String =
+    """toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs, sum(dl)*1.0/count(*) AS avgdl FROM dl),
+         sc AS (SELECT tf.doc_id, tf.term,
+            ln(1 + (st.n_docs - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf * 2.2 /
+              (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) AS score
+          FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         agg AS (SELECT doc_id,
+            sum(CAST(round_even(score*1000000, 0) AS BIGINT))/1000000.0 AS score_g
+          FROM sc WHERE term IN ('join','hash','filter','scan','merge')
+          GROUP BY doc_id)"""
+
   private def pairSoundnessEnvelope(
       emb: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val ver = pairs
@@ -795,18 +832,8 @@ object SparkEntry {
     "q70_bm25" -> ((s, d) => {
       // Lexical retrieval (BM25): the keyword half of hybrid RAG
       // retrieval. Closed-form math over token counts, so this is a
-      // full-value oracle row. Per-term scores snap onto a 1e-6 grid
-      // and sum as exact longs (order-independent across engines; the
-      // raw double sum would be FP-order-dependent), ranked on the
-      // grid sum with id tie-break.
-      val post = graft.ops.Lexical.bm25Postings(documents(s, d), "text", "doc_id")
-      val qterms = Seq("join", "hash", "filter", "scan", "merge")
-      val w = Window.orderBy(col("score_g").desc, col("id"))
-      post.where(col("term").isin(qterms: _*))
-        .groupBy(col("id"))
-        .agg((sum(rint(col("score") * lit(1000000.0)).cast("long")) / lit(1000000.0))
-          .as("score_g"))
-        .withColumn("rank", row_number().over(w))
+      // full-value oracle row (grid-summed scores; see bm25GridRanks).
+      bm25GridRanks(documents(s, d))
         .where(col("rank") <= 20)
         .select(col("id").as("doc_id"), round(col("score_g"), 4).as("score"), col("rank"))
         .orderBy(col("rank"))
@@ -815,26 +842,22 @@ object SparkEntry {
       // Hybrid retrieval capstone: dense cosine top-20 and sparse BM25
       // top-20 fused by reciprocal-rank fusion (Lexical.rrfFuse) —
       // rank-based, so the two incomparable score scales need no
-      // calibration. Fully deterministic (each fused score is a sum of
-      // at most two exact 1/(60+rank) doubles), so a full-value oracle
-      // row. The synthetic corpus shares one id space between vec_id
-      // and doc_id.
+      // calibration. Deterministic across engines: the dense list
+      // ranks on the 4dp-rounded cosine (raw-double ordering could
+      // flip near-ties on a last-ulp engine difference — Spark computes
+      // sqrt(sa)*sqrt(sb), DuckDB sqrt(sa*sb)) with id tie-break, the
+      // sparse list on exact grid sums, and each fused score is a sum
+      // of at most two exact 1/(60+rank) doubles. The synthetic corpus
+      // shares one id space between vec_id and doc_id.
       val emb = embeddings(s, d)
       val qvec = emb.where(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
-      val wc = Window.orderBy(col("cos_score").desc, col("vec_id"))
+      val wc = Window.orderBy(col("cos4").desc, col("vec_id"))
       val dense = emb.crossJoin(broadcast(qvec))
-        .withColumn("cos_score", vecCosine(col("embedding"), col("q_embedding")))
+        .withColumn("cos4", round(vecCosine(col("embedding"), col("q_embedding")), 4))
         .withColumn("rank", row_number().over(wc))
         .where(col("rank") <= 20)
         .select(col("vec_id").as("id"), col("rank"))
-      val post = graft.ops.Lexical.bm25Postings(documents(s, d), "text", "doc_id")
-      val wb = Window.orderBy(col("score_g").desc, col("id"))
-      val sparse = post
-        .where(col("term").isin("join", "hash", "filter", "scan", "merge"))
-        .groupBy(col("id"))
-        .agg((sum(rint(col("score") * lit(1000000.0)).cast("long")) / lit(1000000.0))
-          .as("score_g"))
-        .withColumn("rank", row_number().over(wb))
+      val sparse = bm25GridRanks(documents(s, d))
         .where(col("rank") <= 20)
         .select(col("id"), col("rank"))
       val wr = Window.orderBy(col("rrf_score").desc, col("id"))
@@ -1466,47 +1489,19 @@ Hosts: %s
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
     "q70_bm25" ->
-      """WITH toks AS (SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             t -> t <> '')) AS term FROM documents),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS n_docs, sum(dl)*1.0/count(*) AS avgdl FROM dl),
-         sc AS (SELECT tf.doc_id, tf.term,
-            ln(1 + (st.n_docs - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf * 2.2 /
-              (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) AS score
-          FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-         agg AS (SELECT doc_id,
-            sum(CAST(round_even(score*1000000, 0) AS BIGINT))/1000000.0 AS score_g
-          FROM sc WHERE term IN ('join','hash','filter','scan','merge')
-          GROUP BY doc_id),
+      s"""WITH $bm25OracleCtes,
          r AS (SELECT doc_id, score_g,
             row_number() OVER (ORDER BY score_g DESC, doc_id) AS rank FROM agg)
          SELECT doc_id, round(score_g, 4) AS score, rank
          FROM r WHERE rank <= 20 ORDER BY rank""",
     "q72_hybrid_rrf" ->
-      """WITH dense AS (
+      s"""WITH dense AS (
            SELECT vec_id AS id, row_number() OVER (ORDER BY
-               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) DESC,
                vec_id) AS rank
            FROM embeddings e QUALIFY rank <= 20),
-         toks AS (SELECT doc_id,
-           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-             t -> t <> '')) AS term FROM documents),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         st AS (SELECT count(*) AS n_docs, sum(dl)*1.0/count(*) AS avgdl FROM dl),
-         sc AS (SELECT tf.doc_id, tf.term,
-            ln(1 + (st.n_docs - dfr.df + 0.5)/(dfr.df + 0.5)) * tf.tf * 2.2 /
-              (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) AS score
-          FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-         agg AS (SELECT doc_id,
-            sum(CAST(round_even(score*1000000, 0) AS BIGINT))/1000000.0 AS score_g
-          FROM sc WHERE term IN ('join','hash','filter','scan','merge')
-          GROUP BY doc_id),
+         $bm25OracleCtes,
          sparse AS (SELECT doc_id AS id,
             row_number() OVER (ORDER BY score_g DESC, doc_id) AS rank
           FROM agg QUALIFY rank <= 20),

@@ -75,8 +75,16 @@ object Lexical {
       kRrf: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "at least one ranked list")
     ranked
-      .map(df => df.select(col(idCol).as("id"),
-        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol))).as("contrib")))
+      .map(df => df
+        // Enforce the contract per list: null ranks drop, and an id
+        // appearing more than once contributes only its BEST rank —
+        // otherwise a non-deduped list double-counts into the score
+        // AND inflates n_lists (which counts source lists, not rows).
+        .where(col(rankCol).isNotNull)
+        .groupBy(col(idCol).as("id"))
+        .agg(min(col(rankCol)).as("__best"))
+        .select(col("id"),
+          (lit(1.0) / (lit(kRrf.toDouble) + col("__best"))).as("contrib")))
       .reduce(_ unionByName _)
       .groupBy(col("id"))
       .agg(sum(col("contrib")).as("rrf_score"), count(lit(1)).as("n_lists"))

@@ -272,6 +272,12 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(f(4L)._1 - 1.0 / 63) < 1e-15)
     // The doc ranked 2nd in BOTH lists must outscore any single-list top-1.
     assert(f(2L)._1 > f(1L)._1 && f(2L)._1 > f(3L)._1)
+    // Contract enforcement: a non-deduped list contributes only its
+    // BEST rank per id, and n_lists counts LISTS, not rows.
+    val messy = Seq((7L, 3), (7L, 9)).toDF("id", "rank")
+    val g = Lexical.rrfFuse(Seq(messy, sparse))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(g(7L)._1 - 1.0 / 63) < 1e-15 && g(7L)._2 == 1, s"got ${g(7L)}")
   }
 
   test("text analysis: token count, ratios, language id") {
