@@ -83,21 +83,27 @@ object SparkEntry {
     math.max(6, math.ceil(
       math.log(emb.count().toDouble / targetBucket) / math.log(2.0)).toInt)
 
-  /** BM25 ranks for the fixed bench query terms (q70, and q72's sparse
+  /** BM25 top-k for the fixed bench query terms (q70, and q72's sparse
     * half — one definition so the two cannot desynchronize): per-term
     * scores snap onto a 1e-6 grid and sum as exact longs
     * (order-independent across engines; a raw double sum would be
-    * FP-order-dependent), ranked on the grid sum with id tie-break.
-    * Columns: (id, score_g, rank).
+    * FP-order-dependent), top-k on the grid sum with id tie-break.
+    * orderBy+limit plans as TakeOrderedAndProject (bounded per-partition
+    * heaps); rank attribution is windowed AFTER the limit, over only the
+    * k surviving rows — a no-partition Window over the full matched set
+    * would single-partition-sort the corpus (PlansSpec asserts the
+    * TakeOrderedAndProject shape). Columns: (id, score_g, rank).
     */
-  private def bm25GridRanks(docs: DataFrame): DataFrame = {
+  private def bm25GridRanks(docs: DataFrame, k: Int): DataFrame = {
     val post = graft.ops.Lexical.bm25Postings(docs, "text", "doc_id")
-    val w = Window.orderBy(col("score_g").desc, col("id"))
     post.where(col("term").isin("join", "hash", "filter", "scan", "merge"))
       .groupBy(col("id"))
       .agg((sum(rint(col("score") * lit(1000000.0)).cast("long")) / lit(1000000.0))
         .as("score_g"))
-      .withColumn("rank", row_number().over(w))
+      .orderBy(col("score_g").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score_g").desc, col("id"))))
   }
 
   /** DuckDB mirror of [[bm25GridRanks]] up to the grid-summed
@@ -833,8 +839,7 @@ object SparkEntry {
       // Lexical retrieval (BM25): the keyword half of hybrid RAG
       // retrieval. Closed-form math over token counts, so this is a
       // full-value oracle row (grid-summed scores; see bm25GridRanks).
-      bm25GridRanks(documents(s, d))
-        .where(col("rank") <= 20)
+      bm25GridRanks(documents(s, d), 20)
         .select(col("id").as("doc_id"), round(col("score_g"), 4).as("score"), col("rank"))
         .orderBy(col("rank"))
     }),
@@ -851,14 +856,16 @@ object SparkEntry {
       // shares one id space between vec_id and doc_id.
       val emb = embeddings(s, d)
       val qvec = emb.where(col("vec_id") === 0).select(col("embedding").as("q_embedding"))
-      val wc = Window.orderBy(col("cos4").desc, col("vec_id"))
+      // Dense top-20 via orderBy+limit (TakeOrderedAndProject), rank
+      // windowed over the 20 survivors — same fix as bm25GridRanks.
       val dense = emb.crossJoin(broadcast(qvec))
         .withColumn("cos4", round(vecCosine(col("embedding"), col("q_embedding")), 4))
-        .withColumn("rank", row_number().over(wc))
-        .where(col("rank") <= 20)
+        .orderBy(col("cos4").desc, col("vec_id"))
+        .limit(20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos4").desc, col("vec_id"))))
         .select(col("vec_id").as("id"), col("rank"))
-      val sparse = bm25GridRanks(documents(s, d))
-        .where(col("rank") <= 20)
+      val sparse = bm25GridRanks(documents(s, d), 20)
         .select(col("id"), col("rank"))
       val wr = Window.orderBy(col("rrf_score").desc, col("id"))
       graft.ops.Lexical.rrfFuse(Seq(dense, sparse))

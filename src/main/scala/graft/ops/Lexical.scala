@@ -99,12 +99,18 @@ object Lexical {
       postings: DataFrame,
       queryTerms: Seq[String],
       k: Int): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("id"))
+    // orderBy+limit plans as TakeOrderedAndProject (per-partition
+    // bounded heaps, no global sort); a no-partition Window here would
+    // instead pull every matched doc into ONE partition to rank it —
+    // the single-reducer sort this index exists to avoid. Rank
+    // attribution happens after the limit, over only k rows.
     postings
       .where(col("term").isin(queryTerms.distinct: _*))
       .groupBy(col("id"))
       .agg(sum(col("score")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
   }
 }

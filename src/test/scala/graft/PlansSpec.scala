@@ -226,6 +226,34 @@ class PlansSpec extends SparkSpec {
     assert(brute.contains((0L, 60L)) && brute.size > 3) // fixture exercises it
   }
 
+  // ---- Lexical top-k plan shape ---------------------------------------
+
+  test("lexical top-k ranks via TakeOrderedAndProject; every Window sees only post-limit rows") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def assertBoundedWindows(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      // sparkPlan (pre-AQE) so node-level collect traverses the tree.
+      val plan = df.queryExecution.sparkPlan
+      val toaps = plan.collect { case t: TakeOrderedAndProjectExec => t }
+      assert(toaps.nonEmpty, s"$what: expected TakeOrderedAndProject, got:\n$plan")
+      val windows = plan.collect { case w: WindowExec => w }
+      windows.foreach { w =>
+        assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+          s"$what: a Window ranks UN-limited input (single-partition global sort):\n$plan")
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val post = graft.ops.Lexical.bm25Postings(docs, "text", "doc_id")
+    assertBoundedWindows(graft.ops.Lexical.bm25TopK(post, Seq("join", "hash"), 10), "bm25TopK")
+    assertBoundedWindows(SparkEntry.queries("q70_bm25")(spark, dir), "q70")
+    assertBoundedWindows(SparkEntry.queries("q72_hybrid_rrf")(spark, dir), "q72")
+    // Sanity: the limited rank attribution still yields contiguous ranks.
+    val top = graft.ops.Lexical.bm25TopK(post, Seq("join", "hash"), 10)
+      .select("rank").as[Int].collect().sorted
+    assert(top.nonEmpty && top.toSeq == (1 to top.length).toSeq)
+  }
+
   test("rewrite matches simhashNearDuplicates output on real text") {
     GraftFunctions.registerOptimizations(spark)
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
