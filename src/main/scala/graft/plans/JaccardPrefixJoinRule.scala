@@ -106,48 +106,60 @@ object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       rKey: Expression,
       t: Double): LogicalPlan = {
 
-    // One side: project the sorted-distinct set and its eps-guarded
-    // prefix, then explode the prefix to token grain.
+    // One side: project the set SIZE (a long — the full sorted set is
+    // NOT carried; shuffling it once per exploded prefix token was the
+    // dominant byte cost of the rewrite, measured 3.3x the hand-tuned
+    // jaccardJoinExact at 10x scale) and the eps-guarded prefix, then
+    // explode the prefix to token grain. The final exact-Jaccard
+    // re-check runs on the ORIGINAL key columns, which flow through
+    // `child.output` anyway.
     def prefixed(child: LogicalPlan, key: Expression)
         : (LogicalPlan, Attribute, Attribute, Attribute) = {
       val sortedSet = SortArray(ArrayDistinct(key), Literal(true))
       val setAlias = Alias(sortedSet, "__graft_set")()
-      val sz = Cast(Size(setAlias.toAttribute, legacySizeOfNull = false), LongType)
+      val szAlias = Alias(
+        Cast(Size(setAlias.toAttribute, legacySizeOfNull = false), LongType),
+        "__graft_sz")()
       val required = Ceil(Subtract(
-        Multiply(Literal(t), Cast(sz, DoubleType)), Literal(Eps)))
-      val prefLen = Cast(Add(Subtract(sz, required), Literal(1L)), IntegerType)
+        Multiply(Literal(t), Cast(szAlias.toAttribute, DoubleType)), Literal(Eps)))
+      val prefLen = Cast(Add(Subtract(szAlias.toAttribute, required), Literal(1L)),
+        IntegerType)
       val prefAlias = Alias(Slice(setAlias.toAttribute, Literal(1), prefLen),
         "__graft_prefix")()
       val projected = Project(child.output ++ Seq(setAlias), child)
-      val projected2 = Project(projected.output :+ prefAlias, projected)
+      val projected2 = Project(projected.output :+ szAlias, projected)
+      // Third projection DROPS __graft_set: only its size and prefix
+      // survive to the join (CollapseProject keeps the chain because the
+      // set alias is referenced more than once).
+      val projected3 = Project(
+        child.output ++ Seq(szAlias.toAttribute, prefAlias), projected2)
       val gen = Explode(prefAlias.toAttribute)
       val tokAttr = gen.elementSchema.fields.toSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)())
       (Generate(gen, unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = tokAttr, child = projected2),
-        setAlias.toAttribute, prefAlias.toAttribute, tokAttr.head)
+        generatorOutput = tokAttr, child = projected3),
+        szAlias.toAttribute, prefAlias.toAttribute, tokAttr.head)
     }
 
-    val (lGen, lSet, lPref, lTok) = prefixed(j.left, lKey)
-    val (rGen, rSet, rPref, rTok) = prefixed(j.right, rKey)
+    val (lGen, lSz, lPref, lTok) = prefixed(j.left, lKey)
+    val (rGen, rSz, rPref, rTok) = prefixed(j.right, rKey)
 
-    def dsize(a: Attribute): Expression =
-      Cast(Size(a, legacySizeOfNull = false), DoubleType)
+    def dsize(a: Attribute): Expression = Cast(a, DoubleType)
     // t * max(|A|,|B|) - eps <= min(|A|,|B|): J <= min/max, so larger
     // size mismatches cannot reach t.
     val sizeFilter = GreaterThanOrEqual(
-      Least(Seq(dsize(lSet), dsize(rSet))),
-      Subtract(Multiply(Literal(t), Greatest(Seq(dsize(lSet), dsize(rSet)))),
+      Least(Seq(dsize(lSz), dsize(rSz))),
+      Subtract(Multiply(Literal(t), Greatest(Seq(dsize(lSz), dsize(rSz)))),
         Literal(Eps)))
-    // Emit each candidate pair exactly once: only at the SMALLEST
-    // shared prefix token.
-    val firstSharedOnly = EqualTo(lTok,
-      ArrayMin(ArrayIntersect(lPref, rPref)))
+    // Emit each candidate pair exactly once: only at the SMALLEST shared
+    // prefix token — a codegen'd zero-allocation merge scan (the builtin
+    // array_min(array_intersect) form is CodegenFallback and builds a
+    // hash set per joined token-pair row, the hottest row grain here).
+    val firstSharedOnly = graft.functions.IsFirstSharedSortedExpr(lTok, lPref, rPref)
     // Cost-ordered re-check: size filter and the user's cheap residual
     // conjuncts first (in a symmetric self-join, id_a < id_b discards
-    // the mirrored half), THEN the per-candidate prefix intersection
-    // (ArrayIntersect/ArrayMin are interpreted builtins), and the full
-    // Jaccard set comparison last.
+    // the mirrored half), THEN the per-candidate prefix merge scan, and
+    // the full Jaccard set comparison last.
     val cheap = conjuncts.filterNot(_ eq jaccardConjunct)
     val ordered = (sizeFilter +: cheap) ++ Seq(firstSharedOnly, jaccardConjunct)
 
