@@ -693,26 +693,67 @@ object SparkEntry {
       documents(s, d)
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
-    "q62_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(documents(s, d), "text", "doc_id", maxHamming = 3)
+    "q62_simhash_pairs" -> ((s, d) => {
+      // SimHash banded near-dup, verified against the in-engine
+      // brute-force all-pairs Hamming join over the SAME
+      // engine-computed simhashes (cheap at gate scale; an explicitly
+      // labeled oracle form, like q30/q64). The simhash values have no
+      // DuckDB mirror, so the output is the corpus-level envelope:
+      // recomputable doc count + agreement booleans DuckDB pins TRUE.
+      // The reference's distance is written bit_count(~(a^b)) >= 61
+      // (same predicate as bit_count(a^b) <= 3) so HammingBandJoinRule
+      // — always-on once q65 registers it on the shared session —
+      // cannot re-plan the REFERENCE into the very banding it
+      // verifies.
+      val docs = documents(s, d)
+      val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      val banded = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"))
-        .orderBy(col("id_a"), col("id_b"))),
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val brute = a.join(b,
+          bit_count(bitwise_not(col("sh_a").bitwiseXOR(col("sh_b")))) >= lit(61) &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      // Full outer join of the two pair sets: equality = no side-only
+      // rows. has_pairs guards the vacuous-empty arm (both gate SFs
+      // have planted near-dup pairs).
+      val cmp = banded.withColumn("in_banded", lit(1))
+        .join(brute.withColumn("in_brute", lit(1)), Seq("id_a", "id_b"), "full")
+        .agg(
+          coalesce(every(col("in_banded").isNotNull && col("in_brute").isNotNull),
+            lit(true)).as("banded_equals_brute"),
+          (count(lit(1)) > 0).as("has_pairs"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(cmp))
+    }),
     "q65_hamming_join_rule" -> ((s, d) => {
       // The DECLARATIVE Hamming join — a user writes bit_count(xor)<=3
       // against a nested-loop plan; HammingBandJoinRule re-plans it as
       // the banded equi-join (exact: pigeonhole recall + first-band
-      // dedup). PlansSpec asserts pair-equality with the hand-banded
-      // operator (q62) and plan shape; here the rule runs inside the
-      // gate/bench so its plan is exercised at every scale.
+      // dedup). The envelope pins rule == hand-banded operator as an
+      // oracle row (q62 pins operator == brute force, so the chain
+      // reaches ground truth); the plan hard-assert keeps the rewrite
+      // engaged at every scale the gate/bench runs.
       GraftFunctions.registerOptimizations(s)
-      val sh = documents(s, d)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
+      val docs = documents(s, d)
+      val sh = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3) &&
+      val viaRule = a.join(b, bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3) &&
           col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
-        .orderBy(col("id_a"), col("id_b"))
+      val plan = viaRule.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "HammingBandJoinRule did not engage — declarative Hamming join would run all-pairs")
+      val viaOp = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val cmp = viaRule.withColumn("in_rule", lit(1))
+        .join(viaOp.withColumn("in_op", lit(1)), Seq("id_a", "id_b"), "full")
+        .agg(
+          coalesce(every(col("in_rule").isNotNull && col("in_op").isNotNull),
+            lit(true)).as("rule_equals_operator"),
+          (count(lit(1)) > 0).as("has_pairs"))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(cmp))
     }),
     "q51_lsh_ann" -> ((s, d) => {
       // LSH ANN through the score-verification envelope (see
@@ -1495,6 +1536,12 @@ Hosts: %s
     "q52_ivf_assign" ->
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
+    "q62_simhash_pairs" ->
+      """SELECT count(*) AS n_docs, TRUE AS banded_equals_brute, TRUE AS has_pairs
+         FROM documents""",
+    "q65_hamming_join_rule" ->
+      """SELECT count(*) AS n_docs, TRUE AS rule_equals_operator, TRUE AS has_pairs
+         FROM documents""",
     "q70_bm25" ->
       s"""WITH $bm25OracleCtes,
          r AS (SELECT doc_id, score_g,
