@@ -272,18 +272,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** SimHash near-dup pairs: band the 64-bit simhash into four 16-bit
-    * bands — any pair within Hamming distance 3 shares at least one
-    * intact band (pigeonhole), so the banded self-join finds ALL such
-    * pairs with no all-pairs scan — then verify with
-    * bit_count(xor) <= `maxHamming`.
+  /** SimHash near-dup pairs via TWO-LEVEL banding: the 64-bit simhash
+    * splits into four 16-bit bands, and each band's remaining 48 bits
+    * split into four 12-bit sub-bands. Any pair within Hamming
+    * distance 3 has an intact band (pigeonhole), and that band's
+    * remainder holds ALL the flipped bits, so one of its four sub-bands
+    * is intact too (second pigeonhole) — every qualifying pair agrees
+    * exactly on some combined (band << 12 | sub-band) 28-bit key. The
+    * banded self-join on (entry index, combined key) finds ALL such
+    * pairs with no all-pairs scan; bit_count(xor) <= `maxHamming`
+    * verifies each candidate.
     *
-    * Dedup across bands uses the FIRST-AGREEING-BAND filter (keep the
-    * joined row at band i only when bands 0..i-1 differ) instead of a
-    * `distinct`: exactly-once emission with zero extra shuffle. This is
-    * the same plan [[graft.plans.HammingBandJoinRule]] produces for the
-    * declarative `bit_count(a^b) <= k` join, and it measured ~4x faster
-    * than the persist+distinct form at the 10x bench scale.
+    * Why two-level: a single 16-bit band key has only 65k buckets per
+    * band index, so bucket occupancy — and in-bucket candidate pairs,
+    * quadratic in occupancy — grows linearly with the corpus (>= 150
+    * rows/bucket at 10M docs). The 2^28 combined-key space defers that
+    * densification by ~4000x for a 4x explode (16 vs 4 skinny rows per
+    * doc).
+    *
+    * Dedup across entries uses the FIRST-AGREEING-ENTRY filter (keep
+    * the joined row at entry m only when entries 0..m-1 disagree)
+    * instead of a `distinct`: exactly-once emission with zero extra
+    * shuffle. This is the same plan [[graft.plans.HammingBandJoinRule]]
+    * produces for the declarative `bit_count(a^b) <= k` join (q62's
+    * envelope pins this operator to the brute-force join, q65 pins the
+    * rule to this operator).
     */
   def simhashNearDuplicates(
       df: DataFrame,
@@ -293,17 +306,30 @@ object Dedup {
     require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
     def band(sh: Column, b: Int): Column =
       shiftrightunsigned(sh, b * 16).bitwiseAND(0xFFFFL)
+    // The 48 bits remaining after band b is removed, packed low: bits
+    // below the band stay, bits above shift down 16.
+    def rem48(sh: Column, b: Int): Column =
+      if (b == 0) shiftrightunsigned(sh, 16)
+      else if (b == 3) sh.bitwiseAND(lit((1L << 48) - 1))
+      else shiftleft(shiftrightunsigned(sh, 16 * b + 16), 16 * b)
+        .bitwiseOR(sh.bitwiseAND(lit((1L << (16 * b)) - 1)))
+    def sub(sh: Column, b: Int, j: Int): Column =
+      shiftrightunsigned(rem48(sh, b), 12 * j).bitwiseAND(0xFFFL)
+    // Combined 28-bit equi-key for entry m = b*4 + j.
+    def entryKey(sh: Column, m: Int): Column =
+      shiftleft(band(sh, m / 4), 12).bitwiseOR(sub(sh, m / 4, m % 4))
     val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
     // Persisted (tracked): both self-join sides reference the banded
     // relation, and its input is the full-corpus tokenize+hash scan.
     val banded = graft.core.Caches.persistTracked(
       sh.select(col("id"), col("sh"),
-        posexplode(array((0 until 4).map(b => band(col("sh"), b)): _*))
+        posexplode(array((0 until 16).map(m => entryKey(col("sh"), m)): _*))
           .as(Seq("band_idx", "band_val"))))
     val a = banded.as("a")
     val b = banded.as("b")
-    val firstMatchOnly = (0 until 3).map(j =>
-      (col("a.band_idx") <= j) || (band(col("a.sh"), j) =!= band(col("b.sh"), j)))
+    val firstMatchOnly = (0 until 15).map(m =>
+      (col("a.band_idx") <= m) ||
+        (entryKey(col("a.sh"), m) =!= entryKey(col("b.sh"), m)))
       .reduce(_ && _)
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&

@@ -18,11 +18,18 @@ import org.apache.spark.sql.types.LongType
   * distance <= k, splitting the word into k+1 disjoint bands guarantees
   * (pigeonhole) that every qualifying pair agrees exactly on at least
   * one band, so the same semantics can be planned as: posexplode the
-  * k+1 bands on each side, equi-join on (band index, band value) — a
+  * bands on each side, equi-join on (band index, band value) — a
   * uniform hash shuffle — and re-check the exact predicate on the
-  * candidates. This is the rewrite `Dedup.simhashNearDuplicates` does
-  * by hand, surfaced as an optimizer rule so ANY matching join in any
-  * query gets the scalable plan for free.
+  * candidates. For the near-dup range (k <= 3) the rewrite uses
+  * TWO-LEVEL banding — each band's remaining bits are split into k+1
+  * sub-bands, and a second pigeonhole (an intact band leaves all <= k
+  * flipped bits in its remainder) extends the guarantee to the combined
+  * (band, sub-band) key — growing the key space from 2^16 to 2^28 at
+  * k=3 so bucket density stays bounded at corpus scale (one-level
+  * buckets average >= 150 rows at 10M docs and grow quadratically).
+  * This is the rewrite `Dedup.simhashNearDuplicates` does by hand,
+  * surfaced as an optimizer rule so ANY matching join in any query gets
+  * the scalable plan for free.
   *
   * The rewrite is EXACT, not approximate:
   *  - recall: pigeonhole covers every pair at distance <= k;
@@ -95,12 +102,11 @@ object HammingBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     kv.flatMap { case (a, b, k) => sides(a, b).map { case (l, r) => (l, r, k) } }
   }
 
-  /** (offset, width) of the k+1 disjoint bands covering all 64 bits. */
-  private def bandLayout(k: Int): Seq[(Int, Int)] = {
-    val nb = k + 1
-    val base = 64 / nb
-    val rem = 64 % nb
-    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(nb - rem)(base)
+  /** (offset, width) layout of `total` bits split into `n` parts. */
+  private def splitLayout(total: Int, n: Int): Seq[(Int, Int)] = {
+    val base = total / n
+    val rem = total % n
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(n - rem)(base)
     widths.scanLeft(0)(_ + _).zip(widths)
   }
 
@@ -108,12 +114,66 @@ object HammingBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (width >= 64) key
     else BitwiseAnd(ShiftRightUnsigned(key, Literal(off)), Literal((1L << width) - 1))
 
+  /** The 64-width bits REMAINING after band (off, width) is removed,
+    * packed into the low 64-width bits: bits below the band stay in
+    * place, bits above shift down by the band width.
+    */
+  private def remainderExpr(key: Expression, off: Int, width: Int): Expression =
+    if (off == 0) ShiftRightUnsigned(key, Literal(width))
+    else if (off + width >= 64) BitwiseAnd(key, Literal((1L << off) - 1))
+    else BitwiseOr(
+      BitwiseAnd(key, Literal((1L << off) - 1)),
+      ShiftLeft(ShiftRightUnsigned(key, Literal(off + width)), Literal(off)))
+
+  /** Two-level join-key layout for distance k: for each of the k+1
+    * first-level bands, the remaining 64-w bits are split into k+1
+    * sub-bands. Entry m = (bandOff, bandW, subOff, subW) with
+    * m = bandIdx*(k+1) + subIdx.
+    */
+  private def twoLevelLayout(k: Int): Seq[(Int, Int, Int, Int)] =
+    for {
+      (bo, bw) <- splitLayout(64, k + 1)
+      (so, sw) <- splitLayout(64 - bw, k + 1)
+    } yield (bo, bw, so, sw)
+
+  /** Combined equi-key for two-level entry m: (band_val << subW) | sub_val
+    * — injective for a fixed m (widths are fixed per m, and m is part of
+    * the join key via the posexplode index).
+    */
+  private def twoLevelKeyExpr(
+      key: Expression, bo: Int, bw: Int, so: Int, sw: Int): Expression = {
+    val subVal = BitwiseAnd(
+      ShiftRightUnsigned(remainderExpr(key, bo, bw), Literal(so)),
+      Literal((1L << sw) - 1))
+    BitwiseOr(ShiftLeft(bandExpr(key, bo, bw), Literal(sw)), subVal)
+  }
+
   private def rewrite(
       j: Join, lKey: Expression, rKey: Expression, k: Int): LogicalPlan = {
-    val layout = bandLayout(k)
+    // TWO-LEVEL banding for the near-dup range (1 <= k <= 3): one level
+    // of k+1 bands gives a key space of only 2^(64/(k+1)) (65k for
+    // k=3), so at >=10M rows every bucket averages hundreds of rows and
+    // in-bucket candidate pairs grow quadratically with the corpus. The
+    // second pigeonhole fixes the ceiling: if band i is intact, ALL
+    // <= k flipped bits live in the remaining 64-w bits, so one of that
+    // remainder's k+1 sub-bands is intact too — every qualifying pair
+    // agrees exactly on some (band, sub-band) combined key. Key space
+    // grows to 2^28 (k=3: 16+12 bits) for a 4x explode (16 vs 4 skinny
+    // rows/side), collapsing bucket density by up to 2^12.
+    // k=0 is a plain equality join and k > 3 keeps one-level banding
+    // (bands are already short; squaring the explode buys little).
+    val keyExprs: Seq[Expression => Expression] =
+      if (k >= 1 && k <= 3)
+        twoLevelLayout(k).map { case (bo, bw, so, sw) =>
+          (key: Expression) => twoLevelKeyExpr(key, bo, bw, so, sw)
+        }
+      else
+        splitLayout(64, k + 1).map { case (o, w) =>
+          (key: Expression) => bandExpr(key, o, w)
+        }
 
     def banded(child: LogicalPlan, key: Expression): (LogicalPlan, Attribute, Attribute) = {
-      val gen = PosExplode(CreateArray(layout.map { case (o, w) => bandExpr(key, o, w) }))
+      val gen = PosExplode(CreateArray(keyExprs.map(_(key))))
       val attrs = gen.elementSchema.fields.toSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)())
       (Generate(gen, unrequiredChildIndex = Nil, outer = false, qualifier = None,
@@ -125,16 +185,15 @@ object HammingBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val joined = Join(lGen, rGen, Inner,
       Some(And(EqualTo(lIdx, rIdx), EqualTo(lVal, rVal))), j.hint)
 
-    // Emit a candidate only at its FIRST agreeing band: for every band
-    // b below the joined index, the band values must differ.
-    val firstMatchOnly = layout.indices.dropRight(1).map { b =>
-      val (o, w) = layout(b)
-      Or(LessThanOrEqual(lIdx, Literal(b)),
-        Not(EqualTo(bandExpr(lKey, o, w), bandExpr(rKey, o, w))))
+    // Emit a candidate only at its FIRST agreeing entry: for every
+    // entry m below the joined index, the entry keys must differ.
+    val firstMatchOnly = keyExprs.indices.dropRight(1).map { m =>
+      Or(LessThanOrEqual(lIdx, Literal(m)),
+        Not(EqualTo(keyExprs(m)(lKey), keyExprs(m)(rKey))))
     }.reduceOption(And).getOrElse(Literal.TrueLiteral)
 
     // Exact original condition (the Hamming predicate prunes candidate
-    // pairs that agree on a band but exceed k overall, plus any other
+    // pairs that agree on an entry but exceed k overall, plus any other
     // conjuncts the join carried).
     Project(j.output, Filter(And(j.condition.get, firstMatchOnly), joined))
   }
