@@ -164,13 +164,14 @@ object Extract {
       docs: DataFrame,
       root: String,
       format: String = "json",
-      epochCol: String = "published_at"): Unit =
+      epochCol: String = "published_at",
+      mode: String = "overwrite"): Unit =
     docs
       .withColumn("year", TimeFunctions.partitionYear(col(epochCol)))
       .withColumn("month", TimeFunctions.partitionMonth(col(epochCol)))
       .write
       .partitionBy("year", "month")
-      .mode("overwrite")
+      .mode(mode)
       .format(format)
       .save(root)
 }

@@ -69,9 +69,12 @@ object Transform {
 
   /** S9: cleaned-document mirror sink — same partitioned layout as the
     * raw sink, different root (transformers/utils/helpers.py:73-89).
+    * `mode = "append"` adds newly cleaned videos to an existing mirror
+    * (the resume path — the reference writes one file per video, so its
+    * resume is inherently append-shaped).
     */
-  def writeCleanedMirror(cleaned: DataFrame, root: String): Unit =
-    Extract.writePartitioned(cleaned, root)
+  def writeCleanedMirror(cleaned: DataFrame, root: String, mode: String = "overwrite"): Unit =
+    Extract.writePartitioned(cleaned, root, mode = mode)
 
   /** A6: integrity check — per-video chunk-count equality between raw
     * and cleaned (transformers/utils/helpers.py:59-70). Returns one row

@@ -214,11 +214,20 @@ class EtlSpec extends SparkSpec {
   test("Pipeline.run: one entry point chains the stages; re-runs are idempotent") {
     val dir = writeFixtures()
     val out = Files.createTempDirectory("graft-pipeline").toFile.getAbsolutePath
-    val store = Pipeline.run(spark, dir, out)
+    val store = Pipeline.run(spark, dir, out, cleaner = new CountingCleaner)
     assert(store.count() == 3) // vidA 2 chunks + vidC 1; vidB aborted
     assert(spark.read.json(s"$out/cleaned").count() == 2) // cleaned mirror written
-    // Resume: nothing new -> the anti-join embeds nothing, store unchanged.
-    assert(Pipeline.run(spark, dir, out).count() == 3)
+    val cleanedOnFirstRun = CountingCleaner.invocations.get()
+    assert(cleanedOnFirstRun > 0)
+    // Resume: nothing new -> the anti-join embeds nothing, store
+    // unchanged — and mirrored videos SKIP the clean stage entirely
+    // (reference parity: clean_locally.py:46-48). Only the aborted
+    // vidB re-attempts (its mirror file was never written), so at most
+    // its 1 pre-poison chunk re-cleans.
+    assert(Pipeline.run(spark, dir, out, cleaner = new CountingCleaner).count() == 3)
+    val resumeCleans = CountingCleaner.invocations.get() - cleanedOnFirstRun
+    assert(resumeCleans <= 2,
+      s"resume re-cleaned mirrored videos ($resumeCleans chunk cleans; expected only vidB's retry)")
     // New raw doc appears -> only ITS chunks are appended.
     val extra = new java.io.File(s"$dir/2024/01"); extra.mkdirs()
     Files.writeString(new java.io.File(extra, "vidD.json").toPath,
@@ -226,6 +235,23 @@ class EtlSpec extends SparkSpec {
         | "title": "t", "description": "d", "published_at": 1700000000,
         | "duration": 60, "transcript_chunks": [{"text": "brand new", "start": 0.0}]}"""
         .stripMargin)
-    assert(Pipeline.run(spark, dir, out).count() == 4)
+    assert(Pipeline.run(spark, dir, out, cleaner = new CountingCleaner).count() == 4)
+    // The mirror now holds vidD too; a further resume cleans nothing new.
+    assert(spark.read.json(s"$out/cleaned").where(col("video_id") === "vidD").count() == 1)
   }
+}
+
+/** Stub cleaner that counts chunk-clean invocations via a JVM-static
+  * counter (valid under local[] where executors share the JVM) — lets
+  * the Pipeline test assert the resume path does not re-clean videos
+  * already present in the cleaned mirror.
+  */
+class CountingCleaner extends StubChunkCleaner {
+  override def clean(showName: String, title: String, chunkText: String): String = {
+    CountingCleaner.invocations.incrementAndGet()
+    super.clean(showName, title, chunkText)
+  }
+}
+object CountingCleaner {
+  val invocations = new java.util.concurrent.atomic.AtomicInteger(0)
 }
