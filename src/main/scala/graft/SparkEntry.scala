@@ -79,9 +79,9 @@ object SparkEntry {
     * cost) constant; floors at 6 so every correctness-gate SF keeps the
     * exact plane count its oracle rows were pinned with.
     */
-  private def adaptivePlanes(emb: DataFrame, targetBucket: Double = 250.0): Int =
+  private def adaptivePlanes(nRows: Long, targetBucket: Double = 250.0): Int =
     math.max(6, math.ceil(
-      math.log(emb.count().toDouble / targetBucket) / math.log(2.0)).toInt)
+      math.log(nRows.toDouble / targetBucket) / math.log(2.0)).toInt)
 
   /** BM25 top-k for the fixed bench query terms (q70, and q72's sparse
     * half — one definition so the two cannot desynchronize): per-term
@@ -835,8 +835,12 @@ object SparkEntry {
       // probabilistic by design, so the recall floor stays asserted in
       // OpsSpec; q59 is the oracle-checked exact blocked form.
       val emb = embeddings(s, d)
+      // Plane count sized from parquet footer metadata — query
+      // construction must not launch a scan job (the eager count()
+      // here was a round-4 finding).
       val pairs = Dedup.embeddingNearDuplicatesLsh(emb, "embedding", "vec_id",
-        dim = 64, threshold = 0.4, numPlanes = adaptivePlanes(emb))
+        dim = 64, threshold = 0.4,
+        numPlanes = adaptivePlanes(parquetRowCount(s, s"$d/embeddings.parquet")))
       pairSoundnessEnvelope(emb, pairs, 0.4)
     }),
     "q68_cosine_join_rule" -> ((s, d) => {
@@ -853,7 +857,8 @@ object SparkEntry {
       GraftFunctions.registerOptimizations(s2)
       s2.conf.set("spark.graft.cosineJoin.rewrite", "true")
       val emb = embeddings(s2, d)
-      s2.conf.set("spark.graft.cosineJoin.numPlanes", adaptivePlanes(emb).toString)
+      s2.conf.set("spark.graft.cosineJoin.numPlanes",
+        adaptivePlanes(parquetRowCount(s2, s"$d/embeddings.parquet")).toString)
       val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
       val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
       val pairs = a.join(b,
@@ -936,6 +941,11 @@ object SparkEntry {
       // emits the EXACT count (oracle-recomputable) plus a pinned
       // within-5%-relative-error boolean for the sketch (default rsd
       // 0.05; the fixed corpus makes the realized error deterministic).
+      // KNOWN FRAGILITY (accepted): the pinned boolean couples to
+      // Spark's HLL++ implementation — a Spark upgrade that changes the
+      // sketch internals or default rsd could flip it on some lang
+      // group with no code change here. If this row fails right after
+      // an upgrade, suspect that coupling before hunting a regression.
       val toks = documents(s, d)
         .select(col("lang"), explode(graft.ops.Lexical.tokens(col("text"))).as("term"))
       toks.groupBy(col("lang"))
@@ -1427,7 +1437,12 @@ Hosts: %s
            -- each event's window is [ts, ts+gap) and TOUCHING windows
            -- merge, so an event at precisely gap distance CONTINUES the
            -- session (pinned empirically by the streaming/batch parity
-           -- test in StreamingSpec).
+           -- test in StreamingSpec). CAVEAT: the driver-generated
+           -- events fixture holds no pair at exactly gap distance, so
+           -- this oracle row never exercises the boundary itself — the
+           -- >= / > distinction is pinned ONLY by StreamingSpec's
+           -- parity test (which plants a touching pair); keep that
+           -- test when touching this query.
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
            FROM events),

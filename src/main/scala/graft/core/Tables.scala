@@ -34,6 +34,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact row count from parquet FOOTERS — a driver-side metadata read
+    * (KBs per file), zero Spark jobs. For statistics consumed during
+    * query CONSTRUCTION (e.g. sizing an LSH plane count to the corpus):
+    * an eager `df.count()` there launches a full scan job before the
+    * real query starts, once per invocation. Works through the Hadoop
+    * FileSystem API, so HDFS/S3 paths behave like local ones.
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+    }
+    total
+  }
 }
 
 /** Session factory with the scale-oriented defaults used by tests and

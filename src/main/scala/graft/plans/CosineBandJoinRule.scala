@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.{LshBucketExpr, VecCosineExpr}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
@@ -121,6 +121,13 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // distance 1. The probe values of one row are pairwise distinct and
     // the base side carries exactly one bucket, so any row pair matches
     // at most once — exactly-once emission, no dedup shuffle.
+    // Null embeddings drop BEFORE bucketing: LshBucketExpr maps a null
+    // array to bucket 0, so without these filters every null row on
+    // both sides concentrates in bucket 0 — and each left null row
+    // still explodes into numPlanes+1 probe rows against that hot
+    // bucket (a skew footgun on dirty data). Rows with null keys can
+    // never satisfy the original cosine predicate (null comparison),
+    // so the filters are semantics-preserving.
     val lBucket = LshBucketExpr(lKey, numPlanes)
     val probes = lBucket +: (0 until numPlanes).map(p =>
       BitwiseXor(lBucket, Literal(1L << p)))
@@ -128,10 +135,11 @@ object CosineBandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val probeAttr = gen.elementSchema.fields.toSeq.map(f =>
       AttributeReference(f.name, f.dataType, f.nullable)())
     val lGen = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = probeAttr, child = j.left)
+      qualifier = None, generatorOutput = probeAttr,
+      child = Filter(IsNotNull(lKey), j.left))
 
     val rAlias = Alias(LshBucketExpr(rKey, numPlanes), "__graft_bucket")()
-    val rProj = Project(j.right.output :+ rAlias, j.right)
+    val rProj = Project(j.right.output :+ rAlias, Filter(IsNotNull(rKey), j.right))
 
     // Re-check the full original condition on candidates, but with the
     // cosine conjunct LAST: the other conjuncts (id ordering, cheap

@@ -226,6 +226,34 @@ class PlansSpec extends SparkSpec {
     assert(brute.contains((0L, 60L)) && brute.size > 3) // fixture exercises it
   }
 
+  test("query construction launches no scan jobs (LSH plane counts come from parquet footers)") {
+    // q67/q68 size their LSH plane count adaptively; an eager count()
+    // there (the round-4 finding) launched a full-scan job per
+    // invocation before the real query started. The count now reads
+    // parquet footer metadata driver-side — the only jobs construction
+    // may launch are Spark's own 1-partition parquet schema-inference
+    // jobs ("parquet at ..."), which read footers, not data.
+    val dir = "/root/testdata/sf0.001"
+    assert(graft.core.Tables.parquetRowCount(spark, s"$dir/embeddings.parquet") ==
+      graft.core.Tables.embeddings(spark, dir).count())
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        js.stageInfos.foreach(si => stages.add(si.name)); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q67_embedding_dedup_lsh")(spark, dir)
+      SparkEntry.queries("q68_cosine_join_rule")(spark, dir)
+      Thread.sleep(500) // listener bus is async
+      val offenders = stages.toArray(Array.empty[String])
+        .filterNot(_.startsWith("parquet at"))
+      assert(offenders.isEmpty,
+        s"query construction ran non-schema-inference stages: ${offenders.mkString(", ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // ---- Lexical top-k plan shape ---------------------------------------
 
   test("lexical top-k ranks via TakeOrderedAndProject; every Window sees only post-limit rows") {
