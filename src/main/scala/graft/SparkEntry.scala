@@ -80,8 +80,10 @@ object SparkEntry {
     * exact plane count its oracle rows were pinned with.
     */
   private def adaptivePlanes(nRows: Long, targetBucket: Double = 250.0): Int =
+    // max(1, n): an empty corpus must floor to 6 planes, not feed
+    // log(0) = -Inf into the ceil.
     math.max(6, math.ceil(
-      math.log(nRows.toDouble / targetBucket) / math.log(2.0)).toInt)
+      math.log(math.max(1L, nRows).toDouble / targetBucket) / math.log(2.0)).toInt)
 
   /** BM25 top-k for the fixed bench query terms (q70, and q72's sparse
     * half — one definition so the two cannot desynchronize): per-term
@@ -718,9 +720,10 @@ object SparkEntry {
       val docs = documents(s, d)
       val sh = docs.where(col("doc_id") < cap)
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
-      val banded = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
-        .where(col("id_b") < cap) // id_a < id_b, so both ends are in the sub-corpus
+      val bandedAll = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
         .select(col("id_a"), col("id_b"))
+      val banded = bandedAll
+        .where(col("id_b") < cap) // id_a < id_b, so both ends are in the sub-corpus
       val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       val brute = a.join(b,
@@ -736,7 +739,15 @@ object SparkEntry {
           coalesce(every(col("in_banded").isNotNull && col("in_brute").isNotNull),
             lit(true)).as("banded_equals_brute"),
           (count(lit(1)) > 0).as("has_pairs"))
-      docs.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(cmp))
+      // Distinctness pinned over the FULL corpus pairs: the set-equality
+      // join above is blind to duplicate emission (a pair emitted once
+      // per agreeing band entry would still match its brute counterpart),
+      // so a broken first-agreeing-entry filter needs its own boolean.
+      val dup = bandedAll.agg(
+        (count_distinct(struct(col("id_a"), col("id_b"))) === count(lit(1)))
+          .as("banded_distinct"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cmp)).crossJoin(broadcast(dup))
     }),
     "q65_hamming_join_rule" -> ((s, d) => {
       // The DECLARATIVE Hamming join — a user writes bit_count(xor)<=3
@@ -765,7 +776,13 @@ object SparkEntry {
           coalesce(every(col("in_rule").isNotNull && col("in_op").isNotNull),
             lit(true)).as("rule_equals_operator"),
           (count(lit(1)) > 0).as("has_pairs"))
-      docs.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(cmp))
+      // Exactly-once emission pinned separately — set equality alone
+      // cannot see duplicated pairs (q62 pins the operator side).
+      val dup = viaRule.agg(
+        (count_distinct(struct(col("id_a"), col("id_b"))) === count(lit(1)))
+          .as("rule_distinct"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cmp)).crossJoin(broadcast(dup))
     }),
     "q51_lsh_ann" -> ((s, d) => {
       // LSH ANN through the score-verification envelope (see
@@ -1564,10 +1581,12 @@ Hosts: %s
       """SELECT vec_id, TRUE AS assigned_argmax, TRUE AS scored_all_centroids
          FROM embeddings ORDER BY vec_id""",
     "q62_simhash_pairs" ->
-      """SELECT count(*) AS n_docs, TRUE AS banded_equals_brute, TRUE AS has_pairs
+      """SELECT count(*) AS n_docs, TRUE AS banded_equals_brute, TRUE AS has_pairs,
+           TRUE AS banded_distinct
          FROM documents""",
     "q65_hamming_join_rule" ->
-      """SELECT count(*) AS n_docs, TRUE AS rule_equals_operator, TRUE AS has_pairs
+      """SELECT count(*) AS n_docs, TRUE AS rule_equals_operator, TRUE AS has_pairs,
+           TRUE AS rule_distinct
          FROM documents""",
     "q70_bm25" ->
       s"""WITH $bm25OracleCtes,

@@ -48,14 +48,20 @@ object Tables {
     val fs = p.getFileSystem(conf)
     val it = fs.listFiles(p, true)
     var total = 0L
+    var files = 0
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
         try total += r.getRecordCount finally r.close()
       }
     }
+    // Loud failure over a silent 0: a layout change (no .parquet suffix,
+    // a directory holding only _SUCCESS) would otherwise feed 0 into
+    // statistics consumers and silently misconfigure them.
+    require(files > 0, s"no .parquet files found under $path")
     total
   }
 }

@@ -33,12 +33,14 @@ case class IsFirstSharedSortedExpr(first: Expression, second: Expression, third:
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
-    val elemsOk =
-      second.dataType.asInstanceOf[ArrayType].elementType == first.dataType &&
-        third.dataType.asInstanceOf[ArrayType].elementType == first.dataType
+    // Only consult element types once the base check confirmed the
+    // children ARE arrays — casting first would throw on a scalar child
+    // instead of returning the clean TypeCheckFailure.
     if (!base.isSuccess) base
-    else if (!elemsOk) TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires both array element types to match the token type")
+    else if (second.dataType.asInstanceOf[ArrayType].elementType != first.dataType ||
+      third.dataType.asInstanceOf[ArrayType].elementType != first.dataType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires both array element types to match the token type")
     else base
   }
 

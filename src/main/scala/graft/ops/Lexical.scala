@@ -35,13 +35,23 @@ object Lexical {
     *
     * BM25: idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)),
     * score(d, t) = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * |d|/avgdl)).
+    *
+    * `maxDfFraction` prunes terms present in more than that fraction of
+    * the corpus from the index (standard stopword pruning at build
+    * time): without it, one stopword in a query drags the probe to
+    * full-corpus posting grain — at 100 TB the single query term
+    * matching everything IS the scale hazard. Ranking deviation is
+    * bounded by the dropped terms' idf, which is near zero at high df
+    * (df ~ N gives idf ~ ln(1 + 0.5/N)); document-length normalization
+    * of the surviving terms is unchanged.
     */
   def bm25Postings(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxDfFraction: Option[Double] = None): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val docLen = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -51,9 +61,15 @@ object Lexical {
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    tf.join(dfreq, "term")
+    val joined = tf.join(dfreq, "term")
       .join(docLen, "id")
       .crossJoin(broadcast(stats))
+    // df-cutoff BEFORE scoring: pruned terms never materialize postings,
+    // so no probe can touch them (the df filter rides the same joined
+    // relation — no extra shuffle).
+    val bounded = maxDfFraction.fold(joined)(f =>
+      joined.where(col("df") <= lit(f) * col("n_docs")))
+    bounded
       .withColumn("score",
         idf * col("tf") * lit(k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))

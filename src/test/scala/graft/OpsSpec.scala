@@ -260,6 +260,29 @@ class OpsSpec extends SparkSpec {
     assert(Lexical.bm25TopK(postDf, Seq("absent"), 3).count() == 0)
   }
 
+  test("BM25 maxDf cutoff: stopwords never materialize postings, probe stays bounded") {
+    import graft.ops.Lexical
+    // 'the' appears in every doc (df = 4/4); 'rare' in one.
+    val df = Seq(
+      (1L, "the rare word"),
+      (2L, "the common text"),
+      (3L, "the other text"),
+      (4L, "the filler")).toDF("doc_id", "text")
+    val pruned = Lexical.bm25Postings(df, "text", "doc_id", maxDfFraction = Some(0.5))
+    // The stopword has NO posting rows at all — a query containing it
+    // cannot drag the probe to full-corpus grain.
+    assert(pruned.where(col("term") === "the").count() == 0)
+    assert(pruned.where(col("term") === "rare").count() == 1)
+    // Probe for (stopword, rare term) touches only the rare term's
+    // postings and still ranks its doc first.
+    val top = Lexical.bm25TopK(pruned, Seq("the", "rare"), 5)
+      .select("id", "rank").as[(Long, Int)].collect().toMap
+    assert(top == Map(1L -> 1))
+    // Unpruned index keeps the stopword (deviation is opt-in).
+    val full = Lexical.bm25Postings(df, "text", "doc_id")
+    assert(full.where(col("term") === "the").count() == 4)
+  }
+
   test("RRF fusion: shared ids sum both contributions, singletons keep one") {
     import graft.ops.Lexical
     val dense = Seq((1L, 1), (2L, 2), (4L, 3)).toDF("id", "rank")

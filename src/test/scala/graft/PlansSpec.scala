@@ -259,6 +259,18 @@ class PlansSpec extends SparkSpec {
   test("lexical top-k ranks via TakeOrderedAndProject; every Window sees only post-limit rows") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     import org.apache.spark.sql.execution.window.WindowExec
+    // A plan node's output is BOUNDED when every path from it down to a
+    // leaf passes through a TakeOrderedAndProject: aggregates/unions/
+    // projections of bounded inputs stay bounded (<= sum of the k's),
+    // while any leaf-reaching path without a limit means corpus-sized
+    // input. This is stricter than "a TOAP exists somewhere in the
+    // subtree" — a reintroduced global Window directly over un-limited
+    // data fails even if unrelated TOAPs sit deeper in other branches.
+    def bounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: TakeOrderedAndProjectExec => true
+      case leaf if leaf.children.isEmpty => false
+      case other => other.children.forall(bounded)
+    }
     def assertBoundedWindows(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
       // sparkPlan (pre-AQE) so node-level collect traverses the tree.
       val plan = df.queryExecution.sparkPlan
@@ -266,7 +278,7 @@ class PlansSpec extends SparkSpec {
       assert(toaps.nonEmpty, s"$what: expected TakeOrderedAndProject, got:\n$plan")
       val windows = plan.collect { case w: WindowExec => w }
       windows.foreach { w =>
-        assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        assert(bounded(w.child),
           s"$what: a Window ranks UN-limited input (single-partition global sort):\n$plan")
       }
     }
@@ -288,12 +300,18 @@ class PlansSpec extends SparkSpec {
     val sh = docs.select(col("doc_id"), graft.ops.Dedup.simhash64(col("text")).as("sh"))
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    val viaRule = a.join(b,
+    val viaRuleSeq = a.join(b,
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= lit(3) && col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .as[(Long, Long)].collect().toSet
-    val viaOp = graft.ops.Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .as[(Long, Long)].collect().toSeq
+    val viaOpSeq = graft.ops.Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // Exactly-once on both paths (toSet alone would hide a broken
+    // first-agreeing-entry filter that emits once per agreeing entry).
+    assert(viaRuleSeq.distinct.size == viaRuleSeq.size, "duplicate emissions via rule")
+    assert(viaOpSeq.distinct.size == viaOpSeq.size, "duplicate emissions via operator")
+    val viaRule = viaRuleSeq.toSet
+    val viaOp = viaOpSeq.toSet
     assert(viaRule == viaOp, s"rule ${viaRule.size} pairs != operator ${viaOp.size} pairs")
   }
 }
