@@ -18,11 +18,18 @@ class PlansSpec extends SparkSpec {
     val rows = Seq(
       (1L, base),
       (2L, base ^ 1L),                  // distance 1
-      (3L, base ^ (1L << 17) ^ (1L << 40)), // distance 2
+      (3L, base ^ (1L << 17) ^ (1L << 40)), // distance 2, two bands hit
       (4L, base),                       // identical to 1 (distance 0)
       (5L, other),                      // far from base family
       (6L, other ^ (1L << 63)),         // distance 1 from 5
-      (7L, ~base))                      // distance 64 from base
+      (7L, ~base),                      // distance 64 from base
+      // Distance 3 with flips in THREE different 16-bit bands: only one
+      // band stays intact, so two-level recall rests entirely on that
+      // band's sub-band pigeonhole (the hardest exact-recall case).
+      (8L, base ^ (1L << 2) ^ (1L << 20) ^ (1L << 60)),
+      // Distance 3 all inside ONE band: the other three bands agree, so
+      // the first-agreeing-entry dedup has maximal agreeing entries.
+      (9L, base ^ (1L << 33) ^ (1L << 35) ^ (1L << 38)))
     rows.toDF("id", "sh")
   }
 
