@@ -45,6 +45,13 @@ object GraftFunctions {
     "lsh_bucket" -> { args =>
       arity("lsh_bucket", args, 2)
       LshBucketExpr(args(0), intLit(args(1), "numPlanes")) },
+    // Word n-gram array / one-pass repetition stats (n literal).
+    "ngrams" -> { args =>
+      arity("ngrams", args, 2)
+      graft.functions.NgramsExpr(args(0), intLit(args(1), "n")) },
+    "ngram_repetition" -> { args =>
+      arity("ngram_repetition", args, 2)
+      graft.functions.NgramRepetitionExpr(args(0), intLit(args(1), "n")) },
     "minhash_signature" -> { args =>
       arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),

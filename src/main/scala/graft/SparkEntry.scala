@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables._
 import graft.functions.{IsoDurationSeconds, TextFunctions, TimeFunctions}
 import graft.functions.VectorFunctions._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1070,6 +1070,88 @@ object SparkEntry {
           get(col("p.sources"), lit(0)).getField("start_time").as("first_start"))
         .orderBy(col("doc_id"))
     }),
+    "q73_session_boundary" -> ((s, _) => {
+      // §2.9 session-window BOUNDARY pin. The driver-generated events
+      // fixture holds no event pair at exactly gap distance, so q55's
+      // oracle row never exercises the merge-on-touching semantics
+      // (its documented caveat). This row builds the boundary inline:
+      // user 1 fires at 0 / +10:00 (EXACTLY the gap — Spark
+      // session_window windows are [ts, ts+gap) and TOUCHING windows
+      // merge, so this pair is ONE session) / +30:00 (past the merged
+      // window's end -> new session); user 2 at 0 / +10:01 (one second
+      // past -> two sessions); user 3 at 0 / +09:59 (inside -> one).
+      // The DuckDB oracle recomputes sessions with the strict->-break
+      // decomposition, so a regression in either direction of the
+      // >= / > boundary now fails the hash gate at every SF.
+      import s.implicits._
+      val fixture = Seq(
+        (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:10:00"),
+        (1L, "2024-01-01 00:30:00"),
+        (2L, "2024-01-01 00:00:00"), (2L, "2024-01-01 00:10:01"),
+        (3L, "2024-01-01 00:00:00"), (3L, "2024-01-01 00:09:59"))
+        .toDF("user_id", "ts_s")
+        .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+      fixture
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q74_repetition" -> ((s, d) =>
+      // §2.11 Gopher-style repetition quality filters (Rae et al.
+      // 2021, A1.1): per-document top-bigram fraction and duplicate-
+      // trigram fraction, flagged against the paper-shaped thresholds.
+      // One-pass native expression per row — a per-document statistic
+      // never shuffles the corpus at n-gram grain.
+      documents(s, d)
+        .select(col("doc_id"),
+          round(TextAnalysis.topNgramFraction(col("text"), 2), 4).as("top2_frac"),
+          round(TextAnalysis.dupNgramFraction(col("text"), 3), 4).as("dup3_frac"),
+          (TextAnalysis.topNgramFraction(col("text"), 2) > 0.18 ||
+            TextAnalysis.dupNgramFraction(col("text"), 3) > 0.30).as("repetitive"))
+        .orderBy(col("doc_id"))),
+    "q75_stratified_split" -> ((s, d) =>
+      // §2.11 deterministic train/val/test split: membership is a pure
+      // function of md5(salt || doc_id), so it is reproducible across
+      // engines (the oracle recomputes it), stable under corpus
+      // appends, and uniform within every stratum with no per-stratum
+      // pass. Cuts in 1/65536 units: 80% / 10% / 10%.
+      documents(s, d)
+        .withColumn("split", Sampling.assignSplit(col("doc_id"), "graft_v1",
+          Seq("train" -> 52429, "val" -> 58982, "test" -> 65536)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("split"))),
+    "q76_ngram_topk" -> ((s, d) =>
+      // §2.11 corpus-level n-gram heavy hitters: top-25 word bigrams.
+      // Map-side partial agg at token grain + TakeOrderedAndProject —
+      // no global sort, no single-partition Window.
+      documents(s, d)
+        .select(explode(TextAnalysis.ngrams(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(25)),
+    "q77_approx_quantile" -> ((s, d) =>
+      // §2.11 sketch-quantile envelope (q71's HLL pattern for order
+      // statistics): the oracle recomputes the EXACT interpolated
+      // median; the approx_percentile sketch value must land inside
+      // the exact [q45, q55] band — the RANK-error bound the sketch
+      // actually guarantees (accuracy 1000 => rank error <= 0.1%), so
+      // the envelope is immune to value sparsity around the median
+      // (approx returns a real element; exact interpolates, and in a
+      // small group adjacent elements can sit >1% apart in VALUE).
+      // KNOWN FRAGILITY (accepted, as q71): a Spark upgrade changing
+      // the percentile sketch could flip the boolean with no code
+      // change here; suspect that coupling before hunting a regression.
+      orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_exact"),
+          (expr("approx_percentile(o_totalprice, 0.5, 1000)")
+            .between(expr("percentile(o_totalprice, 0.45)"),
+              expr("percentile(o_totalprice, 0.55)"))).as("approx_rank_ok"))
+        .orderBy(col("o_orderpriority"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1454,12 +1536,11 @@ Hosts: %s
            -- each event's window is [ts, ts+gap) and TOUCHING windows
            -- merge, so an event at precisely gap distance CONTINUES the
            -- session (pinned empirically by the streaming/batch parity
-           -- test in StreamingSpec). CAVEAT: the driver-generated
-           -- events fixture holds no pair at exactly gap distance, so
-           -- this oracle row never exercises the boundary itself — the
-           -- >= / > distinction is pinned ONLY by StreamingSpec's
-           -- parity test (which plants a touching pair); keep that
-           -- test when touching this query.
+           -- test in StreamingSpec). The driver-generated events
+           -- fixture holds no pair at exactly gap distance, so this
+           -- row never exercises the boundary itself; q73 plants a
+           -- touching pair inline and pins the >= / > distinction in
+           -- the oracle gate directly.
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '10 minutes'
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS brk
            FROM events),
@@ -1638,5 +1719,75 @@ Hosts: %s
            TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok,
            TRUE AS corpus_has_pairs
          FROM embeddings ORDER BY label""",
+    "q73_session_boundary" ->
+      """WITH ev(user_id, ts) AS (VALUES
+           (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00'),
+           (1, TIMESTAMP '2024-01-01 00:10:00'),
+           (1, TIMESTAMP '2024-01-01 00:30:00'),
+           (2, TIMESTAMP '2024-01-01 00:00:00'),
+           (2, TIMESTAMP '2024-01-01 00:10:01'),
+           (3, TIMESTAMP '2024-01-01 00:00:00'),
+           (3, TIMESTAMP '2024-01-01 00:09:59')),
+         -- Strict > break: an event at EXACTLY gap distance continues
+         -- the session (Spark merges touching [ts, ts+gap) windows).
+         -- The inline pair (1, 00:10:00) exercises that boundary, so
+         -- this oracle row fails if either engine's semantics drift.
+         o AS (SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '10 minutes'
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS brk
+           FROM ev),
+         s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           FROM o)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n
+         FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""",
+    "q74_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         g2 AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+             i -> array_to_string(t[i:i+1], ' '))) AS ng FROM toks),
+         c2 AS (SELECT doc_id, ng, count(*) AS c FROM g2 GROUP BY doc_id, ng),
+         a2 AS (SELECT doc_id, sum(c) AS total, max(c) AS top
+           FROM c2 GROUP BY doc_id),
+         g3 AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS ng FROM toks),
+         c3 AS (SELECT doc_id, ng, count(*) AS c FROM g3 GROUP BY doc_id, ng),
+         a3 AS (SELECT doc_id, sum(c) AS total,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+           FROM c3 GROUP BY doc_id)
+         SELECT d.doc_id,
+           round(COALESCE(a2.top * 1.0 / a2.total, 0), 4) AS top2_frac,
+           round(COALESCE(a3.dup * 1.0 / a3.total, 0), 4) AS dup3_frac,
+           (COALESCE(a2.top * 1.0 / a2.total, 0) > 0.18
+             OR COALESCE(a3.dup * 1.0 / a3.total, 0) > 0.30) AS repetitive
+         FROM documents d
+         LEFT JOIN a2 ON d.doc_id = a2.doc_id
+         LEFT JOIN a3 ON d.doc_id = a3.doc_id
+         ORDER BY d.doc_id""",
+    "q75_stratified_split" ->
+      """SELECT lang,
+           CASE WHEN substr(md5('graft_v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                  THEN 'train'
+                WHEN substr(md5('graft_v1' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n
+         FROM documents GROUP BY lang, split ORDER BY lang, split""",
+    "q76_ngram_topk" ->
+      """WITH toks AS (SELECT
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+             i -> array_to_string(t[i:i+1], ' '))) AS ngram FROM toks)
+         SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+         ORDER BY n DESC, ngram LIMIT 25""",
+    "q77_approx_quantile" ->
+      """SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+           TRUE AS approx_rank_ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

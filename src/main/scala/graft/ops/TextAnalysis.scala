@@ -108,4 +108,37 @@ object TextAnalysis {
     aggregate(
       transform(split(textCol, ""), ch => ascii(ch).cast("long")),
       lit(7L), (acc, c) => acc * 31L + c)
+
+  /** Word n-gram array (lowercased whitespace tokens, space-joined
+    * windows) — native expression, for corpus-level n-gram statistics.
+    */
+  def ngrams(textCol: Column, n: Int): Column =
+    Bridge.column(graft.functions.NgramsExpr(Bridge.expression(textCol), n))
+
+  /** `[total, top, dup]` n-gram occurrence counts in ONE local pass
+    * (no n-gram-grain shuffle for a per-document statistic).
+    */
+  private def ngramRepetitionStats(textCol: Column, n: Int): Column =
+    Bridge.column(graft.functions.NgramRepetitionExpr(Bridge.expression(textCol), n))
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram (0 when the text has fewer than n tokens) — the Gopher
+    * "top n-gram fraction" repetition signal (Rae et al. 2021, A1.1):
+    * boilerplate and chant-like text score high.
+    */
+  def topNgramFraction(textCol: Column, n: Int): Column = {
+    val st = ngramRepetitionStats(textCol, n)
+    when(st.getItem(0) === 0, lit(0.0))
+      .otherwise(st.getItem(1).cast("double") / st.getItem(0))
+  }
+
+  /** Fraction of n-gram occurrences whose n-gram appears at least
+    * twice in the document — the Gopher "duplicate n-gram fraction"
+    * (loops and copy-paste runs score high).
+    */
+  def dupNgramFraction(textCol: Column, n: Int): Column = {
+    val st = ngramRepetitionStats(textCol, n)
+    when(st.getItem(0) === 0, lit(0.0))
+      .otherwise(st.getItem(2).cast("double") / st.getItem(0))
+  }
 }

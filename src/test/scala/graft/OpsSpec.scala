@@ -323,4 +323,60 @@ class OpsSpec extends SparkSpec {
     assert(df.where(FilterSpec.compile(
       FilterSpec.Not(FilterSpec.Gt("x", 1)))).count() == 1)
   }
+
+  test("ngram repetition: hand-computed fractions, short/empty text -> 0") {
+    // "a b a b a": bigrams = [a b, b a, a b, b a] -> total 4, top 2,
+    // dup 4; trigrams = [a b a, b a b, a b a] -> total 3, top 2, dup 2.
+    val df = Seq("A b a B a", "solo", "").toDF("text").select(
+      TextAnalysis.topNgramFraction(col("text"), 2).as("top2"),
+      TextAnalysis.dupNgramFraction(col("text"), 2).as("dup2"),
+      TextAnalysis.topNgramFraction(col("text"), 3).as("top3"),
+      TextAnalysis.dupNgramFraction(col("text"), 3).as("dup3"))
+    val rows = df.as[(Double, Double, Double, Double)].collect()
+    assert(rows(0) == ((0.5, 1.0, 2.0 / 3, 2.0 / 3)))
+    assert(rows(1) == ((0.0, 0.0, 0.0, 0.0))) // one token: no bigrams
+    assert(rows(2) == ((0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("ngrams array: space-joined windows, case-folded, SQL-registered") {
+    GraftFunctions.register(spark)
+    val out = spark.sql("SELECT ngrams('The quick  brown fox', 2) AS g")
+      .as[Seq[String]].head()
+    assert(out == Seq("the quick", "quick brown", "brown fox"))
+    val st = spark.sql("SELECT ngram_repetition('a b a b a', 2) AS s")
+      .as[Seq[Long]].head()
+    assert(st == Seq(4L, 2L, 4L))
+  }
+
+  test("hash sampling: deterministic, append-stable, stratum-uniform split") {
+    import graft.ops.Sampling
+    val ids = spark.range(0, 10000).withColumn("stratum", col("id") % 4)
+    val cuts = Seq("train" -> 52429, "val" -> 58982, "test" -> 65536)
+    val split = ids.withColumn("split",
+      Sampling.assignSplit(col("id"), "graft_v1", cuts))
+    // Deterministic: two evaluations agree row-for-row.
+    val a = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = split.select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // Append-stable by construction: membership is a pure function of
+    // (salt, key) — recomputing on a 10x superset preserves every
+    // original assignment.
+    val sup = spark.range(0, 100000).withColumn("split",
+      Sampling.assignSplit(col("id"), "graft_v1", cuts))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => sup(k) == v })
+    // Global proportions near 80/10/10 and uniform within each stratum.
+    val byStratum = split.groupBy("stratum", "split").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (st <- 0L to 3L) {
+      val tr = byStratum.getOrElse((st, "train"), 0L).toDouble / 2500
+      val va = byStratum.getOrElse((st, "val"), 0L).toDouble / 2500
+      val te = byStratum.getOrElse((st, "test"), 0L).toDouble / 2500
+      assert(math.abs(tr - 0.8) < 0.05 && math.abs(va - 0.1) < 0.03 &&
+        math.abs(te - 0.1) < 0.03, s"stratum $st: $tr/$va/$te")
+    }
+    // hashSample edges: keep-all and keep-none.
+    assert(Sampling.hashSample(ids, col("id"), 65536, "s").count() == 10000)
+    assert(Sampling.hashSample(ids, col("id"), 0, "s").count() == 0)
+  }
 }
