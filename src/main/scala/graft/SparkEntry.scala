@@ -1152,6 +1152,33 @@ object SparkEntry {
             .between(expr("percentile(o_totalprice, 0.45)"),
               expr("percentile(o_totalprice, 0.55)"))).as("approx_rank_ok"))
         .orderBy(col("o_orderpriority"))),
+    "q78_shard_packing" -> ((s, d) => {
+      // §2.11 training-shard packing: exclusive prefix sum of n_chars
+      // in doc_id order, 20k-char shards — computed with the
+      // two-phase distributed scan (per-partition totals + broadcast
+      // offsets), NOT a no-partition global Window; the oracle
+      // recomputes the same assignment with the window form at gate
+      // scale. Per-shard manifest: count, chars, id range.
+      val docs = documents(s, d)
+      val shards = graft.ops.Packing.assignShards(docs, "doc_id", "n_chars", 20000L)
+      shards.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    }),
+    "q79_decontamination" -> ((s, d) => {
+      // §2.11 benchmark decontamination: docs with doc_id % 97 == 0
+      // stand in for the eval benchmark; every remaining training doc
+      // is flagged with its count of distinct eval-shared word
+      // trigrams. Eval n-gram set broadcast; the corpus side is
+      // map-only explode + hash probe.
+      val docs = documents(s, d)
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.ops.Decontaminate.ngramOverlap(train, eval, "text", "doc_id", 3)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1789,5 +1816,29 @@ Hosts: %s
            round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
            TRUE AS approx_rank_ok
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q78_shard_packing" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+           COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM documents)
+         SELECT before // 20000 AS shard, count(*) AS n_docs,
+           sum(n_chars) AS chars, min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+         FROM c GROUP BY shard ORDER BY shard""",
+    "q79_decontamination" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         g AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS ng FROM toks),
+         ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+         m AS (SELECT g.doc_id, count(DISTINCT g.ng) AS n_shared
+           FROM g JOIN ev ON g.ng = ev.ng
+           WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+         SELECT d.doc_id, COALESCE(m.n_shared, 0) AS n_shared,
+           COALESCE(m.n_shared, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
   )
 }

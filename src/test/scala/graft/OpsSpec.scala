@@ -379,4 +379,36 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, col("id"), 65536, "s").count() == 10000)
     assert(Sampling.hashSample(ids, col("id"), 0, "s").count() == 0)
   }
+
+  test("shard packing: exclusive prefix-sum shards across forced multi-partition layout") {
+    import graft.ops.Packing
+    // Exclusive prefix sums: 0,4,8,12,37,38,47,49,59,60 -> /10 ->
+    // shards 0,0,0,1,3,3,4,4,5,6 (id 3 is larger than a whole shard
+    // and still gets exactly its start shard).
+    val df = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 25L), (4L, 1L),
+      (5L, 9L), (6L, 2L), (7L, 10L), (8L, 1L), (9L, 5L))
+      .toDF("doc_id", "w")
+    val got = Packing.assignShards(df, "doc_id", "w", 10L, partitions = 3)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 4L, 7L -> 4L, 8L -> 5L, 9L -> 6L)
+    assert(got == want, s"got $got")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("decontamination: planted eval trigram flags overlapping train docs only") {
+    import graft.ops.Decontaminate
+    val evalDf = Seq((100L, "the secret eval answer is here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "padding words then the secret eval answer leaked through"),
+      (2L, "completely clean text with no benchmark overlap at all"),
+      (3L, "another copy of the secret eval answer is duplicated")) // shares 2+ trigrams
+      .toDF("doc_id", "text")
+    val out = Decontaminate.ngramOverlap(train, evalDf, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._1 >= 1 && out(1L)._2)
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L)._1 >= 2 && out(3L)._2)
+    assert(out.size == 3)
+  }
 }
