@@ -1179,6 +1179,26 @@ object SparkEntry {
       graft.ops.Decontaminate.ngramOverlap(train, eval, "text", "doc_id", 3)
         .orderBy(col("doc_id"))
     }),
+    "q80_incremental_dedup" -> ((s, d) => {
+      // §2.11 incremental (R-S) dedup: docs with doc_id % 10 == 7 play
+      // the incoming append batch; the rest are the standing corpus.
+      // Exact cross-corpus prefix-filtered Jaccard join at 0.8; every
+      // incoming doc is emitted with its best corpus match (0 when
+      // clean) so the gate row count is batch-stable and the oracle
+      // recomputes every value from all-pairs at gate scale.
+      val docs = documents(s, d)
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val best = Dedup.jaccardJoinAgainst(incoming, corpus, "text", "doc_id", 0.8)
+        .groupBy(col("id_in").as("doc_id"))
+        .agg(round(max(col("jaccard")), 4).as("best_jaccard"))
+      incoming.select(col("doc_id"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          (coalesce(col("best_jaccard"), lit(0.0)) >= 0.8).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1840,5 +1860,22 @@ Hosts: %s
            COALESCE(m.n_shared, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
+    "q80_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+         p AS (SELECT a.doc_id AS id_in, b.doc_id AS id_co,
+           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+           FROM sh a JOIN sh b ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         m AS (SELECT id_in, round(max(jac), 4) AS bj
+           FROM p WHERE jac >= 0.8 GROUP BY id_in)
+         SELECT d.doc_id, COALESCE(m.bj, 0) AS best_jaccard,
+           COALESCE(m.bj, 0) >= 0.8 AS is_dup
+         FROM documents d LEFT JOIN m ON d.doc_id = m.id_in
+         WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""",
   )
 }

@@ -272,6 +272,63 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT cross-corpus Jaccard join (the R-S form of
+    * [[jaccardJoinExact]]): every (incoming, corpus) pair with shingle
+    * Jaccard >= `threshold` — the incremental-dedup shape a pipeline
+    * runs on every append (dedup TODAY'S batch against the standing
+    * corpus, never the corpus against itself). Same AllPairs/PPJoin
+    * prefix filtering (Bayardo et al., WWW'07), same epsilon-guarded
+    * bounds: the prefix principle holds for any pair under one global
+    * token order regardless of which relation each side comes from, so
+    * both sides explode only their eps-guarded prefixes and equi-join.
+    * Output: (id_in, id_corpus, jaccard).
+    *
+    * Scale posture: the corpus side is linear token-grain explode — at
+    * standing-corpus scale a real deployment materializes that prefix
+    * relation once and reuses it per batch (it is a pure column
+    * derivation, so a parquet mirror stays valid until the corpus
+    * changes); the incoming side is batch-sized. No self-join of the
+    * corpus ever happens.
+    */
+  def jaccardJoinAgainst(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val eps = 1e-9
+    def sortedSets(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("id"), array_sort(col("sh")).as("sh"))
+    def prefixTokens(sets: DataFrame): DataFrame = {
+      val prefLen =
+        (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - lit(eps)) + 1).cast("int")
+      sets.select(col("id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+    }
+    // Each side's sets feed its prefix explode AND its verify re-join.
+    val inSets = graft.core.Caches.persistTracked(sortedSets(incoming))
+    val coSets = graft.core.Caches.persistTracked(sortedSets(corpus))
+    val a = prefixTokens(inSets)
+      .select(col("tok"), col("id").as("id_in"), col("sz").as("sz_in"))
+    val b = prefixTokens(coSets)
+      .select(col("tok"), col("id").as("id_corpus"), col("sz").as("sz_co"))
+    val cands = a.join(b, Seq("tok"))
+      .where(least(col("sz_in"), col("sz_co")) >=
+        lit(threshold) * greatest(col("sz_in"), col("sz_co")) - lit(eps))
+      .select("id_in", "id_corpus")
+      .distinct()
+    cands
+      .join(inSets.select(col("id").as("id_in"), col("sh").as("sh_in")), "id_in")
+      .join(coSets.select(col("id").as("id_corpus"), col("sh").as("sh_co")), "id_corpus")
+      .withColumn("jaccard", jaccard(col("sh_in"), col("sh_co")))
+      .where(col("jaccard") >= threshold)
+      .select("id_in", "id_corpus", "jaccard")
+  }
+
   /** SimHash near-dup pairs via TWO-LEVEL banding: the 64-bit simhash
     * splits into four 16-bit bands, and each band's remaining 48 bits
     * split into four 12-bit sub-bands. Any pair within Hamming

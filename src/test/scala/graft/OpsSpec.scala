@@ -396,6 +396,34 @@ class OpsSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("cross-corpus Jaccard join equals the filtered self-join at several thresholds") {
+    // Same sliding-window corpus as the self-join test: split it into
+    // an incoming batch (ids % 3 == 0) and a standing corpus, and pin
+    // the R-S prefix join against brute force via the self-join result
+    // restricted to cross pairs.
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 30L).map { i =>
+      val words = (0 until 12).map(j => vocab((i.toInt + j) % vocab.size))
+      (i, words.mkString(" "))
+    } ++ Seq((100L, ""), (101L, "x"))
+    val df = docs.toDF("doc_id", "text")
+    val incoming = df.filter(col("doc_id") % 3 === 0)
+    val corpus = df.filter(col("doc_id") % 3 =!= 0)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val rs = Dedup.jaccardJoinAgainst(incoming, corpus, "text", "doc_id", t, shingleN = 2)
+        .select("id_in", "id_corpus").as[(Long, Long)].collect().toSet
+      val self = Dedup.jaccardJoinExact(df, "text", "doc_id", t, shingleN = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = self.collect {
+        case (a, b) if a % 3 == 0 && b % 3 != 0 => (a, b)
+        case (a, b) if b % 3 == 0 && a % 3 != 0 => (b, a)
+      }
+      assert(rs == want, s"threshold $t: rs=$rs want=$want")
+      if (t == 0.3) assert(want.nonEmpty)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("decontamination: planted eval trigram flags overlapping train docs only") {
     import graft.ops.Decontaminate
     val evalDf = Seq((100L, "the secret eval answer is here")).toDF("doc_id", "text")
