@@ -1104,11 +1104,25 @@ object SparkEntry {
       // One-pass native expression per row — a per-document statistic
       // never shuffles the corpus at n-gram grain.
       documents(s, d)
+        // Stats land in their own projection so each one-pass vector
+        // is evaluated ONCE (CollapseProject keeps non-cheap exprs in
+        // a separate Project rather than inlining them per reference;
+        // the fused form cost ~2x in codegen without guaranteed CSE).
         .select(col("doc_id"),
-          round(TextAnalysis.topNgramFraction(col("text"), 2), 4).as("top2_frac"),
-          round(TextAnalysis.dupNgramFraction(col("text"), 3), 4).as("dup3_frac"),
-          (TextAnalysis.topNgramFraction(col("text"), 2) > 0.18 ||
-            TextAnalysis.dupNgramFraction(col("text"), 3) > 0.30).as("repetitive"))
+          graft.ops.TextAnalysis.ngramRepetition(col("text"), 2).as("s2"),
+          graft.ops.TextAnalysis.ngramRepetition(col("text"), 3).as("s3"))
+        .select(col("doc_id"),
+          round(when(col("s2").getItem(0) === 0, lit(0.0))
+            .otherwise(col("s2").getItem(1).cast("double") / col("s2").getItem(0)), 4)
+            .as("top2_frac"),
+          round(when(col("s3").getItem(0) === 0, lit(0.0))
+            .otherwise(col("s3").getItem(2).cast("double") / col("s3").getItem(0)), 4)
+            .as("dup3_frac"),
+          (when(col("s2").getItem(0) === 0, lit(0.0))
+            .otherwise(col("s2").getItem(1).cast("double") / col("s2").getItem(0)) > 0.18 ||
+            when(col("s3").getItem(0) === 0, lit(0.0))
+              .otherwise(col("s3").getItem(2).cast("double") / col("s3").getItem(0)) > 0.30)
+            .as("repetitive"))
         .orderBy(col("doc_id"))),
     "q75_stratified_split" -> ((s, d) =>
       // §2.11 deterministic train/val/test split: membership is a pure

@@ -116,9 +116,11 @@ object TextAnalysis {
     Bridge.column(graft.functions.NgramsExpr(Bridge.expression(textCol), n))
 
   /** `[total, top, dup]` n-gram occurrence counts in ONE local pass
-    * (no n-gram-grain shuffle for a per-document statistic).
+    * (no n-gram-grain shuffle for a per-document statistic). Public so
+    * callers deriving several statistics can bind the vector once in
+    * its own projection instead of re-evaluating it per fraction.
     */
-  private def ngramRepetitionStats(textCol: Column, n: Int): Column =
+  def ngramRepetition(textCol: Column, n: Int): Column =
     Bridge.column(graft.functions.NgramRepetitionExpr(Bridge.expression(textCol), n))
 
   /** Fraction of n-gram occurrences taken by the single most frequent
@@ -127,7 +129,7 @@ object TextAnalysis {
     * boilerplate and chant-like text score high.
     */
   def topNgramFraction(textCol: Column, n: Int): Column = {
-    val st = ngramRepetitionStats(textCol, n)
+    val st = ngramRepetition(textCol, n)
     when(st.getItem(0) === 0, lit(0.0))
       .otherwise(st.getItem(1).cast("double") / st.getItem(0))
   }
@@ -137,7 +139,7 @@ object TextAnalysis {
     * (loops and copy-paste runs score high).
     */
   def dupNgramFraction(textCol: Column, n: Int): Column = {
-    val st = ngramRepetitionStats(textCol, n)
+    val st = ngramRepetition(textCol, n)
     when(st.getItem(0) === 0, lit(0.0))
       .otherwise(st.getItem(2).cast("double") / st.getItem(0))
   }
