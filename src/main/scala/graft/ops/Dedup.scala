@@ -321,9 +321,17 @@ object Dedup {
         lit(threshold) * greatest(col("sz_in"), col("sz_co")) - lit(eps))
       .select("id_in", "id_corpus")
       .distinct()
+    // Verify join order matters: attach the corpus arrays FIRST (one
+    // shuffle of skinny candidate pairs + the corpus set relation),
+    // then broadcast the batch-sized incoming sets so the array-fat
+    // intermediate is consumed — jaccard + filter + skinny project —
+    // inside the same stage and never crosses a shuffle boundary.
+    // The reversed order shuffled every candidate row twice with a
+    // full shingle array attached: measured 101s -> ~10s for the
+    // verify at 1.4M candidates / 450k corpus docs (sf10m).
     cands
-      .join(inSets.select(col("id").as("id_in"), col("sh").as("sh_in")), "id_in")
       .join(coSets.select(col("id").as("id_corpus"), col("sh").as("sh_co")), "id_corpus")
+      .join(broadcast(inSets.select(col("id").as("id_in"), col("sh").as("sh_in"))), "id_in")
       .withColumn("jaccard", jaccard(col("sh_in"), col("sh_co")))
       .where(col("jaccard") >= threshold)
       .select("id_in", "id_corpus", "jaccard")
