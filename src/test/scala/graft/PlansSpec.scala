@@ -321,4 +321,46 @@ class PlansSpec extends SparkSpec {
     val viaOp = viaOpSeq.toSet
     assert(viaRule == viaOp, s"rule ${viaRule.size} pairs != operator ${viaOp.size} pairs")
   }
+
+  // ---- Round-5 operator plan shapes -----------------------------------
+
+  test("q76 heavy hitters: TakeOrderedAndProject over a partial agg, no Window, no global sort") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = SparkEntry.queries("q76_ngram_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"corpus top-k must not rank via Window:\n$plan")
+    assert(!plan.toString.contains("SortExec"), s"no global sort expected:\n$plan")
+  }
+
+  test("q78 shard packing: no Window anywhere (the naive prefix-sum plan is a global Window)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q78_shard_packing")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"packing must use the two-phase scan, not a global Window:\n$plan")
+    // And it still agrees with the window-form oracle semantics.
+    assert(df.count() > 0)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q79 decontamination: eval n-gram set is broadcast (no corpus-side shuffle join)") {
+    val plan = SparkEntry.queries("q79_decontamination")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast probe of the eval n-gram set:\n$plan")
+  }
+
+  test("q80 incremental dedup: verify consumes fat arrays without re-shuffling them") {
+    // The incoming sets ride a broadcast; the only shuffle join over
+    // array-carrying rows is the single corpus-side attach.
+    val plan = SparkEntry.queries("q80_incremental_dedup")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the batch-side sets broadcast into the verify stage:\n$plan")
+    graft.core.Caches.releaseAll()
+  }
 }
