@@ -1213,6 +1213,30 @@ object SparkEntry {
           (coalesce(col("best_jaccard"), lit(0.0)) >= 0.8).as("is_dup"))
         .orderBy(col("doc_id"))
     }),
+    "q81_span_dedup" -> ((s, d) =>
+      // §2.11 cross-document repeated-span profile (exact-substring
+      // dedup signal, Lee et al. 2021): 6-token spans hashed scan-side,
+      // duplicated-span fraction per document. Shuffles only skinny
+      // (hash, id, count) tuples; the 47 planted near-duplicate docs
+      // in the fixture surface at dup_frac ~0.98 while organic docs
+      // stay low — the bimodal shape the operator exists to find.
+      graft.ops.SpanDedup.spanDedupStats(
+          documents(s, d), "text", "doc_id", k = 6, minDocs = 2, flagFrac = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
+    "q82_lm_perplexity" -> ((s, d) => {
+      // §2.11 CCNet-style statistical quality filter: add-1 smoothed
+      // bigram LM trained on the corpus, every document scored by mean
+      // negative log-prob under it (self-scoring — the model-fit use;
+      // scoreDocs equally scores held-out text via its unseen path).
+      // Per-bigram log-probs ride the 1e-6 grid as longs, so the
+      // DuckDB oracle recomputes avg_nll bit-for-bit.
+      val docs = documents(s, d)
+      val lm = graft.ops.LanguageModel.bigramLm(docs, "text", alpha = 1.0)
+      graft.ops.LanguageModel.scoreDocs(docs, lm, "text", "doc_id", alpha = 1.0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1891,5 +1915,49 @@ Hosts: %s
            COALESCE(m.bj, 0) >= 0.8 AS is_dup
          FROM documents d LEFT JOIN m ON d.doc_id = m.id_in
          WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""",
+    "q81_span_dedup" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         sp AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-5,0)+1),
+             i -> array_to_string(t[i:i+5], ' '))) AS s FROM toks),
+         pd AS (SELECT doc_id, s, count(*) AS c FROM sp GROUP BY 1, 2),
+         rep AS (SELECT s FROM pd GROUP BY s HAVING count(*) >= 2),
+         dup AS (SELECT doc_id, sum(c) AS dup_spans
+           FROM pd JOIN rep USING (s) GROUP BY 1),
+         tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
+         SELECT d.doc_id, COALESCE(tot.n_spans, 0) AS n_spans,
+           COALESCE(dup.dup_spans, 0) AS dup_spans,
+           round(COALESCE(dup.dup_spans * 1.0 / tot.n_spans, 0), 4) AS dup_frac,
+           round(COALESCE(dup.dup_spans * 1.0 / tot.n_spans, 0), 4) > 0.5 AS flagged
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN dup ON d.doc_id = dup.doc_id
+         ORDER BY d.doc_id""",
+    "q82_lm_perplexity" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+             i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b FROM toks),
+         db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS c
+           FROM bg GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, sum(c) AS c12 FROM db GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+           FROM (SELECT unnest(t) AS tk FROM toks)),
+         sc AS (SELECT db.doc_id,
+             sum(db.c * CAST(round_even(
+               -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) * 1000000, 0)
+               AS BIGINT)) AS s,
+             sum(db.c) AS n
+           FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+           GROUP BY db.doc_id)
+         SELECT d.doc_id, COALESCE(sc.n, 0) AS n_bigrams,
+           COALESCE(((2*sc.s + sc.n) // (2*sc.n)) / 1000000.0, 0) AS avg_nll
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
   )
 }

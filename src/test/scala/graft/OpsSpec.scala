@@ -439,4 +439,89 @@ class OpsSpec extends SparkSpec {
     assert(out(3L)._1 >= 2 && out(3L)._2)
     assert(out.size == 3)
   }
+
+  test("span dedup stats equal brute-force string computation (hash path is lossless)") {
+    import graft.ops.SpanDedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta iota kappa"), // shares a long prefix with 1
+      (3L, "completely different words about catalyst plans and shuffles here"),
+      (4L, "short doc")) // fewer than k tokens -> zero spans
+    val k = 3
+    val df = docs.toDF("doc_id", "text")
+    val out = SpanDedup.spanDedupStats(df, "text", "doc_id", k, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Brute force over the span STRINGS — the semantics the hashed
+    // plan claims; equality proves the hash path conflates nothing.
+    def spans(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(k).filter(_.length == k).map(_.mkString(" ")).toSeq
+    val all = docs.map { case (id, t) => id -> spans(t) }
+    val docsPerSpan = all.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    docs.foreach { case (id, t) =>
+      val ss = spans(t)
+      val dup = ss.count(s => docsPerSpan(s) >= 2)
+      assert(out(id) == ((ss.size.toLong, dup.toLong)),
+        s"doc $id: got ${out(id)}, want (${ss.size}, $dup)")
+    }
+    assert(out(4L) == ((0L, 0L)))
+  }
+
+  test("repeatedSpans inventory: distinct-doc count vs total occurrences") {
+    import graft.ops.SpanDedup
+    val df = Seq(
+      (1L, "x1 x2 x3 a b c x4 x5 x6 a b c"), // "a b c" twice within doc 1
+      (2L, "y1 y2 a b c y3"),
+      (3L, "z1 z2 z3 z4")).toDF("doc_id", "text")
+    val inv = SpanDedup.repeatedSpans(df, "text", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // Exactly one span ("a b c") crosses documents: 2 docs, 3 occurrences.
+    assert(inv.toSeq == Seq((2L, 3L)), s"inventory: ${inv.toSeq}")
+  }
+
+  test("bigram LM: hand-computed smoothed scores, incl. half-up micro rounding") {
+    import graft.ops.LanguageModel
+    val df = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LanguageModel.bigramLm(df, "text", alpha = 1.0)
+    // c12: (a,b)=2, (b,c)=1; heads: a=2, b=1; V=3.
+    val lmRows = lm.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // P(b|a) = 3/5 -> -ln = 0.51082562...; grid 510826 (rint).
+    assert(lmRows(("a", "b")) == ((2L, 2L, 3L, 510826L)))
+    // P(c|b) = 2/4 -> ln 2 = 0.69314718; grid 693147.
+    assert(lmRows(("b", "c")) == ((1L, 1L, 3L, 693147L)))
+    val scores = LanguageModel.scoreDocs(df, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(scores(1L) == ((1L, 0.510826)))
+    // doc 2 mean: (510826 + 693147) / 2 = 601986.5 -> half-up 601987.
+    assert(scores(2L) == ((2L, 0.601987)))
+  }
+
+  test("bigram LM: smoothed conditional distribution sums to 1 per observed head") {
+    import graft.ops.LanguageModel
+    val df = Seq((1L, "a b a c a b"), (2L, "b c d a")).toDF("doc_id", "text")
+    val lm = LanguageModel.bigramLm(df, "text", alpha = 1.0).collect()
+    val v = lm.head.getLong(4)
+    lm.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val c1 = rows.head.getLong(3).toDouble
+      val observed = rows.map(r => (r.getLong(2) + 1.0) / (c1 + v)).sum
+      val unseen = (v - rows.length) * 1.0 / (c1 + v)
+      assert(math.abs(observed + unseen - 1.0) < 1e-12)
+    }
+  }
+
+  test("bigram LM: unseen bigram and unseen head take the smoothed fallback") {
+    import graft.ops.LanguageModel
+    val train = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm = LanguageModel.bigramLm(train, "text", alpha = 1.0)
+    // "a a": seen head a (c1=2), unseen bigram -> P = 1/5, ln 5 grid 1609438.
+    // "c a": unseen head c -> P = 1/V = 1/3, ln 3 grid 1098612.
+    val heldOut = Seq((10L, "a a"), (11L, "c a")).toDF("doc_id", "text")
+    val scores = LanguageModel.scoreDocs(heldOut, lm, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(10L) == 1.609438)
+    assert(scores(11L) == 1.098612)
+  }
 }

@@ -363,4 +363,41 @@ class PlansSpec extends SparkSpec {
       s"expected the batch-side sets broadcast into the verify stage:\n$plan")
     graft.core.Caches.releaseAll()
   }
+
+  // Exchanges only exist after EnsureRequirements, and under AQE the
+  // executed plan hides them inside AdaptiveSparkPlanExec — so these
+  // shuffle-payload asserts momentarily disable AQE to read a plain
+  // exchange tree (the payload schema is identical either way).
+  private def exchangeOutputs(build: => org.apache.spark.sql.DataFrame)
+      : Seq[Seq[String]] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val key = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val plan = build.queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"))
+      plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name).toSeq }
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("q81 span dedup: no span text or document text ever enters a shuffle") {
+    val exchanges = exchangeOutputs(
+      SparkEntry.queries("q81_span_dedup")(spark, "/root/testdata/sf0.001"))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.exists(c => c == "__span" || c == "text"),
+        s"spans must be hashed scan-side before any shuffle; exchange carries $cols")
+    }
+  }
+
+  test("q82 LM perplexity: shuffles carry bigram halves at most, never document text") {
+    val exchanges = exchangeOutputs(
+      SparkEntry.queries("q82_lm_perplexity")(spark, "/root/testdata/sf0.001"))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.exists(c => c == "text" || c == "__bg"),
+        s"only (w1, w2, counts) may shuffle — exchange carries $cols")
+    }
+  }
 }
