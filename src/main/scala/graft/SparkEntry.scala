@@ -1237,6 +1237,24 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q83_temperature_mixture" -> ((s, d) => {
+      // §2.11 temperature-balanced language mixture (mC4/PaLM, T = 2,
+      // constant corpus size): the dominant 'en' slice is downsampled
+      // toward sqrt-proportions while minority languages hit the
+      // keep-all cap — both branches of the rate formula on real skew.
+      // Membership is the md5 16-bit draw, so DuckDB recomputes every
+      // count exactly.
+      val docs = documents(s, d)
+      val cuts = graft.ops.Sampling.temperatureCuts(
+        docs, "lang", temperature = 2.0, targetFraction = 1.0)
+      val after = graft.ops.Sampling.temperatureSample(
+          docs, "lang", col("doc_id"), "graft_mix_v1", cuts)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      cuts.join(after, cuts("source") === after("lang"), "left")
+        .select(cuts("source").as("lang"), col("n_docs"), col("cut"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1959,5 +1977,26 @@ Hosts: %s
            COALESCE(((2*sc.s + sc.n) // (2*sc.n)) / 1000000.0, 0) AS avg_nll
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
+    "q83_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         t AS (SELECT sum(n_docs) AS n FROM c),
+         w AS (SELECT c.lang, c.n_docs,
+             CAST(round_even(pow(c.n_docs * 1.0::DOUBLE / t.n, 0.5) * 1000000, 0)
+               AS BIGINT) AS wq,
+             CAST(round_even(1.0::DOUBLE * t.n, 0) AS BIGINT) AS ntarget
+           FROM c CROSS JOIN t),
+         ws AS (SELECT sum(wq) AS wsum FROM w),
+         cuts AS (SELECT lang, n_docs,
+             least(65536, (ntarget * wq * 65536) // (wsum * n_docs)) AS cut
+           FROM w CROSS JOIN ws),
+         samp AS (SELECT d.lang, count(*) AS n_sampled
+           FROM documents d JOIN cuts USING (lang)
+           WHERE cut >= 65536
+              OR substr(md5('graft_mix_v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                 < lpad(lower(hex(cut)), 4, '0')
+           GROUP BY 1)
+         SELECT cuts.lang, cuts.n_docs, cuts.cut,
+           COALESCE(samp.n_sampled, 0) AS n_sampled
+         FROM cuts LEFT JOIN samp USING (lang) ORDER BY lang""",
   )
 }

@@ -62,4 +62,83 @@ object Sampling {
       when(h < lit(hex4(cut)), lit(label)).otherwise(acc)
     }
   }
+
+  /** Exact integer floor-division (the SQL `div` operator; there is no
+    * `functions._` builder for it). Decimal inputs keep the products
+    * below exact — a double quotient would lose integer exactness past
+    * 2^53.
+    */
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** Per-source keep cuts for a temperature-balanced mixture (the
+    * multilingual/source rebalancing of mC4 and PaLM: sample source s
+    * proportionally to p_s^(1/T), flattening the corpus distribution
+    * toward uniform as T grows; T = 1 keeps natural proportions).
+    *
+    * Semantics: with n_s docs of source s out of N, the target sample
+    * holds `targetFraction * N` docs allocated by the normalized
+    * tempered weights; each source's keep RATE is that allocation over
+    * n_s, capped at 1 (this operator never upsamples). The rate is
+    * quantized to `cut` 1/65536 units compatible with [[hashSample]]'s
+    * md5 draw, so membership is stable, incremental, and recomputable
+    * by any engine.
+    *
+    * Cross-engine determinism: the tempered weight snaps to a 1e-6
+    * grid straight off `pow` (the only floating step); every later
+    * step — allocation, rate, cut — is exact integer arithmetic
+    * (decimal products + integral division), so no engine-specific
+    * rounding can move a cut by one unit.
+    *
+    * Scale shape: two tiny aggregations (source grain) and two one-row
+    * broadcasts; nothing source-grain ever shuffles document rows.
+    * Output: (source, n_docs, wq, cut).
+    */
+  def temperatureCuts(
+      docs: DataFrame,
+      sourceCol: String,
+      temperature: Double,
+      targetFraction: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(targetFraction > 0, s"targetFraction must be > 0, got $targetFraction")
+    val counts = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__n"))
+    val weighted = counts.crossJoin(broadcast(total))
+      .withColumn("wq",
+        rint(pow(col("n_docs").cast("double") / col("__n"),
+          lit(1.0 / temperature)) * lit(1000000.0)).cast("long"))
+      .withColumn("__ntarget",
+        rint(lit(targetFraction) * col("__n")).cast("long"))
+    val wsum = weighted.agg(sum(col("wq")).as("__wsum"))
+    weighted.crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_docs"), col("wq"),
+        least(lit(65536L),
+          intDiv(
+            col("__ntarget").cast("decimal(38,0)") * col("wq") * lit(65536L),
+            col("__wsum").cast("decimal(38,0)") * col("n_docs"))).as("cut"))
+  }
+
+  /** Filter `docs` to the mixture sample defined by [[temperatureCuts]]
+    * output: keep a row iff its 16-bit md5 draw falls below its
+    * source's cut (cut >= 65536 keeps everything — `lpad` of the
+    * 5-hex-digit 65536 would otherwise truncate the comparison). The
+    * cuts relation is source-grain, so it broadcasts; the corpus side
+    * is a map-only probe + filter.
+    */
+  def temperatureSample(
+      docs: DataFrame,
+      sourceCol: String,
+      key: Column,
+      salt: String,
+      cuts: DataFrame): DataFrame = {
+    val c = cuts.select(col("source").as("__mix_src"), col("cut").as("__mix_cut"))
+    docs.join(broadcast(c), docs(sourceCol) === col("__mix_src"))
+      .where(col("__mix_cut") >= lit(65536L) ||
+        hashHex16(key, salt) < lpad(lower(hex(col("__mix_cut"))), 4, "0"))
+      .drop("__mix_src", "__mix_cut")
+  }
 }

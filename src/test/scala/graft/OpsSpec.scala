@@ -524,4 +524,45 @@ class OpsSpec extends SparkSpec {
     assert(scores(10L) == 1.609438)
     assert(scores(11L) == 1.098612)
   }
+
+  test("temperature mixture: cuts match an exact BigInt mirror, sample matches an md5 mirror") {
+    import graft.ops.Sampling
+    val rows = (1L to 80L).map(i => (i, "heavy")) ++ (81L to 100L).map(i => (i, "light"))
+    val df = rows.toDF("doc_id", "src")
+    val cuts = Sampling.temperatureCuts(df, "src", temperature = 2.0, targetFraction = 1.0)
+    val got = cuts.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // Independent mirror of the documented semantics in BigInt.
+    val n = 100L
+    def wq(ns: Long): Long = math.rint(math.pow(ns.toDouble / n, 0.5) * 1e6).toLong
+    val (wH, wL) = (wq(80), wq(20))
+    def cut(w: Long, ns: Long): Long =
+      ((BigInt(n) * w * 65536) / (BigInt(wH + wL) * ns)).min(65536).toLong
+    assert(got("heavy") == ((80L, wH, cut(wH, 80))))
+    assert(got("light") == ((20L, wL, cut(wL, 20))))
+    assert(cut(wH, 80) < 65536 && cut(wL, 20) == 65536) // both branches live
+    // Sample membership: exactly the rows whose md5 16-bit draw clears
+    // their source's cut (mirrored with java MessageDigest).
+    def draw(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix_test$id".getBytes("UTF-8"))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val kept = Sampling.temperatureSample(df, "src", col("doc_id"), "mix_test", cuts)
+      .select("doc_id").as[Long].collect().toSet
+    val want = rows.collect {
+      case (id, "heavy") if draw(id) < f"${cut(wH, 80)}%04x" => id
+      case (id, "light") => id // capped source keeps everything
+    }.toSet
+    assert(kept == want)
+    assert(want.exists(_ <= 80) && !want.forall(_ <= 80))
+  }
+
+  test("temperature mixture: T=1 with exact grid proportions keeps natural sampling (all capped)") {
+    import graft.ops.Sampling
+    val rows = (1L to 80L).map(i => (i, "heavy")) ++ (81L to 100L).map(i => (i, "light"))
+    val cuts = Sampling.temperatureCuts(rows.toDF("doc_id", "src"), "src",
+      temperature = 1.0, targetFraction = 1.0)
+    assert(cuts.collect().map(_.getLong(3)).forall(_ == 65536L))
+  }
 }
