@@ -61,11 +61,14 @@ object LanguageModel {
     */
   def bigramLm(docs: DataFrame, textCol: String, alpha: Double = 1.0): DataFrame = {
     val (w1, w2) = bigramHalves(col("__bg"))
-    val bigrams = docs
+    // The head aggregation and the final join both consume the bigram
+    // counts; persist-track so the corpus explode runs once (release
+    // via Caches.releaseAll, the operator norm).
+    val bigrams = graft.core.Caches.persistTracked(docs
       .select(explode(TextAnalysis.ngrams(col(textCol), 2)).as("__bg"))
       .select(w1.as("w1"), w2.as("w2"))
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(count(lit(1)).as("c12")))
     val heads = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs
       .select(explode(Lexical.tokens(col(textCol))).as("__t"))
@@ -99,6 +102,10 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       alpha: Double = 1.0): DataFrame = {
+    // Three consumers below (pair join, head re-derivation, vocabulary
+    // aggregate) — persist-track so a non-persisted model plan (e.g.
+    // bigramLm built in the same query) is not recomputed per consumer.
+    val lmP = graft.core.Caches.persistTracked(lm)
     val (w1, w2) = bigramHalves(col("__bg"))
     val docBigrams = docs
       .select(col(idCol).as("id"),
@@ -109,10 +116,10 @@ object LanguageModel {
     // The model's v/c1 columns are NULL on the unseen paths after the
     // left joins; coalesce(v) from the broadcast one-row aggregate and
     // coalesce(c12/c1, 0) reconstruct the smoothed formula exactly.
-    val vocab = broadcast(lm.agg(first(col("v")).as("__v")))
-    val heads = lm.groupBy(col("w1")).agg(first(col("c1")).as("__c1"))
+    val vocab = broadcast(lmP.agg(first(col("v")).as("__v")))
+    val heads = lmP.groupBy(col("w1")).agg(first(col("c1")).as("__c1"))
     val scored = docBigrams
-      .join(lm.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"), "left")
+      .join(lmP.select(col("w1"), col("w2"), col("c12")), Seq("w1", "w2"), "left")
       .join(heads, Seq("w1"), "left")
       .crossJoin(vocab)
       .select(col("id"), col("__c"),

@@ -75,7 +75,11 @@ object SpanDedup {
       k: Int,
       minDocs: Int = 2,
       flagFrac: Double = 0.5): DataFrame = {
-    val perDoc = perDocSpanCounts(docs, textCol, idCol, k)
+    // Both the repeated-hash set and the probe join consume this
+    // relation; persist-track it so the explode + first aggregation
+    // run once (release via Caches.releaseAll, the operator norm).
+    val perDoc = graft.core.Caches.persistTracked(
+      perDocSpanCounts(docs, textCol, idCol, k))
     // Distinct-doc count per hash over the already-unique (id, __h)
     // grain; only the qualifying hashes flow into the probe join.
     val repeated = perDoc

@@ -66,7 +66,13 @@ object ScaleUp {
     }
 
     def write(df: DataFrame, name: String): Unit = {
-      df.drop("__r").write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      // Multi-file output: the single-file source collapses the
+      // replicated table into ONE partition -> ONE part file with ONE
+      // row group, which no byte-range split can parallelize — every
+      // downstream scan (and scan-side explode) would run on one core,
+      // misrepresenting the many-files layout any real corpus has.
+      df.drop("__r").repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
     }
 
