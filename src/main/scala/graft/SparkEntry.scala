@@ -1255,6 +1255,57 @@ object SparkEntry {
           coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
         .orderBy(col("lang"))
     }),
+    "q84_dup_components" -> ((s, d) => {
+      // §2.11 transitive duplicate grouping: near-dup similarity is not
+      // transitive, so the pair relation (q30's exact >= 0.8 Jaccard
+      // join) must be closed under connectivity before a keep/drop
+      // decision — A~B and B~C must land A, B, C in ONE cluster or the
+      // pipeline keeps two of the three. Iterative min-label
+      // propagation (one partial-agg shuffle per round, rounds bounded
+      // by cluster diameter ~2 for near-clique dup groups); every doc
+      // gets its cluster id, size, and the canonical-survivor verdict.
+      // The oracle recomputes the closure with a recursive CTE.
+      val docs = documents(s, d)
+      val pairs = Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8)
+      graft.ops.Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+        .orderBy(col("doc_id"))
+    }),
+    "q85_pii_redaction" -> ((s, d) => {
+      // §2.11 PII scrub: the synthetic corpus carries no organic PII,
+      // so the fixture text is BUILT deterministically from customer
+      // columns (emails from names, +CC-NNN-NNN-NNNN phones and
+      // dotted-quad IPs from custkey arithmetic, each present only on
+      // its own modulus so counts vary 0-2 per row and absent families
+      // exercise the no-match path), then scrubbed with the portable
+      // regex families — redaction and counts are map-only codegen'd
+      // regexp built-ins, and the oracle rebuilds the same text and
+      // mirrors the scrub with RE2.
+      val c = customer(s, d)
+      val key = col("c_custkey")
+      val email1 = concat(lower(regexp_replace(col("c_name"), lit("#"), lit("."))),
+        lit("@example.org"))
+      val email2 = concat(lit("ops."), key.cast("string"), lit("@corp.example.com"))
+      val phone = concat(lit("+"), (key % 89 + 1).cast("string"), lit("-"),
+        (key * 7 % 900 + 100).cast("string"), lit("-"),
+        (key * 13 % 900 + 100).cast("string"), lit("-"),
+        (key * 31 % 9000 + 1000).cast("string"))
+      val ip = concat(lit("10."), (key % 223).cast("string"), lit("."),
+        (key * 3 % 256).cast("string"), lit("."),
+        (key * 5 % 254 + 1).cast("string"))
+      val raw = concat(lit("note for "), col("c_name"),
+        lit(" segment "), col("c_mktsegment"),
+        when(key % 2 === 0, concat(lit(" contact "), email1)).otherwise(lit("")),
+        when(key % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+        when(key % 5 === 0, concat(lit(" host "), ip)).otherwise(lit("")),
+        when(key % 7 === 0, concat(lit(" cc "), email2)).otherwise(lit("")))
+      c.select(key.as("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          graft.ops.Pii.redactAll(col("raw")).as("redacted"),
+          graft.ops.Pii.countEmails(col("raw")).as("n_emails"),
+          graft.ops.Pii.countPhones(col("raw")).as("n_phones"),
+          graft.ops.Pii.countIpv4(col("raw")).as("n_ips"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1998,5 +2049,62 @@ Hosts: %s
          SELECT cuts.lang, cuts.n_docs, cuts.cut,
            COALESCE(samp.n_sampled, 0) AS n_sampled
          FROM cuts LEFT JOIN samp USING (lang) ORDER BY lang""",
+    "q84_dup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+               THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u),
+         comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+         sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+         SELECT comp.doc_id, comp.component, sz.cluster_size,
+           comp.doc_id = comp.component AS is_canonical
+         FROM comp JOIN sz USING (component)
+         ORDER BY comp.doc_id""",
+    "q85_pii_redaction" ->
+      """WITH raw AS (SELECT c_custkey,
+           'note for ' || c_name || ' segment ' || c_mktsegment
+           || CASE WHEN c_custkey % 2 = 0 THEN ' contact ' ||
+                lower(replace(c_name, '#', '.')) || '@example.org'
+              ELSE '' END
+           || CASE WHEN c_custkey % 3 = 0 THEN ' call +' ||
+                CAST(c_custkey % 89 + 1 AS VARCHAR) || '-' ||
+                CAST(c_custkey * 7 % 900 + 100 AS VARCHAR) || '-' ||
+                CAST(c_custkey * 13 % 900 + 100 AS VARCHAR) || '-' ||
+                CAST(c_custkey * 31 % 9000 + 1000 AS VARCHAR)
+              ELSE '' END
+           || CASE WHEN c_custkey % 5 = 0 THEN ' host 10.' ||
+                CAST(c_custkey % 223 AS VARCHAR) || '.' ||
+                CAST(c_custkey * 3 % 256 AS VARCHAR) || '.' ||
+                CAST(c_custkey * 5 % 254 + 1 AS VARCHAR)
+              ELSE '' END
+           || CASE WHEN c_custkey % 7 = 0 THEN ' cc ops.' ||
+                CAST(c_custkey AS VARCHAR) || '@corp.example.com'
+              ELSE '' END AS raw
+           FROM customer)
+         SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+\d{1,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+           len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(raw,
+             '\+\d{1,3}-\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(raw,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+         FROM raw ORDER BY c_custkey""",
   )
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a duplicate-pair relation — the step that
+  * turns the pair-emitting dedup family ([[Dedup.jaccardJoinExact]],
+  * [[Dedup.nearDuplicates]], [[Dedup.simhashNearDuplicates]], …) into an
+  * actionable keep/drop decision: every document gets a cluster id (the
+  * minimum doc id reachable through duplicate edges), and one canonical
+  * document per cluster survives. Transitivity matters: near-duplicate
+  * similarity is not transitive, so A~B and B~C pairs (without an A~C
+  * pair) must still land A, B, C in one cluster or the pipeline keeps
+  * two of the three.
+  *
+  * Algorithm: iterative min-label propagation. Each round every vertex
+  * takes the minimum label among itself and its neighbors — one
+  * self-join-shaped shuffle per round, no driver-side graph state, so it
+  * scales horizontally. A round with zero label changes is the fixpoint;
+  * convergence needs at most `diameter` rounds, and duplicate clusters
+  * are near-cliques (banded candidate generation plus a verify threshold
+  * produce dense local neighborhoods), so 2–3 rounds are typical. The
+  * published large-star/small-star variant (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC 2014) converges in
+  * O(log n) rounds on adversarially long paths and is the drop-in
+  * upgrade if a corpus ever produces deep chains; plain propagation is
+  * chosen here because its per-round cost is one shuffle of the edge
+  * relation with no degree skew amplification.
+  *
+  * Reference behavior: kfai's dedup keeps one row per exact-hash group
+  * (the reference has no transitive near-dup grouping — this operator is
+  * part of the §2.11 training-pipeline extension surface).
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by `pairs`.
+    *
+    * @param pairs one row per undirected edge; self-loops and duplicate
+    *              edges are tolerated (they are no-ops)
+    * @param aCol  left endpoint column name
+    * @param bCol  right endpoint column name
+    * @param maxIter hard cap on propagation rounds (safety net — the
+    *                loop exits as soon as a round changes no label)
+    * @return (id, component): one row per distinct endpoint, component =
+    *         min reachable id. Vertices not present in `pairs` are the
+    *         caller's to handle (they are their own singleton component;
+    *         see q84 for the left-join idiom).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    // Symmetric edge relation, one direction per row. Persisted: it is
+    // re-joined every round.
+    val edges = graft.core.Caches.persistTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+
+    var labels = graft.core.Caches.persistTracked(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Neighbor labels: for each edge (src, dst), dst receives src's
+      // current label. groupBy-min folds self + neighbors in one
+      // partial-aggregating shuffle (map-side combine keeps the
+      // shuffled volume at one row per (vertex, distinct label)).
+      val next = graft.core.Caches.persistTracked(
+        edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), col("component"))
+          .union(labels)
+          .groupBy(col("id"))
+          .agg(min(col("component")).as("component")))
+      // Fixpoint check: any vertex whose label still shrinks? This is
+      // one bounded action per round (limit-1 under the hood), and the
+      // round count is bounded by the cluster diameter — tiny for
+      // near-dup graphs.
+      converged = next.join(labels.withColumnRenamed("component", "__prev"), "id")
+        .where(col("component") =!= col("__prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Per-document dedup decision over a full corpus: every document of
+    * `docs` mapped to its duplicate cluster (singletons keep their own
+    * id), with the cluster size and the keep/drop verdict
+    * (`is_canonical` = lowest id in the cluster). This is the relation a
+    * training pipeline writes back — filter `is_canonical` to
+    * deduplicate, or keep the full mapping for provenance.
+    */
+  def dedupClusters(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val assigned = docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+    val sizes = assigned.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"),
+        (col(idCol) === col("component")).as("is_canonical"))
+  }
+}

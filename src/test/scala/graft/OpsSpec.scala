@@ -565,4 +565,57 @@ class OpsSpec extends SparkSpec {
       temperature = 1.0, targetFraction = 1.0)
     assert(cuts.collect().map(_.getLong(3)).forall(_ == 65536L))
   }
+
+  test("PII redaction: all three families scrubbed, counts match, clean text untouched") {
+    import graft.ops.Pii
+    val df = Seq(
+      (1L, "mail a.b_c%x+1@sub.example.org and 10.0.0.1 plus +44-123-456-7890 end"),
+      (2L, "two mails x@y.io and z@w.co but version 1.2 is not an ip"),
+      (3L, "no pii here, just words and numbers 12345"),
+      (4L, "edge 999.999.999.999 still scrubbed; 1.2.3.4.5 leaves a tail")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), Pii.redactAll(col("text")).as("r"),
+        Pii.countEmails(col("text")).as("e"), Pii.countPhones(col("text")).as("p"),
+        Pii.countIpv4(col("text")).as("i"))
+      .as[(Long, String, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "mail <EMAIL> and <IP> plus <PHONE> end")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5) == ((1, 1, 1)))
+    assert(out(2L)._2 == "two mails <EMAIL> and <EMAIL> but version 1.2 is not an ip")
+    assert((out(2L)._3, out(2L)._4, out(2L)._5) == ((2, 0, 0)))
+    assert(out(3L)._2 == "no pii here, just words and numbers 12345")
+    // Syntactic dotted-quad: out-of-range octets still scrubbed (safe
+    // direction); a 5-part run leaves the un-matched tail.
+    assert(out(4L)._2 == "edge <IP> still scrubbed; <IP>.5 leaves a tail")
+    assert((out(4L)._3, out(4L)._4, out(4L)._5) == ((0, 0, 2)))
+  }
+
+  test("connected components: chain closes transitively, disjoint pairs stay apart") {
+    import graft.ops.Components
+    // 1-2, 2-3, 3-4 is a path (diameter 3 — exercises multi-round
+    // propagation, not just the one-hop case); 10-11 is disjoint;
+    // 20-20 is a self-loop no-op; (5,2) duplicate-edge direction mixes.
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L), (2L, 5L))
+      .toDF("a", "b")
+    val comps = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(!comps.contains(20L)) // self-loop vertex has no real edge
+  }
+
+  test("dedup clusters: every doc assigned, singletons canonical, sizes correct") {
+    import graft.ops.Components
+    val docs = (1L to 8L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Components.dedupClusters(docs, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 3L, true)) && out(2L) == ((1L, 3L, false))
+      && out(3L) == ((1L, 3L, false)))
+    assert(out(5L) == ((5L, 2L, true)) && out(6L) == ((5L, 2L, false)))
+    Seq(4L, 7L, 8L).foreach(i => assert(out(i) == ((i, 1L, true))))
+    // keep/drop semantics: filtering is_canonical yields exactly one
+    // survivor per cluster plus every singleton.
+    assert(out.count(_._2._3) == 5)
+  }
 }
