@@ -1306,6 +1306,18 @@ object SparkEntry {
           graft.ops.Pii.countIpv4(col("raw")).as("n_ips"))
         .orderBy(col("c_custkey"))
     }),
+    "q86_quality_funnel" -> ((s, d) => {
+      // §2.11 quality-filter funnel: ordered Gopher-style rules, every
+      // dropped doc attributed to the FIRST rule it failed (so per-rule
+      // counts sum to the drop total — the datasheet a pipeline
+      // publishes). Verdicts are one map-only codegen'd projection with
+      // integer-exact thresholds (cross-multiplied, no float ratios),
+      // so the oracle pins every per-doc verdict.
+      val docs = documents(s, d)
+      graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
+          graft.ops.QualityFilter.gopherRules(col("text")))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2106,5 +2118,22 @@ Hosts: %s
            len(regexp_extract_all(raw,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
          FROM raw ORDER BY c_custkey""",
+    "q86_quality_funnel" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         st AS (SELECT doc_id, len(t) AS n,
+           length(array_to_string(t, '')) AS sl,
+           len(list_filter(t,
+             x -> x IN ('the','a','of','to','and','in','is','it'))) AS sw
+           FROM toks),
+         v AS (SELECT doc_id, n,
+           CASE WHEN n < 15 THEN 'too_short'
+                WHEN sl*10 < 30*n OR sl*10 > 80*n THEN 'word_length'
+                WHEN sw < 2 THEN 'low_stopword'
+                ELSE 'pass' END AS verdict
+           FROM st)
+         SELECT doc_id, n AS n_words, verdict, verdict = 'pass' AS passed
+         FROM v ORDER BY doc_id""",
   )
 }

@@ -63,7 +63,19 @@ object Components {
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("component")))
 
-    var converged = false
+    // Fixpoint detection: labels only ever DECREASE (monotone min over
+    // a fixed vertex set), so the label sum strictly decreases iff any
+    // vertex changed this round — one scalar aggregate per round
+    // instead of a compare-join, and (unlike a limit-1 emptiness probe,
+    // which caches only the partitions it touches) the full-scan
+    // aggregate materializes the round's persisted labels completely,
+    // so the next round never recomputes the propagation join.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // null = empty graph
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum.signum == 0 // empty edge set: nothing to do
     var iter = 0
     while (!converged && iter < maxIter) {
       // Neighbor labels: for each edge (src, dst), dst receives src's
@@ -76,13 +88,9 @@ object Components {
           .union(labels)
           .groupBy(col("id"))
           .agg(min(col("component")).as("component")))
-      // Fixpoint check: any vertex whose label still shrinks? This is
-      // one bounded action per round (limit-1 under the hood), and the
-      // round count is bounded by the cluster diameter — tiny for
-      // near-dup graphs.
-      converged = next.join(labels.withColumnRenamed("component", "__prev"), "id")
-        .where(col("component") =!= col("__prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality filtering with per-rule drop attribution
+  * — the "filter funnel" a training-data pipeline publishes alongside
+  * its corpus (the practice popularized by the Gopher/MassiveText rules
+  * and carried into C4/Dolma-style pipelines: ordered heuristic rules,
+  * every dropped document attributed to the FIRST rule it failed, so
+  * the per-rule counts sum to the drop total and a rule change has a
+  * visible, attributable effect).
+  *
+  * Rules are plain boolean `Column`s, so the whole verdict is one
+  * map-only codegen'd projection over the corpus scan — no shuffle, no
+  * UDFs; the only exchange in a funnel report is the tiny per-verdict
+  * count aggregation. The built-in rules use integer-exact arithmetic
+  * (cross-multiplied thresholds instead of ratios) so an oracle can pin
+  * every verdict without float drift.
+  */
+object QualityFilter {
+
+  /** One named rule: `fails` is TRUE when the document should drop. */
+  final case class Rule(name: String, fails: Column)
+
+  /** First-failing-rule verdict: the name of the first rule (in order)
+    * whose predicate fires, else "pass".
+    */
+  def verdict(rules: Seq[Rule]): Column =
+    rules.foldRight(lit("pass")) { (r, rest) =>
+      when(r.fails, lit(r.name)).otherwise(rest)
+    }
+
+  /** Gopher-style length/lexical rules over the standard whitespace
+    * tokenization ([[Lexical.tokens]]), integer-exact:
+    *  - too_short: fewer than `minWords` tokens;
+    *  - word_length: mean token length outside [minMeanLen10, maxMeanLen10]
+    *    tenths (10 * sum_len vs threshold * n cross-multiplication);
+    *  - low_stopword: fewer than `minStopwords` stopword occurrences
+    *    (the has-natural-function-words signal).
+    */
+  def gopherRules(
+      textCol: Column,
+      minWords: Int = 15,
+      minMeanLen10: Int = 30,
+      maxMeanLen10: Int = 80,
+      minStopwords: Int = 2,
+      stopwords: Seq[String] =
+        Seq("the", "a", "of", "to", "and", "in", "is", "it")): Seq[Rule] = {
+    val toks = Lexical.tokens(textCol)
+    val nWords = size(toks)
+    // Total token chars via join-empty: exact, and cheaper than an
+    // aggregate-HOF fold (single pass, codegen'd concat).
+    val sumLen = length(concat_ws("", toks))
+    val stops = size(filter(toks, t => t.isInCollection(stopwords)))
+    Seq(
+      Rule("too_short", nWords < minWords),
+      Rule("word_length",
+        sumLen * 10 < lit(minMeanLen10) * nWords ||
+          sumLen * 10 > lit(maxMeanLen10) * nWords),
+      Rule("low_stopword", stops < minStopwords))
+  }
+
+  /** Per-document funnel verdict: (id, n_words, verdict, passed). The
+    * relation a pipeline writes for provenance; filter `passed` to
+    * apply, group by `verdict` for the published funnel report.
+    */
+  def funnel(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      rules: Seq[Rule]): DataFrame =
+    df.select(col(idCol),
+      size(Lexical.tokens(col(textCol))).as("n_words"),
+      verdict(rules).as("verdict"))
+      .withColumn("passed", col("verdict") === "pass")
+
+  /** Aggregated funnel report: one row per verdict with its document
+    * count — the numbers that go in the datasheet.
+    */
+  def funnelReport(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      rules: Seq[Rule]): DataFrame =
+    funnel(df, textCol, idCol, rules)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n_docs"))
+}

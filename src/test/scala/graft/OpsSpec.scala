@@ -589,6 +589,36 @@ class OpsSpec extends SparkSpec {
     assert((out(4L)._3, out(4L)._4, out(4L)._5) == ((0, 0, 2)))
   }
 
+  test("quality funnel: first-failing-rule attribution, hand-computed verdicts") {
+    import graft.ops.QualityFilter
+    val stopsHeavy =
+      "the quick brown fox jumps over the lazy dog and it is a sunny day in autumn weather"
+    val df = Seq(
+      (1L, stopsHeavy),                                    // pass: 18 words, mean len 66/18, many stopwords
+      (2L, "tiny doc"),                                    // too_short (2 words)
+      // 16 single-char words: passes length count, mean len 1.0 < 3.0
+      (3L, Seq.fill(16)("x").mkString(" ")),               // word_length
+      // 16 normal words, zero stopwords
+      (4L, Seq.fill(16)("spark").mkString(" ")),           // low_stopword
+      // too_short AND word_length: attribution goes to the FIRST rule
+      (5L, "x y")
+    ).toDF("doc_id", "text")
+    val out = QualityFilter.funnel(df, "text", "doc_id",
+        QualityFilter.gopherRules(col("text")))
+      .as[(Long, Int, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == "pass" && out(1L)._4)
+    assert(out(2L)._3 == "too_short" && !out(2L)._4)
+    assert(out(3L)._3 == "word_length")
+    assert(out(4L)._3 == "low_stopword")
+    assert(out(5L)._3 == "too_short") // first failing rule wins
+    assert(out(1L)._2 == 18)
+    val report = QualityFilter.funnelReport(df, "text", "doc_id",
+        QualityFilter.gopherRules(col("text")))
+      .as[(String, Long)].collect().toMap
+    assert(report == Map("pass" -> 1L, "too_short" -> 2L,
+      "word_length" -> 1L, "low_stopword" -> 1L))
+  }
+
   test("connected components: chain closes transitively, disjoint pairs stay apart") {
     import graft.ops.Components
     // 1-2, 2-3, 3-4 is a path (diameter 3 — exercises multi-round
