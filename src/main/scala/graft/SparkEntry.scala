@@ -1318,6 +1318,22 @@ object SparkEntry {
           graft.ops.QualityFilter.gopherRules(col("text")))
         .orderBy(col("doc_id"))
     }),
+    "q87_leakage_safe_split" -> ((s, d) => {
+      // §2.11 leakage-safe split: train/val/test membership hashed on
+      // the duplicate CLUSTER id (q84's transitive closure), not the
+      // doc id — a near-duplicate pair split across train and test is
+      // eval contamination, and the per-doc q75 split cannot rule it
+      // out. `would_leak` marks the docs whose naive per-id draw lands
+      // outside their cluster's split — the contamination this operator
+      // removes (nonzero on this corpus; the oracle recomputes every
+      // row from the recursive closure + md5 draws).
+      val docs = documents(s, d)
+      val pairs = Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8)
+      graft.ops.Components.leakageSafeSplit(docs, "doc_id", pairs,
+          "id_a", "id_b", "graft_v1",
+          Seq("train" -> 52429, "val" -> 58982, "test" -> 65536))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2135,5 +2151,38 @@ Hosts: %s
            FROM st)
          SELECT doc_id, n AS n_words, verdict, verdict = 'pass' AS passed
          FROM v ORDER BY doc_id""",
+    "q87_leakage_safe_split" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+               THEN 0.0
+             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
+                  / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u),
+         comp AS (SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+         sp AS (SELECT doc_id, component,
+           CASE WHEN substr(md5('graft_v1' || CAST(component AS VARCHAR)), 1, 4)
+                  < 'cccd' THEN 'train'
+                WHEN substr(md5('graft_v1' || CAST(component AS VARCHAR)), 1, 4)
+                  < 'e666' THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN substr(md5('graft_v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < 'cccd' THEN 'train'
+                WHEN substr(md5('graft_v1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < 'e666' THEN 'val'
+                ELSE 'test' END AS naive
+           FROM comp)
+         SELECT doc_id, component, split, naive <> split AS would_leak
+         FROM sp ORDER BY doc_id""",
   )
 }

@@ -122,4 +122,32 @@ object Components {
       .select(col(idCol), col("component"), col("cluster_size"),
         (col(idCol) === col("component")).as("is_canonical"))
   }
+
+  /** Leakage-safe deterministic split: assign train/val/test by
+    * DUPLICATE CLUSTER, not by document, so near-duplicates can never
+    * straddle a split boundary — the contamination path a per-document
+    * hash split leaves open (a train doc's near-twin landing in test
+    * inflates eval). `would_leak` marks the documents whose naive
+    * per-id split disagrees with their cluster's split — exactly the
+    * docs this operator rescues.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      salt: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .select(col(idCol), col("component"),
+        Sampling.assignSplit(col("component"), salt, cuts).as("split"))
+      .withColumn("would_leak",
+        Sampling.assignSplit(col(idCol), salt, cuts) =!= col("split"))
+  }
 }

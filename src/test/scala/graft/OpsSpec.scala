@@ -633,6 +633,31 @@ class OpsSpec extends SparkSpec {
     assert(!comps.contains(20L)) // self-loop vertex has no real edge
   }
 
+  test("leakage-safe split: cluster members share a split, singletons never leak") {
+    import graft.ops.Components
+    val docs = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // Two multi-doc clusters spread over ids whose naive draws differ.
+    val pairs = Seq((1L, 12L), (12L, 23L), (5L, 30L)).toDF("id_a", "id_b")
+    val out = Components.leakageSafeSplit(docs, "doc_id", pairs, "id_a", "id_b",
+        "graft_v1", Seq("train" -> 52429, "val" -> 58982, "test" -> 65536))
+      .as[(Long, Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    // Every member of a cluster carries the cluster's split.
+    assert(Seq(1L, 12L, 23L).map(out(_)._3).distinct.size == 1)
+    assert(Seq(5L, 30L).map(out(_)._3).distinct.size == 1)
+    // Singletons: component = self, so naive draw = cluster draw.
+    (1L to 40L).filterNot(Seq(1L, 12L, 23L, 5L, 30L).contains)
+      .foreach(i => assert(out(i)._2 == i && !out(i)._4))
+    // would_leak is exactly naive-differs-from-cluster membership.
+    val mirror = (id: Long) => {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft_v1$id".getBytes("UTF-8"))
+      val h = d.take(2).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "cccd") "train" else if (h < "e666") "val" else "test"
+    }
+    Seq(1L, 12L, 23L).foreach(i => assert(out(i)._4 == (mirror(i) != mirror(1L))))
+    Seq(5L, 30L).foreach(i => assert(out(i)._4 == (mirror(i) != mirror(5L))))
+  }
+
   test("dedup clusters: every doc assigned, singletons canonical, sizes correct") {
     import graft.ops.Components
     val docs = (1L to 8L).map(i => (i, s"text $i")).toDF("doc_id", "text")
