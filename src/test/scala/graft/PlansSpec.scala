@@ -400,4 +400,34 @@ class PlansSpec extends SparkSpec {
         s"only (w1, w2, counts) may shuffle — exchange carries $cols")
     }
   }
+
+  test("q85 PII / q86 funnel: map-only verdicts — no join, no Window, only the output sort shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q85_pii_redaction", "q86_quality_funnel")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.sparkPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty, s"$q: no Window:\n$plan")
+      assert(!plan.toString.contains("Join"), s"$q must not join:\n$plan")
+      val ex = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size <= 1, s"$q: only the deterministic output sort may shuffle:\n$plan")
+    }
+  }
+
+  test("q84/q87 closures: no cartesian product, no Window; doc text stays out of the CC loop") {
+    // The iterative propagation runs at action time, so the static plan
+    // covers the pair source + final assembly: pair generation must be
+    // the prefix-filtered join (no all-pairs), and no text column may
+    // survive into the component/split joins.
+    for (q <- Seq("q84_dup_components", "q87_leakage_safe_split")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.sparkPlan
+      assert(!plan.toString.contains("CartesianProduct"), s"$q:\n$plan")
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$q: no Window:\n$plan")
+      assert(df.count() > 0)
+      graft.core.Caches.releaseAll()
+    }
+  }
 }
