@@ -74,8 +74,11 @@ object Components {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // null = empty graph
     }
-    var prevSum = labelSum(labels)
-    var converged = prevSum.signum == 0 // empty edge set: nothing to do
+    // Null sentinel: round 1 always runs, so no separate priming job is
+    // needed (negative ids make every numeric sentinel collidable). An
+    // empty edge set converges after two trivial empty-relation rounds.
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // Neighbor labels: for each edge (src, dst), dst receives src's
@@ -89,7 +92,7 @@ object Components {
           .groupBy(col("id"))
           .agg(min(col("component")).as("component")))
       val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       iter += 1
