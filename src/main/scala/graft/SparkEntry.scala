@@ -1334,6 +1334,19 @@ object SparkEntry {
           Seq("train" -> 52429, "val" -> 58982, "test" -> 65536))
         .orderBy(col("doc_id"))
     }),
+    "q88_semantic_clusters" -> ((s, d) => {
+      // §2.11 SemDeDup-style semantic dedup: duplicate clusters over
+      // embedding-cosine pairs (q59's blocked exact form — the LSH
+      // bucket replaces the block at corpus scale) closed under
+      // connectivity, one canonical doc kept per semantic group. Same
+      // closure operator as q84 on a completely different pair family;
+      // the oracle recomputes pairs with list_cosine_similarity and
+      // the closure with the recursive CTE.
+      val emb = embeddings(s, d)
+      val pairs = Dedup.embeddingNearDuplicates(emb, "embedding", "vec_id", "label", 0.4)
+      graft.ops.Components.dedupClusters(emb, "vec_id", pairs, "id_a", "id_b")
+        .orderBy(col("vec_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2184,5 +2197,23 @@ Hosts: %s
            FROM comp)
          SELECT doc_id, component, split, naive <> split AS would_leak
          FROM sp ORDER BY doc_id""",
+    "q88_semantic_clusters" ->
+      """WITH RECURSIVE p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach(v, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u),
+         comp AS (SELECT v AS vec_id, min(r) AS component FROM reach GROUP BY v),
+         sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+         SELECT comp.vec_id, comp.component, sz.cluster_size,
+           comp.vec_id = comp.component AS is_canonical
+         FROM comp JOIN sz USING (component)
+         ORDER BY comp.vec_id""",
   )
 }

@@ -419,7 +419,8 @@ class PlansSpec extends SparkSpec {
     // covers the pair source + final assembly: pair generation must be
     // the prefix-filtered join (no all-pairs), and no text column may
     // survive into the component/split joins.
-    for (q <- Seq("q84_dup_components", "q87_leakage_safe_split")) {
+    for (q <- Seq("q84_dup_components", "q87_leakage_safe_split",
+        "q88_semantic_clusters")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       val plan = df.queryExecution.sparkPlan
       assert(!plan.toString.contains("CartesianProduct"), s"$q:\n$plan")
