@@ -13,19 +13,22 @@ import org.apache.spark.sql.functions._
   * pair) must still land A, B, C in one cluster or the pipeline keeps
   * two of the three.
   *
-  * Algorithm: iterative min-label propagation. Each round every vertex
-  * takes the minimum label among itself and its neighbors — one
-  * self-join-shaped shuffle per round, no driver-side graph state, so it
-  * scales horizontally. A round with zero label changes is the fixpoint;
-  * convergence needs at most `diameter` rounds, and duplicate clusters
-  * are near-cliques (banded candidate generation plus a verify threshold
-  * produce dense local neighborhoods), so 2–3 rounds are typical. The
-  * published large-star/small-star variant (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC 2014) converges in
-  * O(log n) rounds on adversarially long paths and is the drop-in
-  * upgrade if a corpus ever produces deep chains; plain propagation is
-  * chosen here because its per-round cost is one shuffle of the edge
-  * relation with no degree skew amplification.
+  * Algorithm: iterative min-label propagation, escalating to pointer
+  * jumping. Each round every vertex takes the minimum label among
+  * itself and its neighbors — one shuffle of the edge relation.
+  * Duplicate clusters are near-cliques (banded candidates plus a verify
+  * threshold produce dense neighborhoods), so 2–3 such rounds are
+  * typical; a graph still unconverged after them is chain-shaped, and
+  * later rounds add pointer jumping (label := label-of-label, a
+  * self-join of the vertex-sized label relation) so reachable distance
+  * doubles per round — a ~200-hop path still converges inside the
+  * default `maxIter` of 10, and deeper chains just need a higher cap.
+  * The published large-star/small-star variant (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014)
+  * additionally bounds per-vertex degree growth and remains the upgrade
+  * path for graphs with extreme-degree hubs. No driver-side graph state
+  * anywhere — every step is a DataFrame join/aggregate, horizontally
+  * scalable.
   *
   * Reference behavior: kfai's dedup keeps one row per exact-hash group
   * (the reference has no transitive near-dup grouping — this operator is
@@ -80,17 +83,43 @@ object Components {
     var prevSum: java.math.BigDecimal = null
     var converged = false
     var iter = 0
+    // Rounds before pointer jumping engages: diameter-2 graphs (the
+    // near-clique dup case) converge inside these and never pay the
+    // jump; with the default cap the jump rounds then cover a ~200-hop
+    // chain (reach ~ (plain+1)·2^k) — raise maxIter for deeper paths.
+    val plainRounds = 3
     while (!converged && iter < maxIter) {
       // Neighbor labels: for each edge (src, dst), dst receives src's
       // current label. groupBy-min folds self + neighbors in one
       // partial-aggregating shuffle (map-side combine keeps the
       // shuffled volume at one row per (vertex, distinct label)).
-      val next = graft.core.Caches.persistTracked(
-        edges.join(labels, edges("src") === labels("id"))
-          .select(edges("dst").as("id"), col("component"))
-          .union(labels)
-          .groupBy(col("id"))
-          .agg(min(col("component")).as("component")))
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("component"))
+        .union(labels)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+      // Near-dup clusters are near-cliques: almost every graph
+      // converges within the first plain rounds, which cost one shuffle
+      // each. A graph still unconverged after them is chain-shaped, so
+      // later rounds add POINTER JUMPING — compress each label through
+      // its own label (every label IS a vertex id) so reach doubles per
+      // round and a ~500-hop path still fits the default cap. The jump
+      // self-join references the round's relation twice, which would
+      // double the carried logical plan per round (2^rounds nodes — an
+      // analyzer blow-up); localCheckpoint (eager) cuts the plan to an
+      // RDD leaf, and only these rare deep rounds pay its
+      // materialization cost.
+      val next =
+        if (iter < plainRounds) graft.core.Caches.persistTracked(propagated)
+        else {
+          val p = propagated.localCheckpoint()
+          val lookup = p.select(col("id").as("__lid"), col("component").as("__lcomp"))
+          p.join(lookup, p("component") === col("__lid"), "left")
+            .select(p("id"),
+              least(p("component"), coalesce(col("__lcomp"), p("component")))
+                .as("component"))
+            .localCheckpoint()
+        }
       val s = labelSum(next)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s

@@ -633,6 +633,18 @@ class OpsSpec extends SparkSpec {
     assert(!comps.contains(20L)) // self-loop vertex has no real edge
   }
 
+  test("connected components: 200-hop path converges within the default round cap") {
+    import graft.ops.Components
+    // Plain min-propagation would need 200 rounds (one hop each);
+    // pointer jumping doubles reach per round, so the default
+    // maxIter=10 must suffice — and the worst-placed vertex (the far
+    // end) must still land on the minimum id.
+    val path = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Components.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == 200 && comps.values.forall(_ == 1L))
+  }
+
   test("leakage-safe split: cluster members share a split, singletons never leak") {
     import graft.ops.Components
     val docs = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
