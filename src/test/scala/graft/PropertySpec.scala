@@ -157,4 +157,29 @@ class PropertySpec extends SparkSpec {
       assert(exact == brute, s"round $round t=$t: ${exact.diff(brute)} / ${brute.diff(exact)}")
     }
   }
+
+  test("property: connected components == union-find on random graphs") {
+    import graft.ops.Components
+    val rnd = new Random(41)
+    for (round <- 0 until 3) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+      }.filter { case (a, b) => a != b }
+      // Reference: path-compressed union-find, then min-id per root.
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val want = parent.keys.toSeq
+        .groupBy(find).flatMap { case (_, vs) => vs.map(_ -> vs.min) }
+      val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"round $round: $n edges")
+    }
+  }
 }
