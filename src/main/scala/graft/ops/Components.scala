@@ -108,7 +108,9 @@ object Components {
       // double the carried logical plan per round (2^rounds nodes — an
       // analyzer blow-up); localCheckpoint (eager) cuts the plan to an
       // RDD leaf, and only these rare deep rounds pay its
-      // materialization cost.
+      // materialization cost. Checkpointed round RDDs are vertex-sized
+      // and are reclaimed by the ContextCleaner once the loop's
+      // references drop (they are not in the Caches registry).
       val next =
         if (iter < plainRounds) graft.core.Caches.persistTracked(propagated)
         else {
