@@ -103,7 +103,7 @@ object Components {
       // each. A graph still unconverged after them is chain-shaped, so
       // later rounds add POINTER JUMPING — compress each label through
       // its own label (every label IS a vertex id) so reach doubles per
-      // round and a ~500-hop path still fits the default cap. The jump
+      // round and a ~200-hop path still fits the default cap. The jump
       // self-join references the round's relation twice, which would
       // double the carried logical plan per round (2^rounds nodes — an
       // analyzer blow-up); localCheckpoint (eager) cuts the plan to an
@@ -146,10 +146,14 @@ object Components {
       bCol: String): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
-    val assigned = docs.select(col(idCol))
-      .join(comps, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("component"), col(idCol)).as("component"))
+    // Persisted: both the size aggregation and the final join consume
+    // this corpus-sized (id, component) relation — one id-only scan of
+    // the store instead of two.
+    val assigned = graft.core.Caches.persistTracked(
+      docs.select(col(idCol))
+        .join(comps, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("component"), col(idCol)).as("component")))
     val sizes = assigned.groupBy(col("component"))
       .agg(count(lit(1)).as("cluster_size"))
     assigned.join(sizes, Seq("component"))
