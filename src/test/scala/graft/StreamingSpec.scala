@@ -183,4 +183,32 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Double)].collect().toSet
     assert(back == Set(("v1", 0.0), ("v1", 10.0), ("v2", 0.0)))
   }
+
+  test("PII scrub and quality funnel run unchanged inside a stream (map-only, no state)") {
+    // A stream-ingest pipeline scrubs and filters BEFORE landing
+    // anything — both operators must be pure row-wise projections so
+    // they attach to a streaming source with no watermark, state store,
+    // or output-mode constraints. This pins that property: a stateful
+    // or otherwise stream-illegal construct would fail query analysis
+    // here, not in production.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val rules = graft.ops.QualityFilter.gopherRules(col("text"))
+    val out = df.select(col("doc_id"),
+      graft.ops.Pii.redactAll(col("text")).as("redacted"),
+      graft.ops.Pii.countEmails(col("text")).as("n_emails"),
+      graft.ops.QualityFilter.verdict(rules).as("verdict"))
+    input.addData(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a sunny day in autumn weather write me at a@b.io"),
+      (2L, "tiny doc"))
+    val q = out.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("pii_stream")
+      .as[(Long, String, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2.endsWith("write me at <EMAIL>") && got(1L)._3 == 1)
+    assert(got(1L)._4 == "pass")
+    assert(got(2L)._4 == "too_short" && got(2L)._3 == 0)
+  }
 }
