@@ -1347,6 +1347,29 @@ object SparkEntry {
       graft.ops.Components.dedupClusters(emb, "vec_id", pairs, "id_a", "id_b")
         .orderBy(col("vec_id"))
     }),
+    "q89_embedding_quantization" -> ((s, d) => {
+      // §2.11 int8 embedding quantization (symmetric absmax, SQ8-style):
+      // 4x storage/bandwidth on the vector store — at 100 TB the
+      // difference between a scan-bound and a network-bound ANN
+      // pipeline. Codes and scales are deterministic double arithmetic
+      // (floats widen before any multiply; round is half-away-from-zero
+      // in both engines), so the oracle recomputes every code exactly;
+      // reconstruction quality is pinned via cosine(original,
+      // reconstructed). Map-only — no shuffle before the output sort.
+      // Each intermediate binds in its own projection (single eval).
+      val e = embeddings(s, d)
+      e.select(col("vec_id"), col("embedding"),
+          graft.ops.Quantize.int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("embedding"), col("scale"),
+          graft.ops.Quantize.int8Codes(col("embedding"), col("scale")).as("codes"))
+        .select(col("vec_id"), col("embedding"), col("scale"), col("codes"),
+          graft.ops.Quantize.int8Reconstruct(col("codes"), col("scale")).as("recon"))
+        .select(col("vec_id"), col("codes"), col("scale"),
+          round(vecCosine(col("embedding"), col("recon")), 6).as("cos_recon"),
+          (round(vecCosine(col("embedding"), col("recon")), 6) >= 0.999)
+            .as("within_tol"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2215,5 +2238,23 @@ Hosts: %s
            comp.vec_id = comp.component AS is_canonical
          FROM comp JOIN sz USING (component)
          ORDER BY comp.vec_id""",
+    "q89_embedding_quantization" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+         m AS (SELECT vec_id, v,
+           list_aggregate(list_transform(v, x -> abs(x)), 'max') AS am FROM e),
+         s AS (SELECT vec_id, v,
+           CASE WHEN am > 0 THEN 127.0 / am END AS scale FROM m),
+         q AS (SELECT vec_id, v, scale,
+           list_transform(v, x -> CASE WHEN scale IS NULL THEN 0
+             ELSE CAST(greatest(-127, least(127, round(x * scale)))
+                  AS INTEGER) END) AS codes FROM s),
+         r AS (SELECT vec_id, v, scale, codes,
+           list_transform(codes, c -> CASE WHEN scale IS NULL THEN 0.0
+             ELSE c / scale END) AS recon FROM q)
+         SELECT vec_id, codes, scale,
+           round(list_cosine_similarity(v, recon), 6) AS cos_recon,
+           round(list_cosine_similarity(v, recon), 6) >= 0.999 AS within_tol
+         FROM r ORDER BY vec_id""",
   )
 }

@@ -566,6 +566,29 @@ class OpsSpec extends SparkSpec {
     assert(cuts.collect().map(_.getLong(3)).forall(_ == 65536L))
   }
 
+  test("int8 quantization: hand-computed codes, round-trip accuracy, zero-vector edge") {
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.5f)),   // absmax 2 -> scale 63.5
+      (2L, Seq(0.0f, 0.0f)),          // zero vector -> null scale, zero codes
+      (3L, Seq(127.0f))               // single element -> code exactly 127
+    ).toDF("id", "v")
+    val out = df.select(col("id"), col("v"),
+        Quantize.int8Scale(col("v")).as("scale"))
+      .select(col("id"), col("scale"),
+        Quantize.int8Codes(col("v"), col("scale")).as("codes"))
+      .select(col("id"), col("scale"), col("codes"),
+        Quantize.int8Reconstruct(col("codes"), col("scale")).as("recon"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), r.getSeq[Int](2), r.getSeq[Double](3)))).toMap
+    assert(out(1L)._1.contains(63.5))
+    assert(out(1L)._2 == Seq(64, -127, 32)) // round(63.5)=64, exact -127, round(31.75)=32
+    assert(out(1L)._3.zip(Seq(64 / 63.5, -2.0, 32 / 63.5))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(out(2L)._1.isEmpty && out(2L)._2 == Seq(0, 0) && out(2L)._3 == Seq(0.0, 0.0))
+    assert(out(3L)._2 == Seq(127) && out(3L)._3 == Seq(127.0))
+  }
+
   test("PII redaction: all three families scrubbed, counts match, clean text untouched") {
     import graft.ops.Pii
     val df = Seq(

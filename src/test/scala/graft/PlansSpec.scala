@@ -404,7 +404,8 @@ class PlansSpec extends SparkSpec {
   test("q85 PII / q86 funnel: map-only verdicts — no join, no Window, only the output sort shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
-    for (q <- Seq("q85_pii_redaction", "q86_quality_funnel")) {
+    for (q <- Seq("q85_pii_redaction", "q86_quality_funnel",
+        "q89_embedding_quantization")) {
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.sparkPlan
       assert(plan.collect { case w: WindowExec => w }.isEmpty, s"$q: no Window:\n$plan")
