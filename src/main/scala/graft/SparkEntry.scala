@@ -1370,6 +1370,72 @@ object SparkEntry {
             .as("within_tol"))
         .orderBy(col("vec_id"))
     }),
+    "q90_pq_exact" -> ((s, d) => {
+      // Product quantization (Jégou 2011) in exact mode: ADC shortlist
+      // covering the whole store + exact re-rank must return precisely
+      // the brute-force cosine top-k — which DuckDB computes — so the
+      // train/encode/LUT/ADC/shortlist/re-rank machinery gets a hard
+      // full-value oracle (q64's pattern for IVF). q91 pins the
+      // quantizer internals the oracle can't recompute.
+      val emb = embeddings(s, d)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      graft.ops.ProductQuantize.pqTopK(emb, qs, m = 4, ksub = 16, dim = 64,
+          k = 5, shortlist = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+    "q91_pq_encode" -> ((s, d) => {
+      // PQ internals through the argmax/identity envelope (q52's
+      // pattern): codebooks are k-means products with no DuckDB mirror,
+      // but (a) "every assigned code is the L2 argmin over all 16 codes
+      // in its subspace, ties toward the lower id" is verified by
+      // scoring ALL codes per subvector independently of the encoder's
+      // min_by, and (b) "the ADC table-sum equals the inner product of
+      // the query with the vector's reconstruction" (algebraic
+      // identity; 1e-9 covers double re-association only) is checked
+      // for 5 corpus queries against every vector. Both are per-vector
+      // booleans the oracle pins TRUE.
+      import graft.ops.ProductQuantize
+      val emb = embeddings(s, d)
+      val books = ProductQuantize.trainCodebooks(emb, m = 4, ksub = 16, dim = 64, iters = 2)
+      // Three consumers below (argmax check, ADC, reconstruction).
+      val codes = graft.core.Caches.persistTracked(
+        ProductQuantize.encode(emb, books, m = 4, dim = 64))
+      val sv = emb.select(col("vec_id").as("id"),
+          vecL2Normalize(col("embedding")).as("__u"))
+        .select(col("id"), explode(array((0 until 4).map(sub =>
+          struct(lit(sub).as("sub"),
+            slice(col("__u"), sub * 16 + 1, 16).as("svec"))): _*)).as("__e"))
+        .select(col("id"), col("__e.sub").as("sub"), col("__e.svec").as("svec"))
+      val argmaxOk = sv.join(broadcast(books), "sub")
+        .withColumn("__d2", aggregate(zip_with(col("svec"), col("cent"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+        .join(codes, Seq("id", "sub"))
+        .withColumn("__ad2", max(when(col("code_id") === col("code"), col("__d2")))
+          .over(Window.partitionBy(col("id"), col("sub"))))
+        .groupBy(col("id"))
+        .agg(every(col("__d2") > col("__ad2") ||
+            (col("__d2") === col("__ad2") && col("code_id") >= col("code")))
+          .as("encoded_argmin"),
+          (countDistinct(col("sub")) === lit(4)).as("all_subspaces"))
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      val lut = ProductQuantize.adcLut(qs, books, m = 4, dim = 64)
+      val adc = ProductQuantize.adcScores(codes, lut)
+      val recon = ProductQuantize.reconstruct(codes, books)
+      val qn = qs.select(col("q_id"), vecL2Normalize(col("q_embedding")).as("__qu"))
+      val adcOk = adc.join(recon, "id").join(broadcast(qn), "q_id")
+        .withColumn("__ip", aggregate(zip_with(col("__qu"), col("recon"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
+        .groupBy(col("id"))
+        .agg(every(abs(col("adc") - col("__ip")) < 1e-9).as("adc_matches_recon"),
+          (count(lit(1)) === lit(5)).as("scored_all_queries"))
+      argmaxOk.join(adcOk, "id")
+        .select(col("id").as("vec_id"), col("encoded_argmin"), col("all_subspaces"),
+          col("adc_matches_recon"), col("scored_all_queries"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2256,5 +2322,23 @@ Hosts: %s
            round(list_cosine_similarity(v, recon), 6) AS cos_recon,
            round(list_cosine_similarity(v, recon), 6) >= 0.999 AS within_tol
          FROM r ORDER BY vec_id""",
+    // q90: exact-mode PQ (shortlist covers the store, re-rank is exact
+    // cosine) — the oracle is plain brute-force top-k, q64's shape.
+    "q90_pq_exact" ->
+      """SELECT q_id, vec_id, round(score, 4) AS score, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+           FROM embeddings e, embeddings q WHERE q.vec_id < 5) t
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q91: quantizer-internals envelope — per-vector argmin/identity
+    // booleans computed by independent in-engine scoring, pinned TRUE.
+    "q91_pq_encode" ->
+      """SELECT vec_id, TRUE AS encoded_argmin, TRUE AS all_subspaces,
+           TRUE AS adc_matches_recon, TRUE AS scored_all_queries
+         FROM embeddings ORDER BY vec_id""",
   )
 }

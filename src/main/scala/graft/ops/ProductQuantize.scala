@@ -1,0 +1,286 @@
+package graft.ops
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Product quantization (PQ) for the embedding store — the compressed
+  * vector-store layout every corpus-scale ANN system converges on
+  * (Jégou/Douze/Schmid 2011, "Product Quantization for Nearest
+  * Neighbor Search"; the IVFADC layout FAISS popularized): split each
+  * unit-normalized vector into `m` subvectors, learn a tiny per-
+  * subspace k-means codebook (`ksub` entries), and store each vector
+  * as `m` small code ids. At dim=64/m=4/ksub=16 a 256-byte float32
+  * embedding becomes 4 codes — a 64x scan-byte reduction, which at
+  * 100 TB turns the ANN scoring pass from I/O-bound on raw floats
+  * into a scan over a few codes per row.
+  *
+  * Search is ADC (asymmetric distance computation): per query, one
+  * tiny lookup table of subvector-vs-codebook inner products; a
+  * store row's approximate cosine is the sum of `m` table lookups —
+  * algebraically identical to the inner product of the query with the
+  * vector's reconstruction, which is what q91's envelope pins.
+  *
+  * Scale shape: codebooks are (m*ksub) rows and always broadcast;
+  * training shuffles only map-side pre-aggregated (sub, code, pos)
+  * means (never raw vectors, mirroring [[Similarity.refineCentroids]]);
+  * encoding shuffles one skinny (id, sub, code) row per subvector
+  * after a map-side min_by; ADC joins codes against a broadcast LUT
+  * and partial-aggregates the per-pair sum map-side. Flat-PQ ADC still
+  * scores every store row per query (its win is bytes, not candidate
+  * count) — [[ivfPqTopK]] composes the IVF coarse pruning on top so
+  * probes touch `nprobe/nlist` of the codes, the full IVFADC shape.
+  *
+  * Everything is deterministic: seeds are the `ksub` vectors with the
+  * smallest `xxhash64(id)` (the [[Similarity.pickCentroids]] trick),
+  * Lloyd iterations are fixed-count, all arithmetic is double, and
+  * every argmin tie breaks toward the lower code id.
+  *
+  * Reference scope: the reference's vector store keeps raw float
+  * embeddings (build_vector_store.py); PQ extends its similarity
+  * surface the way SQ8 ([[Quantize]]) does, with the same oracle
+  * discipline (q90 exact-mode full-value row, q91 argmax + ADC
+  * identity envelope).
+  */
+object ProductQuantize {
+
+  /** Subvector `sub` (0-based) of a unit-normalized double vector. */
+  private def subvec(vec: org.apache.spark.sql.Column, sub: Int, dsub: Int) =
+    slice(vec, sub * dsub + 1, dsub)
+
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
+  /** Store exploded to subvector grain: (id, sub, svec) with svec a
+    * slice of the UNIT-NORMALIZED vector — PQ on the unit sphere makes
+    * ADC sums directly comparable to cosine.
+    */
+  private def subvectors(
+      store: DataFrame, m: Int, dim: Int, embCol: String, idCol: String): DataFrame = {
+    val dsub = dim / m
+    val unit = vecL2Normalize(col(embCol))
+    store.select(col(idCol).as("id"), unit.as("__u"))
+      .select(col("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), subvec(col("__u"), s, dsub).as("svec"))): _*)).as("__e"))
+      .select(col("id"), col("__e.sub").as("sub"), col("__e.svec").as("svec"))
+  }
+
+  /** Train per-subspace codebooks: returns (sub, code_id, cent:
+    * array<double>). Seeds are the subvectors of the `ksub` store
+    * vectors with the smallest id hash (code_id = seed rank, shared
+    * across subspaces); `iters` Lloyd rounds then re-center each code
+    * on the mean of its assigned subvectors. Codes that attract no
+    * subvectors drop out (standard k-means), leaving fewer, denser
+    * entries. Tiny relation — persisted (tracked) because encode, LUT
+    * build, and reconstruction all read it.
+    */
+  def trainCodebooks(
+      store: DataFrame,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iters: Int = 2,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val sv = graft.core.Caches.persistTracked(
+      subvectors(store, m, dim, embCol, idCol))
+    val seedW = Window.orderBy(col("__h"), col("id"))
+    val seeds = store.select(col(idCol).as("id"))
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h"), col("id")).limit(ksub)
+      .withColumn("code_id", row_number().over(seedW) - 1)
+      .select(col("id"), col("code_id"))
+    var books = sv.join(broadcast(seeds), "id")
+      .select(col("sub"), col("code_id"), col("svec").as("cent"))
+    for (_ <- 0 until iters) {
+      // Assign every subvector to its nearest code (map-side min_by),
+      // then re-center: posexplode to (sub, code, pos) grain + avg is
+      // partially aggregated map-side, so the shuffle carries at most
+      // m*ksub*dsub pre-combined rows per task, never subvectors.
+      val assigned = sv.join(broadcast(books), "sub")
+        .withColumn("__d2", l2sq(col("svec"), col("cent")))
+        .groupBy(col("id"), col("sub"), col("svec"))
+        .agg(min_by(col("code_id"), struct(col("__d2"), col("code_id"))).as("code_id"))
+      books = assigned
+        .select(col("sub"), col("code_id"), posexplode(col("svec")).as(Seq("__pos", "__v")))
+        .groupBy(col("sub"), col("code_id"), col("__pos"))
+        .agg(avg(col("__v")).as("__m"))
+        .groupBy(col("sub"), col("code_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("cent"))
+    }
+    graft.core.Caches.persistTracked(books)
+  }
+
+  /** Encode the store against trained codebooks: one skinny (id, sub,
+    * code) row per subvector — the relation ADC joins on directly (the
+    * array-of-codes storage form is `codesArray`). The min_by argmin
+    * pre-aggregates map-side; ties break toward the lower code id.
+    */
+  def encode(
+      store: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    subvectors(store, m, dim, embCol, idCol)
+      .join(broadcast(codebooks), "sub")
+      .withColumn("__d2", l2sq(col("svec"), col("cent")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("code_id"), struct(col("__d2"), col("code_id"))).as("code"))
+
+  /** Storage form: (id, codes array<int>) ordered by subspace. */
+  def codesArray(codes: DataFrame): DataFrame =
+    codes.groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Reconstruction: concatenate each assigned code's centroid in
+    * subspace order — x̂ lives on (near) the unit sphere, so
+    * IP(q̂, x̂) approximates cosine(q, x).
+    */
+  def reconstruct(codes: DataFrame, codebooks: DataFrame): DataFrame =
+    codes.join(broadcast(codebooks),
+        codes("sub") === codebooks("sub") && codes("code") === codebooks("code_id"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(codes("sub"), col("cent")))),
+        s => s.getField("cent"))).as("recon"))
+
+  /** Per-query ADC lookup table: (q_id, sub, code_id, ip) where ip is
+    * the inner product of the query's unit-normalized subvector with
+    * that code's centroid. Tiny (nq * m * ksub rows) — always the
+    * broadcast side of the scoring join.
+    */
+  def adcLut(
+      queries: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      dim: Int,
+      queryEmbCol: String = "q_embedding",
+      queryIdCol: String = "q_id"): DataFrame = {
+    val dsub = dim / m
+    val unit = vecL2Normalize(col(queryEmbCol))
+    queries.select(col(queryIdCol).as("q_id"), unit.as("__qu"))
+      .crossJoin(broadcast(codebooks))
+      .withColumn("ip", aggregate(
+        zip_with(slice(col("__qu"), col("sub") * dsub + 1, lit(dsub)),
+          col("cent"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x))
+      .select(col("q_id"), col("sub"), col("code_id"), col("ip"))
+  }
+
+  /** ADC scores for every (query, store) pair reachable from `codes`:
+    * sum of m LUT lookups, grouped map-side (the m per-pair rows
+    * combine before the shuffle; one skinny row per pair crosses).
+    */
+  def adcScores(codes: DataFrame, lut: DataFrame): DataFrame =
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("code_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("ip")).as("adc"))
+
+  /** Flat-PQ top-k: ADC-score the whole code store per query, keep the
+    * top `shortlist` candidates, then re-rank EXACTLY on the raw
+    * embeddings (the standard refine step — the emitted scores are
+    * true cosines, approximation affects only which candidates are
+    * considered). `shortlist >= |store|` degenerates to exact brute
+    * force, which is q90's hard-oracle mode.
+    */
+  def pqTopK(
+      store: DataFrame,
+      queries: DataFrame,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      k: Int,
+      shortlist: Int,
+      iters: Int = 2,
+      storeEmbCol: String = "embedding",
+      queryEmbCol: String = "q_embedding",
+      storeIdCol: String = "vec_id",
+      queryIdCol: String = "q_id"): DataFrame = {
+    val books = trainCodebooks(store, m, ksub, dim, iters, storeEmbCol, storeIdCol)
+    val codes = encode(store, books, m, dim, storeEmbCol, storeIdCol)
+    val lut = adcLut(queries, books, m, dim, queryEmbCol, queryIdCol)
+    rerank(adcScores(codes, lut), store, queries, k, shortlist,
+      storeEmbCol, queryEmbCol, storeIdCol, queryIdCol)
+  }
+
+  /** IVFADC: IVF coarse lists prune the candidate set (probe
+    * `nprobe`/`nlist` of the corpus), PQ codes compress what the probe
+    * scans, exact re-rank fixes the scores — the full FAISS-style
+    * composition of [[Similarity.ivfTopK]] and flat PQ.
+    */
+  def ivfPqTopK(
+      store: DataFrame,
+      queries: DataFrame,
+      nlist: Int,
+      nprobe: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      k: Int,
+      shortlist: Int,
+      iters: Int = 2,
+      storeEmbCol: String = "embedding",
+      queryEmbCol: String = "q_embedding",
+      storeIdCol: String = "vec_id",
+      queryIdCol: String = "q_id"): DataFrame = {
+    val cents = Similarity.pickCentroids(store, nlist, storeEmbCol, storeIdCol)
+    val assigned = Similarity.ivfAssign(store, nlist, storeEmbCol, storeIdCol, Some(cents))
+    val books = trainCodebooks(store, m, ksub, dim, iters, storeEmbCol, storeIdCol)
+    val codes = encode(store, books, m, dim, storeEmbCol, storeIdCol)
+      .join(assigned.select(col(storeIdCol).as("id"), col("centroid_id")), "id")
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("__qsim").desc, col("centroid_id"))
+    val probes = queries.select(col(queryIdCol).as("q_id"), col(queryEmbCol).as("__qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__qsim", vecCosine(col("__qe"), col("centroid_emb")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nprobe)
+      .select(col("q_id"), col("centroid_id"))
+    val lut = adcLut(queries, books, m, dim, queryEmbCol, queryIdCol)
+    // Restrict the ADC join to probed (query, list) pairs: the code
+    // store is filtered by the broadcast probe relation BEFORE any
+    // scoring, so a probe touches nprobe/nlist of the codes.
+    val probedCodes = codes.join(broadcast(probes), Seq("centroid_id"))
+    val adc = probedCodes.join(broadcast(lut),
+        probedCodes("q_id") === lut("q_id") &&
+        probedCodes("sub") === lut("sub") && probedCodes("code") === lut("code_id"))
+      .groupBy(probedCodes("q_id"), col("id"))
+      .agg(sum(col("ip")).as("adc"))
+    rerank(adc, store, queries, k, shortlist,
+      storeEmbCol, queryEmbCol, storeIdCol, queryIdCol)
+  }
+
+  /** Exact re-rank of an ADC shortlist: window-prune to `shortlist`
+    * per query on the approximate score (ties toward the lower id),
+    * join the raw vectors back, emit true-cosine top-k.
+    */
+  private def rerank(
+      adc: DataFrame,
+      store: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int,
+      storeEmbCol: String,
+      queryEmbCol: String,
+      storeIdCol: String,
+      queryIdCol: String): DataFrame = {
+    val slW = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("id"))
+    val cand = adc.withColumn("__sl", row_number().over(slW))
+      .where(col("__sl") <= shortlist)
+      .select(col("q_id"), col("id"))
+    val q2 = queries.select(col(queryIdCol).as("__rq_id"), col(queryEmbCol).as("__rq_emb"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col(storeIdCol))
+    cand
+      .join(store.select(col(storeIdCol), col(storeEmbCol)),
+        cand("id") === col(storeIdCol))
+      .join(broadcast(q2), col("q_id") === col("__rq_id"))
+      .withColumn("score", vecCosine(col(storeEmbCol), col("__rq_emb")))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("q_id").as(queryIdCol), col(storeIdCol), col("score"), col("rank"))
+  }
+}

@@ -693,6 +693,74 @@ class OpsSpec extends SparkSpec {
     Seq(5L, 30L).foreach(i => assert(out(i)._4 == (mirror(i) != mirror(5L))))
   }
 
+  test("PQ: ADC equals IP-with-reconstruction; codes are per-subspace L2 argmins; deterministic") {
+    import graft.ops.ProductQuantize
+    import graft.functions.VectorFunctions.vecL2Normalize
+    val (store, queries) = clusteredFixture(nClusters = 8, perCluster = 20, dim = 64, eps = 0.15f)
+    val books = ProductQuantize.trainCodebooks(store, m = 4, ksub = 16, dim = 64, iters = 2)
+    val codes = ProductQuantize.encode(store, books, m = 4, dim = 64)
+    // every vector carries exactly m codes
+    val perDoc = codes.groupBy("id").count().select("count").as[Long].collect()
+    assert(perDoc.forall(_ == 4) && perDoc.length == 160)
+    // ADC identity: the LUT sum IS the inner product of the normalized
+    // query with the vector's reconstruction (same sum, different
+    // association order — 1e-9 covers double rounding, nothing else).
+    val lut = ProductQuantize.adcLut(queries, books, m = 4, dim = 64)
+    val adc = ProductQuantize.adcScores(codes, lut)
+    val recon = ProductQuantize.reconstruct(codes, books)
+    val qn = queries.select(col("q_id"), vecL2Normalize(col("q_embedding")).as("__qu"))
+    val maxDiff = adc.join(recon, "id").join(qn, "q_id")
+      .select(abs(col("adc") - aggregate(
+        zip_with(col("__qu"), col("recon"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)).as("d"))
+      .agg(max(col("d"))).as[Double].head()
+    assert(maxDiff < 1e-9, s"ADC != IP(q, recon): max diff $maxDiff")
+    // Encode argmax, verified by scoring ALL codes per (id, sub)
+    // independently (not by re-running the min_by).
+    val sv = store.select(col("vec_id").as("id"),
+        vecL2Normalize(col("embedding")).as("__u"))
+      .select(col("id"), explode(array((0 until 4).map(s =>
+        struct(lit(s).as("sub"), slice(col("__u"), s * 16 + 1, 16).as("svec"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    val scoredAll = sv.join(books, "sub")
+      .withColumn("d2", aggregate(zip_with(col("svec"), col("cent"),
+        (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x))
+    val viol = scoredAll.join(codes, Seq("id", "sub"))
+      .withColumn("ad2", max(when(col("code_id") === col("code"), col("d2")))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"), col("sub"))))
+      .where(col("d2") < col("ad2") ||
+        (col("d2") === col("ad2") && col("code_id") < col("code")))
+      .count()
+    assert(viol == 0, s"$viol non-argmin code assignments")
+    // Determinism: an independent retrain yields bit-identical codes.
+    val books2 = ProductQuantize.trainCodebooks(store, m = 4, ksub = 16, dim = 64, iters = 2)
+    val codes2 = ProductQuantize.encode(store, books2, m = 4, dim = 64)
+    assert(codes.except(codes2).isEmpty && codes2.except(codes).isEmpty)
+  }
+
+  test("PQ exact mode: full shortlist returns brute-force top-k; modest shortlists keep recall") {
+    import graft.ops.ProductQuantize
+    val (store, queries) = clusteredFixture(nClusters = 8, perCluster = 20, dim = 64, eps = 0.15f)
+    val k = 10
+    val brute = Retriever.neighbors(store, queries, k)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // shortlist >= |store| makes the exact re-rank total: equality, not recall.
+    val exactMode = ProductQuantize.pqTopK(store, queries, m = 4, ksub = 16,
+        dim = 64, k = k, shortlist = 1000)
+      .select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(exactMode == brute, "full-shortlist PQ differs from brute force")
+    val recall = recallVsBrute(store, queries, k) _
+    val flat = recall(ProductQuantize.pqTopK(store, queries, m = 4, ksub = 16,
+      dim = 64, k = k, shortlist = 50))
+    info(f"flat PQ shortlist=50 recall@$k: $flat%.3f")
+    assert(flat >= 0.9, f"flat-PQ recall $flat%.3f below 0.9 floor")
+    val ivfpq = recall(ProductQuantize.ivfPqTopK(store, queries, nlist = 8, nprobe = 2,
+      m = 4, ksub = 16, dim = 64, k = k, shortlist = 50))
+    info(f"IVFPQ nprobe=2 shortlist=50 recall@$k: $ivfpq%.3f")
+    assert(ivfpq >= 0.8, f"IVFPQ recall $ivfpq%.3f below 0.8 floor")
+  }
+
   test("dedup clusters: every doc assigned, singletons canonical, sizes correct") {
     import graft.ops.Components
     val docs = (1L to 8L).map(i => (i, s"text $i")).toDF("doc_id", "text")

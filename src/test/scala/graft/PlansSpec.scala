@@ -415,6 +415,30 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("q90/q91 PQ: every real join broadcasts; the only nested loop is the tiny LUT cross") {
+    // The ADC scoring join, code/argmax joins, and re-rank joins must
+    // all be broadcast hash joins (codebooks/LUT/probes are the tiny
+    // sides by construction). The single BroadcastNestedLoopJoin the
+    // plan may contain is the query-set x codebook LUT build — both
+    // sides bounded by nq*m*ksub rows, never the store.
+    for (q <- Seq("q90_pq_exact", "q91_pq_encode")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+      // q90 (the search path) must stay broadcast-only. q91's final
+      // envelope zip joins two per-vector AGGREGATES on id — both sides
+      // are N rows at corpus scale, so a co-partitioned shuffle join is
+      // the correct plan there and only there.
+      if (q == "q90_pq_exact")
+        assert(!plan.contains("SortMergeJoin"),
+          s"$q: store-side shuffle join crept in:\n$plan")
+      val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(nlj <= 1, s"$q: $nlj nested loops (only the LUT cross is allowed):\n$plan")
+      assert(df.count() > 0)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("q84/q87 closures: no cartesian product, no Window; doc text stays out of the CC loop") {
     // The iterative propagation runs at action time, so the static plan
     // covers the pair source + final assembly: pair generation must be
