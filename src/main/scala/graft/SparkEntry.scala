@@ -1436,6 +1436,24 @@ object SparkEntry {
           col("adc_matches_recon"), col("scored_all_queries"))
         .orderBy(col("vec_id"))
     }),
+    "q92_importance_sampling" -> ((s, d) => {
+      // DSIR data selection (Xie 2023): the 25 raw docs that look most
+      // like the English subcorpus under hashed-unigram importance
+      // weights, Gumbel-sampled. FULL-VALUE oracle: buckets are md5
+      // prefixes, ratios/Gumbels are micro-nat longs on the round_even
+      // grid, so DuckDB recomputes every weight, draw, and the exact
+      // top-k. Rank attributes AFTER the limit (k-row window, q70's
+      // shape — never a corpus-wide Window).
+      val docs = documents(s, d)
+      val sel = graft.ops.ImportanceSampling.resample(
+        docs, docs.where(col("lang") === "en"),
+        "text", "doc_id", n = 1, k = 25, salt = "dsir1")
+      val w = Window.orderBy(col("total_micro").desc, col("id"))
+      sel.withColumn("rank", row_number().over(w))
+        .select(col("id").as("doc_id"), col("w_micro"), col("g_micro"),
+          col("total_micro"), col("rank"))
+        .orderBy(col("rank"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2340,5 +2358,38 @@ Hosts: %s
       """SELECT vec_id, TRUE AS encoded_argmin, TRUE AS all_subspaces,
            TRUE AS adc_matches_recon, TRUE AS scored_all_queries
          FROM embeddings ORDER BY vec_id""",
+    // q92: full DSIR mirror — md5-prefix buckets, add-1 micro-nat
+    // log-ratios (round_even == Spark rint), md5 Gumbel draws, top-k.
+    "q92_importance_sampling" ->
+      """WITH toks AS (SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         f AS (SELECT doc_id, lang,
+             substr(md5('dsir1' || u.tok), 1, 3) AS bucket
+           FROM toks, LATERAL unnest(t) AS u(tok)),
+         rawc AS (SELECT bucket, count(*) AS rc FROM f GROUP BY 1),
+         tgtc AS (SELECT bucket, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM f) AS nr,
+                        (SELECT count(*) FROM f WHERE lang = 'en') AS nt),
+         lr AS (SELECT bucket,
+             CAST(round_even((ln(coalesce(tc, 0) + 1.0) - ln(nt + 4096.0)
+               - ln(coalesce(rc, 0) + 1.0) + ln(nr + 4096.0)) * 1000000.0, 0)
+               AS BIGINT) AS lr_micro
+           FROM rawc LEFT JOIN tgtc USING (bucket), tot),
+         w AS (SELECT d.doc_id, coalesce(sum(lr_micro), 0) AS w_micro
+           FROM documents d
+           LEFT JOIN f ON d.doc_id = f.doc_id
+           LEFT JOIN lr USING (bucket)
+           GROUP BY 1),
+         g AS (SELECT doc_id, CAST(round_even(-ln(-ln(
+               (('0x' || substr(md5('dsir1:g' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                 + 0.5) / 65536.0)) * 1000000.0, 0) AS BIGINT) AS g_micro
+           FROM documents),
+         s AS (SELECT w.doc_id, w_micro, g_micro,
+             w_micro + g_micro AS total_micro
+           FROM w JOIN g ON w.doc_id = g.doc_id)
+         SELECT doc_id, w_micro, g_micro, total_micro,
+           row_number() OVER (ORDER BY total_micro DESC, doc_id) AS rank
+         FROM s ORDER BY total_micro DESC, doc_id LIMIT 25""",
   )
 }

@@ -776,4 +776,49 @@ class OpsSpec extends SparkSpec {
     // survivor per cluster plus every singleton.
     assert(out.count(_._2._3) == 5)
   }
+
+  test("DSIR importance resampling prefers target-like docs; top-k is exact") {
+    import graft.ops.ImportanceSampling
+    // Two disjoint vocabularies: "target-like" docs reuse the target
+    // corpus's words, "off-domain" docs use an unrelated vocabulary.
+    val tgtVocab = (0 until 20).map(i => s"sci$i")
+    val offVocab = (0 until 20).map(i => s"web$i")
+    def doc(vocab: IndexedSeq[String], seed: Int): String =
+      (0 until 15).map(j => vocab((seed * 7 + j * 3) % vocab.size)).mkString(" ")
+    val raw = ((0L until 10L).map(i => (i, doc(tgtVocab, i.toInt))) ++
+      (10L until 20L).map(i => (i, doc(offVocab, i.toInt))) ++
+      Seq((30L, ""), (31L, null.asInstanceOf[String]))) // degenerate texts
+      .toDF("doc_id", "text")
+    val target = (100L until 106L).map(i => (i, doc(tgtVocab, i.toInt)))
+      .toDF("doc_id", "text")
+
+    val weights = ImportanceSampling.importanceWeights(
+      raw, ImportanceSampling.bucketLogRatios(raw, target, "text", 1, "s"),
+      "text", "doc_id", 1, "s")
+      .as[(Long, Long)].collect().toMap
+    // Degenerate docs have no features → weight exactly 0.
+    assert(weights(30L) == 0L && weights(31L) == 0L)
+    // Every target-vocab doc outweighs every off-domain doc: their
+    // buckets are enriched in the target corpus, the others depleted.
+    val minTgt = (0L until 10L).map(weights).min
+    val maxOff = (10L until 20L).map(weights).max
+    assert(minTgt > maxOff, s"target-like floor $minTgt !> off-domain ceil $maxOff")
+
+    // resample = exact top-k of (w + gumbel): recompute the full ranking
+    // without the limit and compare the selected set and every value.
+    val full = ImportanceSampling.importanceWeights(
+        raw, ImportanceSampling.bucketLogRatios(raw, target, "text", 1, "s"),
+        "text", "doc_id", 1, "s")
+      .withColumn("g_micro", ImportanceSampling.gumbelMicro(col("id"), "s:g"))
+      .withColumn("total_micro", col("w_micro") + col("g_micro"))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (-r._4, r._1)).take(5).toSeq
+    val sel = ImportanceSampling.resample(raw, target, "text", "doc_id",
+      n = 1, k = 5, salt = "s").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sel == full, s"resample top-5 $sel != brute-force $full")
+    // Deterministic: a second run selects identical rows.
+    val again = ImportanceSampling.resample(raw, target, "text", "doc_id",
+      n = 1, k = 5, salt = "s").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == sel)
+  }
 }
