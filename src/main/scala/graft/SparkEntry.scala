@@ -1454,6 +1454,90 @@ object SparkEntry {
           col("total_micro"), col("rank"))
         .orderBy(col("rank"))
     }),
+    "q93_bloom_skip" -> ((s, d) => {
+      // Bloom-accelerated incremental skip (S11/P10's resume anti-join
+      // at ledger scale): processed = even doc ids, incoming = ids
+      // divisible by 3; the new work is odd multiples of 3 — a set the
+      // oracle recomputes exactly, because the bloom only routes rows
+      // between the free path and the verified path, never changes the
+      // result. Envelope booleans (constant per corpus, cross-joined):
+      // no_false_negatives re-checks the bloom's hard guarantee against
+      // a full labeling join; fp_bounded pins the observed false-
+      // positive count under 5x the configured fpp (deterministic for
+      // a fixed corpus + Spark hash impl — a Spark upgrade changing
+      // xxhash64/bloom internals could flip it; suspect that coupling
+      // first after an upgrade, as q71/q89).
+      val docs = documents(s, d)
+      val processed = docs.where(col("doc_id") % 2 === 0).select("doc_id")
+      val incoming = docs.where(col("doc_id") % 3 === 0).select("doc_id")
+      val fpp = 0.01
+      val bloom = graft.ops.Sketches.bloomBuild(
+        processed, "doc_id",
+        expectedItems = parquetRowCount(s, s"$d/documents.parquet") / 2 + 1, fpp)
+      val hit = graft.ops.Sketches.bloomMightContain(bloom, col("doc_id"))
+      // Output path — the scale shape: definite misses never join.
+      val definitelyNew = incoming.where(!hit)
+      val verifiedNew = incoming.where(hit)
+        .join(processed, Seq("doc_id"), "left_anti")
+      val newIds = definitelyNew.unionByName(verifiedNew)
+      // Envelope path — bounded instrumentation, the q62/q65 pattern:
+      // label every incoming row (hit x truly-processed) in one join.
+      val stats = incoming.withColumn("__hit", hit)
+        .join(processed.withColumn("__p", lit(1)), Seq("doc_id"), "left")
+        .agg(
+          sum(when(!col("__hit") && col("__p").isNotNull, 1L).otherwise(0L)).as("__fn"),
+          sum(when(col("__hit") && col("__p").isNull, 1L).otherwise(0L)).as("__fp"),
+          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("__new"))
+        .select(
+          (col("__fn") === 0L).as("no_false_negatives"),
+          (col("__fp") <= greatest(lit(50L),
+            ceil(col("__new") * fpp * 5).cast("long"))).as("fp_bounded"))
+      newIds.crossJoin(broadcast(stats)).orderBy(col("doc_id"))
+    }),
+    "q94_cms_heavy_hitters" -> ((s, d) => {
+      // Count-min-sketch heavy hitters: exact top-25 corpus tokens
+      // (full-value oracle: term/cnt/rank/n_total all DuckDB-
+      // recomputed) probed against Spark's `count_min_sketch` binary —
+      // the constant-size, map-side-mergeable shape that replaces a
+      // token-grain shuffle for frequency ESTIMATES at 100 TB (the CMS
+      // counterpart of q71's HLL). Envelope booleans pin the sketch
+      // guarantee: estimates never undercount, and overcount at most
+      // eps * n_total (deterministic for fixed corpus + seed; same
+      // Spark-version fragility note as q71/q93).
+      val eps = 0.001
+      val toks = graft.core.Caches.persistTracked(
+        documents(s, d)
+          .select(explode(graft.ops.Lexical.tokens(col("text"))).as("term")))
+      val sketch = toks.agg(
+        expr(s"count_min_sketch(term, ${eps}d, 0.99d, 42)").as("__cms"),
+        count(lit(1)).as("n_total"))
+      val topk = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(25)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      topk.crossJoin(broadcast(sketch))
+        .withColumn("__est", {
+          import org.apache.spark.sql.graftbridge.Bridge
+          Bridge.column(graft.functions.CmsEstimateExpr(
+            Bridge.expression(col("__cms")), Bridge.expression(col("term"))))
+        })
+        .select(col("term"), col("cnt"), col("rank"), col("n_total"),
+          (col("__est") >= col("cnt")).as("est_ge_exact"),
+          (col("__est") <= col("cnt") +
+            ceil(col("n_total") * eps).cast("long")).as("est_within_eps"))
+        .orderBy(col("rank"))
+    }),
+    "q95_segment_dedup" -> ((s, d) =>
+      // C4-style boilerplate removal as a corpus REWRITE (q81 is the
+      // signal; this is the transform): 8-token segments repeated in
+      // >= 2 distinct docs are stripped everywhere, survivors
+      // reassemble in order. FULL-VALUE oracle — segmentization,
+      // inventory, removal, and reassembly are all exact string/count
+      // computations DuckDB mirrors.
+      graft.ops.SpanDedup.removeBoilerplateSegments(
+          documents(s, d), "text", "doc_id", w = 8, minDocs = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2391,5 +2475,49 @@ Hosts: %s
          SELECT doc_id, w_micro, g_micro, total_micro,
            row_number() OVER (ORDER BY total_micro DESC, doc_id) AS rank
          FROM s ORDER BY total_micro DESC, doc_id LIMIT 25""",
+    // q93: the bloom never changes the result set — new work is exactly
+    // the anti-join the oracle computes; the sketch-dependent counters
+    // surface only as pinned booleans.
+    "q93_bloom_skip" ->
+      """SELECT doc_id, TRUE AS no_false_negatives, TRUE AS fp_bounded
+         FROM documents WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+         ORDER BY doc_id""",
+    // q94: exact top-25 token counts (q70's tokenizer CTE); the CMS
+    // estimates surface only as the pinned guarantee booleans.
+    "q94_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+         tot AS (SELECT count(*) AS n_total FROM toks)
+         SELECT term, cnt,
+           row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+           n_total, TRUE AS est_ge_exact, TRUE AS est_within_eps
+         FROM tf, tot ORDER BY cnt DESC, term LIMIT 25""",
+    // q95: full segment-dedup mirror — same tokenizer CTE as q70/q94,
+    // scan-side segmentization via list slicing, cross-doc inventory,
+    // anti-join removal, ordered reassembly.
+    "q95_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+           FROM documents),
+         seg AS (SELECT doc_id, u.i AS seg_idx,
+             array_to_string(t[u.i*8+1 : u.i*8+8], ' ') AS seg_text
+           FROM toks, LATERAL unnest(range(CAST(ceil(len(t)/8.0) AS BIGINT))) AS u(i)),
+         bp AS (SELECT seg_text FROM seg
+           GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT s.doc_id, s.seg_idx, s.seg_text
+           FROM seg s ANTI JOIN bp USING (seg_text)),
+         re AS (SELECT doc_id,
+             string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text,
+             count(*) AS n_kept
+           FROM kept GROUP BY 1),
+         ns AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY 1)
+         SELECT d.doc_id, coalesce(re.clean_text, '') AS clean_text,
+           coalesce(ns.n_segs, 0) AS n_segs,
+           coalesce(ns.n_segs, 0) - coalesce(re.n_kept, 0) AS n_removed
+         FROM documents d
+         LEFT JOIN ns USING (doc_id) LEFT JOIN re USING (doc_id)
+         ORDER BY d.doc_id""",
   )
 }

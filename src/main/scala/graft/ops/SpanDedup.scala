@@ -104,4 +104,77 @@ object SpanDedup {
           .otherwise(col("dup_spans").cast("double") / col("n_spans")), 4))
       .withColumn("flagged", col("dup_frac") > flagFrac)
   }
+
+  /** C4-style boilerplate REMOVAL (Raffel et al. 2020 strip any
+    * line/span repeated across the corpus; CCNet dedups at paragraph
+    * hash grain): where [[spanDedupStats]] emits a per-doc signal, this
+    * rewrites the corpus — every segment whose text occurs in at least
+    * `minDocs` distinct documents is dropped from ALL of them, and the
+    * survivors reassemble in order into a cleaned text column.
+    *
+    * A segment is a non-overlapping `w`-token window. The corpus
+    * fixture has no newlines, so the window stands in for the
+    * paragraph/line grain a web corpus would split on — swap
+    * [[segmentsOf]] for a newline splitter to get literal CCNet.
+    *
+    * Scale shape: segmentization happens SCAN-SIDE (one array
+    * expression per row — no token-grain shuffle exists anywhere);
+    * the boilerplate inventory shuffles skinny (xxhash64, id) tuples
+    * and pre-aggregates map-side; the removal anti-join and the
+    * reassembly aggregation run at segment grain, the operator's
+    * irreducible output grain. Within-doc repeats survive (one doc is
+    * one vote) — matching C4, which only strips CROSS-document
+    * repetition.
+    *
+    * Output: (id, clean_text, n_segs, n_removed) — one row per input
+    * document, empty-text docs included with empty clean_text.
+    */
+  def segmentsOf(textCol: org.apache.spark.sql.Column, w: Int)
+      : org.apache.spark.sql.Column = {
+    val toks = Lexical.tokens(textCol)
+    // sequence(0, -1) would yield [0, -1]; guard the empty case.
+    when(size(toks) <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0L), ceil(size(toks) / lit(w.toDouble)) - 1),
+        i => array_join(slice(toks, (i * w + 1).cast("int"), lit(w)), " ")))
+  }
+
+  def removeBoilerplateSegments(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int,
+      minDocs: Int): DataFrame = {
+    // Segment relation feeds three consumers (inventory, removal,
+    // per-doc totals); persist-track so the scan runs once.
+    val seg = graft.core.Caches.persistTracked(
+      docs.select(col(idCol).as("id"),
+        posexplode(segmentsOf(col(textCol), w)).as(Seq("seg_idx", "seg_text"))))
+    // Skinny inventory: (hash) of segments in >= minDocs distinct docs.
+    val boiler = seg
+      .select(xxhash64(col("seg_text")).as("__h"), col("id"))
+      .groupBy(col("__h"))
+      .agg(count_distinct(col("id")).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val kept = seg.withColumn("__h", xxhash64(col("seg_text")))
+      .join(boiler, Seq("__h"), "left_anti")
+    val re = kept.groupBy(col("id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_idx"), col("seg_text")))),
+            s => s.getField("seg_text")),
+          " ").as("clean_text"),
+        count(lit(1)).as("__kept"))
+    val ns = seg.groupBy(col("id")).agg(count(lit(1)).as("n_segs"))
+    docs.select(col(idCol).as("id"))
+      .join(ns, Seq("id"), "left")
+      .join(re, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        (coalesce(col("n_segs"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

@@ -821,4 +821,77 @@ class OpsSpec extends SparkSpec {
       n = 1, k = 5, salt = "s").as[(Long, Long, Long, Long)].collect().toSeq
     assert(again == sel)
   }
+
+  test("bloom newKeys equals exact anti-join; definite-new path has no join") {
+    import graft.ops.Sketches
+    // Aligned domains: processed covers every even below 1000, incoming
+    // is every multiple of 3 below 1000, so the true-new set is exactly
+    // the odd multiples of 3.
+    val processed = (0L until 500L).map(i => i * 2).toDF("id")
+    val incoming = (0L until 334L).map(i => i * 3).toDF("id")
+    val expected = (0L until 334L).map(_ * 3).filter(_ % 2 == 1).sorted
+    // Exact semantics must hold across the fpp spectrum — including a
+    // deliberately collision-heavy filter where nearly every probe is
+    // a (verified) false positive.
+    for (fpp <- Seq(0.01, 0.5)) {
+      val out = Sketches.newKeys(incoming, processed, "id",
+        expectedItems = 500, fpp = fpp)
+        .as[Long].collect().sorted.toSeq
+      assert(out == expected, s"fpp=$fpp: bloom path diverged from anti-join")
+    }
+    // The bloom actually prefilters: no false negatives is structural
+    // (every processed probe hits); the fp rate among the 167 truly-new
+    // keys must be sane for fpp=0.01, not just correct.
+    val bloom = Sketches.bloomBuild(processed, "id", 500, 0.01)
+    val hits = incoming.where(Sketches.bloomMightContain(bloom, col("id")))
+      .as[Long].collect()
+    assert(hits.count(_ % 2 == 0) == 167, "a processed key missed the bloom")
+    val falsePos = hits.count(_ % 2 == 1)
+    assert(falsePos <= 20, s"fp count $falsePos implausible for fpp=0.01 over 167 news")
+  }
+
+  test("CMS estimates never undercount and hit exact counts on a wide sketch") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val words = Seq.tabulate(600)(i => s"tok${i % 37}") ++ Seq.fill(50)("heavy")
+    val df = words.toDF("term")
+    val exact = words.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val sketch = df.agg(
+      expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("cms"))
+    val probed = df.distinct().crossJoin(broadcast(sketch))
+      .withColumn("est", Bridge.column(graft.functions.CmsEstimateExpr(
+        Bridge.expression(col("cms")), Bridge.expression(col("term")))))
+      .select(col("term"), col("est")).as[(String, Long)].collect().toMap
+    probed.foreach { case (t, est) =>
+      assert(est >= exact(t), s"CMS undercounted $t: $est < ${exact(t)}")
+    }
+    // eps=0.001 over 650 occurrences -> width >> distinct terms, so the
+    // sketch is collision-free and every estimate is EXACT.
+    probed.foreach { case (t, est) =>
+      assert(est == exact(t), s"wide sketch inexact for $t: $est != ${exact(t)}")
+    }
+  }
+
+  test("segment dedup strips cross-doc boilerplate, keeps within-doc repeats") {
+    import graft.ops.SpanDedup
+    // w=2 segments. "ad copy" is shared by docs 1 and 2 (boilerplate);
+    // doc 3 repeats "own words" TWICE within itself (one vote — kept);
+    // doc 4 is empty; doc 5's trailing segment is shorter than w.
+    val docs = Seq(
+      (1L, "ad copy alpha beta"),          // segs: [ad copy][alpha beta]
+      (2L, "gamma delta ad copy"),         // segs: [gamma delta][ad copy]
+      (3L, "own words own words"),         // segs: [own words][own words]
+      (4L, ""),
+      (5L, "solo text tail")               // segs: [solo text][tail]
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeBoilerplateSegments(docs, "text", "doc_id",
+        w = 2, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("alpha beta", 2L, 1L)))
+    assert(out(2L) == (("gamma delta", 2L, 1L)))
+    assert(out(3L) == (("own words own words", 2L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))
+    assert(out(5L) == (("solo text tail", 2L, 0L)))
+    graft.core.Caches.releaseAll()
+  }
 }

@@ -456,4 +456,41 @@ class PlansSpec extends SparkSpec {
       graft.core.Caches.releaseAll()
     }
   }
+
+  test("q93 bloom skip: definite-new branch is a join-free might_contain filter") {
+    val df = SparkEntry.queries("q93_bloom_skip")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan
+    val planStr = plan.toString
+    // The probe itself is present and codegen'd as a plain filter...
+    assert(planStr.contains("might_contain"),
+      s"expected a bloom might_contain probe:\n$planStr")
+    // ...and the union's definite-new arm (a might_contain filter with
+    // NO join beneath it) exists: at least one might_contain Filter
+    // whose subtree is join-free.
+    import org.apache.spark.sql.execution.FilterExec
+    val joinFree = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") &&
+        !f.toString.contains("Join") => f
+    }
+    assert(joinFree.nonEmpty,
+      s"definite-new arm must skip the join entirely:\n$planStr")
+    assert(df.count() > 0)
+  }
+
+  test("q94 CMS heavy hitters: sketch aggregates map-side, top-k never ranks via pre-limit Window") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q94_cms_heavy_hitters")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"exact top-k must be TakeOrderedAndProject:\n$plan")
+    // The only Window ranks the <= 25 post-limit rows (q70's shape):
+    // every WindowExec must sit above the TakeOrderedAndProject.
+    plan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"Window must see only post-limit rows:\n$plan")
+    }
+    assert(df.count() > 0)
+    graft.core.Caches.releaseAll()
+  }
 }
