@@ -1538,6 +1538,16 @@ object SparkEntry {
           documents(s, d), "text", "doc_id", w = 8, minDocs = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+    "q96_stratified_sample" -> ((s, d) =>
+      // Exact-10-per-language uniform sample (deterministic reservoir):
+      // md5-draw order with doc_id tie-break, so DuckDB recomputes the
+      // identical selection AND ranks — a full-value oracle. The
+      // operator's salted two-phase rank keeps hot strata off a single
+      // reducer; the result is provably independent of the slicing.
+      graft.ops.Sampling.stratifiedExactK(
+          documents(s, d), "lang", col("doc_id"), k = 10, salt = "strat1")
+        .select(col("lang"), col("doc_id"), col("rank"))
+        .orderBy(col("lang"), col("rank"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2519,5 +2529,15 @@ Hosts: %s
          FROM documents d
          LEFT JOIN ns USING (doc_id) LEFT JOIN re USING (doc_id)
          ORDER BY d.doc_id""",
+    // q96: the draw is the same md5 hex prefix as q75's split; the
+    // (draw, doc_id) order is total, so selection and rank both mirror.
+    "q96_stratified_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 4),
+               doc_id) AS rank
+         FROM documents)
+         SELECT lang, doc_id, rank FROM r WHERE rank <= 10
+         ORDER BY lang, rank""",
   )
 }

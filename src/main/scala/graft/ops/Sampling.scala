@@ -141,4 +141,43 @@ object Sampling {
         hashHex16(key, salt) < lpad(lower(hex(col("__mix_cut"))), 4, "0"))
       .drop("__mix_src", "__mix_cut")
   }
+
+  /** Exact-k uniform sample per stratum — the deterministic form of
+    * per-group reservoir sampling: order each stratum by its md5 draw
+    * (key as tie-break, so the order is total) and keep the first `k`.
+    * A pure function of (salt, key), reproducible by any engine.
+    *
+    * Scale shape: the naive single window per stratum sorts a WHOLE
+    * stratum in one reducer — a hot stratum ("en" at 60% of a 100 TB
+    * corpus) is the q70-class single-reducer trap. Instead the rank
+    * runs twice: first per (stratum, input-slice) — `spark_partition_id`
+    * salts the hot stratum across the cluster, and any slice's local
+    * top-k superset-contains the global top-k, so pruning to k per
+    * slice is lossless — then the global rank orders only the
+    * <= k x slices survivors per stratum. The final rank (and therefore
+    * the selected set) is independent of the physical slicing; only
+    * the intermediate prune uses it.
+    */
+  def stratifiedExactK(
+      df: DataFrame,
+      stratumCol: String,
+      key: Column,
+      k: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = df
+      .withColumn("__draw", hashHex16(key, salt))
+      .withColumn("__key", key)
+      .withColumn("__slice", spark_partition_id())
+    val perSlice = Window.partitionBy(col(stratumCol), col("__slice"))
+      .orderBy(col("__draw"), col("__key"))
+    val perStratum = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__draw"), col("__key"))
+    salted
+      .withColumn("__rn", row_number().over(perSlice))
+      .where(col("__rn") <= k)
+      .withColumn("rank", row_number().over(perStratum))
+      .where(col("rank") <= k)
+      .drop("__draw", "__key", "__slice", "__rn")
+  }
 }

@@ -894,4 +894,32 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == (("solo text tail", 2L, 0L)))
     graft.core.Caches.releaseAll()
   }
+
+  test("stratified exact-k equals the single-window reference on any slicing") {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // Strata of very different sizes, including one smaller than k.
+    val rows = (0L until 300L).map(i => (i, if (i < 250) "big"
+      else if (i < 295) "mid" else "tiny"))
+    val reference = {
+      val w = Window.partitionBy(col("g"))
+        .orderBy(Sampling.hashHex16(col("id"), "s"), col("id"))
+      rows.toDF("id", "g").withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 7)
+        .select(col("id"), col("g"), col("rank"))
+        .as[(Long, String, Int)].collect().toSet
+    }
+    // The salted two-phase rank must agree under different partition
+    // counts (the prune depends on slicing; the result must not).
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("id", "g").repartition(parts)
+      val out = Sampling.stratifiedExactK(df, "g", col("id"), k = 7, salt = "s")
+        .select(col("id"), col("g"), col("rank"))
+        .as[(Long, String, Int)].collect().toSet
+      assert(out == reference, s"parts=$parts diverged from reference")
+    }
+    // Per-stratum cardinality: min(k, |stratum|).
+    val counts = reference.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts == Map("big" -> 7, "mid" -> 7, "tiny" -> 5))
+  }
 }
