@@ -147,16 +147,15 @@ object Sampling {
     * (key as tie-break, so the order is total) and keep the first `k`.
     * A pure function of (salt, key), reproducible by any engine.
     *
-    * Scale shape: the naive single window per stratum sorts a WHOLE
-    * stratum in one reducer — a hot stratum ("en" at 60% of a 100 TB
-    * corpus) is the q70-class single-reducer trap. Instead the rank
-    * runs twice: first per (stratum, input-slice) — `spark_partition_id`
-    * salts the hot stratum across the cluster, and any slice's local
-    * top-k superset-contains the global top-k, so pruning to k per
-    * slice is lossless — then the global rank orders only the
-    * <= k x slices survivors per stratum. The final rank (and therefore
-    * the selected set) is independent of the physical slicing; only
-    * the intermediate prune uses it.
+    * Scale shape: a partitioned rank-limit is NOT the single-reducer
+    * trap it looks like — Catalyst's InferWindowGroupLimit plants a
+    * partial WindowGroupLimit BELOW the shuffle (each input slice
+    * forwards only its own top-k per stratum, the per-slice reservoir;
+    * lossless because any slice's top-k superset-contains its share of
+    * the global top-k), so a hot stratum's final sort sees at most
+    * k x slices rows, never the stratum. PlansSpec pins the partial
+    * prune's presence; hand-salting the window would only re-create
+    * what the optimizer already does, one shuffle wider.
     */
   def stratifiedExactK(
       df: DataFrame,
@@ -165,19 +164,12 @@ object Sampling {
       k: Int,
       salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val salted = df
-      .withColumn("__draw", hashHex16(key, salt))
-      .withColumn("__key", key)
-      .withColumn("__slice", spark_partition_id())
-    val perSlice = Window.partitionBy(col(stratumCol), col("__slice"))
-      .orderBy(col("__draw"), col("__key"))
     val perStratum = Window.partitionBy(col(stratumCol))
       .orderBy(col("__draw"), col("__key"))
-    salted
-      .withColumn("__rn", row_number().over(perSlice))
-      .where(col("__rn") <= k)
+    df.withColumn("__draw", hashHex16(key, salt))
+      .withColumn("__key", key)
       .withColumn("rank", row_number().over(perStratum))
       .where(col("rank") <= k)
-      .drop("__draw", "__key", "__slice", "__rn")
+      .drop("__draw", "__key")
   }
 }

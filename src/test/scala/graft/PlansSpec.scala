@@ -477,6 +477,21 @@ class PlansSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q96 stratified sample: partial WindowGroupLimit prunes below the shuffle") {
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    val df = SparkEntry.queries("q96_stratified_sample")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan
+    // The scale claim: each input slice forwards at most k rows per
+    // stratum. InferWindowGroupLimit plants a Partial-mode prune below
+    // the (later-inserted) stratum Exchange and a Final above it — the
+    // per-slice reservoir. sparkPlan predates EnsureRequirements, so
+    // assert the Partial/Final pair rather than the Exchange itself.
+    val modes = plan.collect { case w: WindowGroupLimitExec => w.mode.toString }
+    assert(modes.contains("Partial") && modes.contains("Final"),
+      s"expected Partial+Final WindowGroupLimit (map-side prune), got $modes:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("q94 CMS heavy hitters: sketch aggregates map-side, top-k never ranks via pre-limit Window") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     import org.apache.spark.sql.execution.window.WindowExec
