@@ -49,8 +49,13 @@ object ProductQuantize {
   private def subvec(vec: org.apache.spark.sql.Column, sub: Int, dsub: Int) =
     slice(vec, sub * dsub + 1, dsub)
 
+  // Native fused loop (codegen, zero allocation) with the HOF fold's
+  // exact semantics and association order — the PQ hot loop; see
+  // functions/VecL2Sq.scala. q91's envelope keeps its own inline HOF
+  // distances so the oracle cross-checks two independent
+  // implementations.
   private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VecL2SqOps.vecL2SqNative(a, b)
 
   /** Store exploded to subvector grain: (id, sub, svec) with svec a
     * slice of the UNIT-NORMALIZED vector — PQ on the unit sphere makes
@@ -74,6 +79,18 @@ object ProductQuantize {
     * subvectors drop out (standard k-means), leaving fewer, denser
     * entries. Tiny relation — persisted (tracked) because encode, LUT
     * build, and reconstruction all read it.
+    *
+    * `trainCap` bounds the TRAINING SET, not the store: Lloyd rounds
+    * iterate over the `trainCap` vectors with the smallest id hash
+    * (a deterministic uniform sample that superset-contains the seeds
+    * by construction — same hash order). k-means quality needs a
+    * bounded multiple of ksub points (FAISS trains PQ on tens of
+    * points per centroid; 16384 is ~1000x ksub=16), so training cost
+    * stays CONSTANT as the store grows — without the cap, every Lloyd
+    * round re-scans the full corpus, the difference between a fixed
+    * ~seconds training floor and an hours-long one at 100 TB. Encode/
+    * ADC/search are unaffected (they never sample), and the sample id
+    * relation is skinny (ids only) and broadcast.
     */
   def trainCodebooks(
       store: DataFrame,
@@ -82,9 +99,17 @@ object ProductQuantize {
       dim: Int,
       iters: Int = 2,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      trainCap: Int = 16384): DataFrame = {
+    require(trainCap >= ksub, s"trainCap $trainCap must cover ksub $ksub seeds")
+    val trainIds = store.select(col(idCol).as("id"))
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h"), col("id")).limit(trainCap)
+      .select(col("id"))
+    val trainStore = store.join(
+      broadcast(trainIds.withColumnRenamed("id", idCol)), Seq(idCol), "left_semi")
     val sv = graft.core.Caches.persistTracked(
-      subvectors(store, m, dim, embCol, idCol))
+      subvectors(trainStore, m, dim, embCol, idCol))
     val seedW = Window.orderBy(col("__h"), col("id"))
     val seeds = store.select(col(idCol).as("id"))
       .withColumn("__h", xxhash64(col("id")))

@@ -160,6 +160,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native vec_l2sq expression is bit-identical to the HOF fold") {
+    import graft.functions.VecL2SqOps.vecL2SqNative
+    def vec(seed: Int, n: Int): Array[Double] = Array.tabulate(n) { i =>
+      scala.util.hashing.MurmurHash3.productHash((seed, i)).toDouble /
+        Int.MaxValue.toDouble
+    }
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    val pairs = Seq(
+      (vec(1, 16), vec(2, 16)),
+      (vec(3, 16), vec(3, 16)),           // identical -> exactly 0.0
+      (vec(5, 8), vec(6, 5)),             // mismatch -> null both forms
+      (Array.empty[Double], Array.empty[Double]), // empty -> 0.0
+      (vec(7, 300), vec(8, 300)))         // long fold: association order
+    val df = pairs.toDF("a", "b")
+      .select(vecL2SqNative(col("a"), col("b")).as("native"),
+        hof(col("a"), col("b")).as("hof"))
+    df.as[(Option[Double], Option[Double])].collect().foreach { case (n, h) =>
+      assert(n == h, s"native $n != hof $h")
+    }
+    // Null element poisons -> null, matching zip_with's lambda nulls.
+    val withNull = Seq((Seq[java.lang.Double](1.0, null, 3.0).asInstanceOf[Seq[Any]],
+      Seq[Any](1.0, 2.0, 3.0)))
+    val nn = spark.createDataFrame(
+      spark.sparkContext.parallelize(withNull.map(p =>
+        org.apache.spark.sql.Row(p._1, p._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+      .select(vecL2SqNative(col("a"), col("b")).as("native"),
+        hof(col("a"), col("b")).as("hof"))
+      .as[(Option[Double], Option[Double])].collect().head
+    assert(nn._1.isEmpty && nn._2.isEmpty, s"null element must poison: $nn")
+  }
+
   test("native lsh_bucket expression is bit-identical to the HOF form") {
     // Same hyperplane derivation, same accumulation order, same sign
     // test — swapping the native expression into Similarity.lshBucket
