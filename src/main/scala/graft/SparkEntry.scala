@@ -1548,6 +1548,53 @@ object SparkEntry {
           documents(s, d), "lang", col("doc_id"), k = 10, salt = "strat1")
         .select(col("lang"), col("doc_id"), col("rank"))
         .orderBy(col("lang"), col("rank"))),
+    "q97_interval_join" -> ((s, d) => {
+      // Point-in-interval range join with NO equi key — naively a
+      // BroadcastNestedLoopJoin (|points|·|windows| comparisons; ~1e12
+      // at 100x). RangeJoin bins time at the window width, explodes
+      // each window to its <= 2 covered bins, and equi-joins on the
+      // bin — an ordinary hash join whose work tracks the true match
+      // volume. Every sparse error window (event_id % 97 picks ~1% of
+      // errors) aggregates the events inside [ts, ts+10min); the sum
+      // is decimal-exact then cast (deterministic cross-engine).
+      val ev = events(s, d)
+      val wins = ev
+        .where(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("wid"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      val pts = ev.select(col("ts"), col("value"))
+      graft.ops.RangeJoin
+        .pointInIntervalJoin(pts, "ts", wins, "w_start", "w_end", 600L)
+        .groupBy(col("wid"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+        .orderBy(col("wid"))
+    }),
+    "q98_zorder_key" -> ((s, d) => {
+      // Z-order clustering key: morton-interleave (custkey, price/32)
+      // so one sort key localizes BOTH dimensions for min/max file
+      // skipping. Pure shift/mask bit algebra — the DuckDB oracle
+      // recomputes every code; RangeLayoutSpec measures the actual pruning
+      // win (files overlapping a 2D predicate box, z-layout vs
+      // single-column sort).
+      val o = orders(s, d)
+      o.select(col("o_orderkey"),
+          graft.ops.ZOrder.mortonKey(
+            col("o_custkey"),
+            floor(col("o_totalprice") / lit(32.0)).cast("long"),
+            bits = 16).as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q99_source_topshare" -> ((s, d) =>
+      // Cumulative-share ("which sources are 60% of my chars") over
+      // the documents corpus: one partial-agg shuffle to source grain,
+      // then the ranking window runs on the 20-row source relation —
+      // never the corpus. Selection boundary is exact integer
+      // cross-multiplication, so the oracle reproduces it bit-for-bit.
+      graft.ops.Sampling
+        .cumulativeShareSelect(documents(s, d), "source", "n_chars",
+          shareNum = 3L, shareDen = 5L)
+        .withColumnRenamed("group", "source")
+        .orderBy(col("weight").desc, col("source"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2539,5 +2586,47 @@ Hosts: %s
          FROM documents)
          SELECT lang, doc_id, rank FROM r WHERE rank <= 10
          ORDER BY lang, rank""",
+    // q97: the oracle states the range join DECLARATIVELY (BETWEEN-style
+    // theta join) — DuckDB plans it however it likes; only the result
+    // must match the binned plan.
+    "q97_interval_join" ->
+      """WITH w AS (SELECT event_id AS wid, ts AS w_start,
+           ts + INTERVAL 10 MINUTE AS w_end
+           FROM events WHERE event_type = 'error' AND event_id % 97 = 0)
+         SELECT wid, count(*) AS n_events,
+           sum(CAST(round_even(value*100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM w JOIN events p ON p.ts >= w.w_start AND p.ts < w.w_end
+         GROUP BY wid ORDER BY wid""",
+    // q98: the identical mask-ladder bit algebra, spelled in SQL.
+    "q98_zorder_key" ->
+      """WITH q AS (SELECT o_orderkey,
+           o_custkey & 65535 AS x,
+           CAST(floor(o_totalprice / 32.0) AS BIGINT) & 65535 AS y
+           FROM orders),
+         s AS (SELECT o_orderkey,
+           ((x | (x << 8)) & 16711935) AS x1, ((y | (y << 8)) & 16711935) AS y1
+           FROM q),
+         t AS (SELECT o_orderkey,
+           ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2
+           FROM s),
+         u AS (SELECT o_orderkey,
+           ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3
+           FROM t),
+         v AS (SELECT o_orderkey,
+           ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4
+           FROM u)
+         SELECT o_orderkey, x4 | (y4 << 1) AS zkey FROM v ORDER BY o_orderkey""",
+    // q99: integer cross-multiplication for the share test — no float
+    // division anywhere near the selection boundary.
+    "q99_source_topshare" ->
+      """WITH per AS (SELECT source, count(*) AS n_rows,
+           sum(n_chars) AS weight FROM documents GROUP BY source),
+         c AS (SELECT *,
+           sum(weight) OVER (ORDER BY weight DESC, source
+             ROWS UNBOUNDED PRECEDING) AS cum_weight,
+           sum(weight) OVER () AS total FROM per)
+         SELECT source, n_rows, weight, cum_weight,
+           (cum_weight - weight) * 5 < total * 3 AS selected
+         FROM c ORDER BY weight DESC, source""",
   )
 }

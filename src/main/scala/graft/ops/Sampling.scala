@@ -142,6 +142,50 @@ object Sampling {
       .drop("__mix_src", "__mix_cut")
   }
 
+  /** Cumulative-share (Pareto / "top-p") source selection: rank the
+    * groups of `groupCol` by total `weightCol` descending and mark the
+    * head groups that together cover `shareNum/shareDen` of the corpus
+    * weight — the "which sources make up 90% of my tokens" question
+    * that decides what a mixture rebalance or a curation pass should
+    * even look at. A group is selected iff the cumulative weight
+    * BEFORE it is still short of the target share (so the group that
+    * crosses the threshold is included, and selection is a prefix of
+    * the ranked order — never an empty set for a positive share).
+    *
+    * The share test is exact integer cross-multiplication
+    * (`(cum - w) * den < num * total`), no floating division — a
+    * selection boundary must not move between engines.
+    *
+    * Scale shape: one partial-aggregating shuffle to group grain, then
+    * a window over the GROUP-GRAIN relation (cardinality = #groups,
+    * thousands at most for source/lang/domain keys — the unpartitioned
+    * window ranks that tiny relation, never the corpus).
+    * Output: (group, n_rows, weight, cum_weight, selected).
+    */
+  def cumulativeShareSelect(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      shareNum: Long,
+      shareDen: Long): DataFrame = {
+    require(shareDen > 0 && shareNum >= 0 && shareNum <= shareDen,
+      s"share must be a fraction in [0, 1], got $shareNum/$shareDen")
+    import org.apache.spark.sql.expressions.Window
+    val byWeight = Window.orderBy(col("weight").desc, col("group"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val everything = Window.partitionBy()
+    df.groupBy(col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(weightCol).cast("decimal(38,0)")).as("weight"))
+      .withColumn("cum_weight", sum(col("weight")).over(byWeight))
+      .withColumn("selected",
+        (col("cum_weight") - col("weight")) * lit(shareDen) <
+          sum(col("weight")).over(everything) * lit(shareNum))
+      .select(col("group"), col("n_rows"),
+        col("weight").cast("long").as("weight"),
+        col("cum_weight").cast("long").as("cum_weight"), col("selected"))
+  }
+
   /** Exact-k uniform sample per stratum — the deterministic form of
     * per-group reservoir sampling: order each stratum by its md5 draw
     * (key as tie-break, so the order is total) and keep the first `k`.
