@@ -55,10 +55,19 @@ object Components {
       bCol: String,
       maxIter: Int = 10): DataFrame = {
     // Symmetric edge relation, one direction per row. Persisted: it is
-    // re-joined every round.
+    // re-joined every round. Built by EXPLODING each pair into its two
+    // directions rather than a self-union — a union's branches are not
+    // common subexpressions to Spark, so the (potentially expensive)
+    // pair-producing plan upstream — e.g. q84's exact Jaccard join —
+    // would be executed twice in the one job that materializes this
+    // persist. The explode reads it once.
     val edges = graft.core.Caches.persistTracked(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      pairs
+        .select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst"))))
+          .as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
 
