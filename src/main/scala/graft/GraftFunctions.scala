@@ -89,7 +89,7 @@ object GraftFunctions {
     */
   def registerOptimizations(spark: SparkSession): Unit = {
     val rules = Seq(graft.plans.HammingBandJoinRule, graft.plans.CosineBandJoinRule,
-      graft.plans.JaccardPrefixJoinRule)
+      graft.plans.JaccardPrefixJoinRule, graft.plans.IntervalBinJoinRule)
     val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
     if (missing.nonEmpty)
       spark.experimental.extraOptimizations =
@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.HammingBandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.CosineBandJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.JaccardPrefixJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalBinJoinRule)
   }
 }

@@ -1595,6 +1595,34 @@ object SparkEntry {
           shareNum = 3L, shareDen = 5L)
         .withColumnRenamed("group", "source")
         .orderBy(col("weight").desc, col("source"))),
+    "q100_interval_join_rule" -> ((s, d) => {
+      // The DECLARATIVE point-in-interval join: q97's predicate written
+      // as a plain theta join, which would plan as a
+      // BroadcastNestedLoopJoin; with the opt-in session knob,
+      // IntervalBinJoinRule re-plans it as the binned equi-join
+      // (RangeJoin's shape, derived automatically). The rewrite is
+      // EXACT, so this is a FULL-VALUE oracle row — same oracle SQL as
+      // q97. Child session so the knob cannot leak into other queries;
+      // the builder hard-asserts the nested loop is gone.
+      val s2 = s.newSession()
+      GraftFunctions.registerOptimizations(s2)
+      s2.conf.set(graft.plans.IntervalBinJoinRule.EnabledKey, "true")
+      s2.conf.set(graft.plans.IntervalBinJoinRule.BinKey, "600")
+      val ev = events(s2, d)
+      val wins = ev
+        .where(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("wid"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      val pts = ev.select(col("ts"), col("value"))
+      val joined = pts.join(wins,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        "IntervalBinJoinRule did not engage — declarative range join would run all-pairs")
+      joined.groupBy(col("wid"))
+        .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
+        .orderBy(col("wid"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2628,5 +2656,14 @@ Hosts: %s
          SELECT source, n_rows, weight, cum_weight,
            (cum_weight - weight) * 5 < total * 3 AS selected
          FROM c ORDER BY weight DESC, source""",
+    // q100: exact rewrite of the declarative form — same oracle as q97.
+    "q100_interval_join_rule" ->
+      """WITH w AS (SELECT event_id AS wid, ts AS w_start,
+           ts + INTERVAL 10 MINUTE AS w_end
+           FROM events WHERE event_type = 'error' AND event_id % 97 = 0)
+         SELECT wid, count(*) AS n_events,
+           sum(CAST(round_even(value*100, 0) AS BIGINT)) / 100.0 AS sum_value
+         FROM w JOIN events p ON p.ts >= w.w_start AND p.ts < w.w_end
+         GROUP BY wid ORDER BY wid""",
   )
 }

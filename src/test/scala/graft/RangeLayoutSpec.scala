@@ -63,6 +63,39 @@ class RangeLayoutSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected the interval bin explosion in:\n$plan")
   }
 
+  test("interval join rule: opt-in, binned plan, exact incl. multiplicities") {
+    GraftFunctions.registerOptimizations(spark)
+    // Duplicate one interval so multiplicity preservation is observable.
+    val ivs = intervalsDf.union(intervalsDf.where(col("wid") === 30L))
+    def query() = pointsDf.join(ivs,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "wid")
+    try {
+      spark.conf.set(graft.plans.IntervalBinJoinRule.EnabledKey, "false")
+      val naiveDf = query()
+      assert(naiveDf.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"),
+        "expected the naive plan while the knob is off")
+      val naive = naiveDf.as[(Long, Long)].collect().toSeq.sorted
+
+      spark.conf.set(graft.plans.IntervalBinJoinRule.EnabledKey, "true")
+      spark.conf.set(graft.plans.IntervalBinJoinRule.BinKey, "60")
+      val rewrittenDf = query()
+      val plan = rewrittenDf.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"expected a binned equi-join, got:\n$plan")
+      assert(plan.contains("Generate"),
+        s"expected the interval bin explosion in:\n$plan")
+      val got = rewrittenDf.as[(Long, Long)].collect().toSeq.sorted
+      assert(got == naive, s"$got != $naive")
+      assert(got.count(_ == (2L, 30L)) == 2, "duplicated interval lost")
+    } finally {
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.EnabledKey)
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.BinKey)
+    }
+  }
+
   test("morton key matches a bit-by-bit scala reference and respects the mask") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
