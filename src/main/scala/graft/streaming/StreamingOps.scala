@@ -147,6 +147,40 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** §2.9 stream-stream attribution join: each right-stream event
+    * (click) matched to the left-stream events (impressions) of the
+    * SAME key within `[l.ts, l.ts + windowSeconds)` — the streaming
+    * twin of [[graft.ops.RangeJoin.pointInIntervalJoin]], with the
+    * equi key Spark's streaming symmetric hash join requires (it
+    * partitions both buffers; a keyless stream-stream theta join is
+    * unsupported and would be unbounded anyway).
+    *
+    * The watermarks plus the two-sided time-range conjunct are what
+    * BOUND THE STATE: Spark derives from them how long each side's
+    * buffered rows can still find a partner (left rows age out
+    * `windowSeconds` after their event time passes the right
+    * watermark; right rows as soon as the left watermark passes), and
+    * evicts state automatically — without the range condition, both
+    * buffers grow forever. Inner join, so unmatched rows simply expire.
+    */
+  def attributionJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      windowSeconds: Long,
+      watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"), col("value"))
+    l.join(r, col("l_key") === col("r_key") && col("r_ts") >= col("l_ts") &&
+      col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("l_key").as("key"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"), col("value"))
+  }
+
   /** Incremental store sink: each micro-batch anti-joins against what
     * the store already holds on (video_id, start_time) — the reference's
     * J5 resumability (build_vector_store.py:78-80) as a streaming sink,

@@ -50,6 +50,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoinStream: keyed time-range join matches the batch join, state evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val joined = StreamingOps.attributionJoinStream(
+      imps.toDF(), clicks.toDF(), "user_id",
+      windowSeconds = 600, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData(
+        Event(10, ts(0), 1, "imp", 0.0),
+        Event(11, ts(20), 1, "imp", 0.0),
+        Event(12, ts(0), 2, "imp", 0.0))
+      clicks.addData(
+        Event(20, ts(5), 1, "click", 1.5),  // in [0,10) of imp 10
+        Event(21, ts(10), 1, "click", 2.5), // AT window end -> excluded
+        Event(22, ts(25), 1, "click", 3.5), // in [20,30) of imp 11
+        Event(23, ts(9), 3, "click", 9.9))  // no imp for user 3
+      q.processAllAvailable()
+      // A click OLDER than the watermark (far behind the sentinel) is
+      // dropped from the state buffers, not joined.
+      imps.addData(Event(13, ts(300), 9, "imp", 0.0))
+      clicks.addData(Event(24, ts(300), 9, "click", 0.5),
+        Event(25, ts(6), 1, "click", 7.7)) // would match imp 10, but too late
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("key", "l_id", "r_id", "value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(rows == Set((1L, 10L, 20L, 1.5), (1L, 11L, 22L, 3.5),
+        (9L, 13L, 24L, 0.5)),
+        s"got $rows")
+      // Batch parity over the first batch's fixture (late row excluded).
+      val impsB = Seq(Event(10, ts(0), 1, "imp", 0.0),
+        Event(11, ts(20), 1, "imp", 0.0), Event(12, ts(0), 2, "imp", 0.0)).toDF()
+      val clicksB = Seq(Event(20, ts(5), 1, "click", 1.5),
+        Event(21, ts(10), 1, "click", 2.5), Event(22, ts(25), 1, "click", 3.5),
+        Event(23, ts(9), 3, "click", 9.9)).toDF()
+      val batch = impsB.select(col("user_id").as("k"), col("ts").as("lts"),
+          col("event_id").as("lid"))
+        .join(clicksB, col("k") === col("user_id") &&
+          col("ts") >= col("lts") &&
+          col("ts") < col("lts") + expr("INTERVAL 600 SECONDS"))
+        .select(col("k"), col("lid"), col("event_id"), col("value"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch == Set((1L, 10L, 20L, 1.5), (1L, 11L, 22L, 3.5)))
+    } finally q.stop()
+  }
+
   test("sessionize: closed sessions are identical to batch session_window on the same fixture") {
     // Ties the streaming path to the oracle-green batch semantics
     // (q55): same events -> same closed sessions, including the exact
