@@ -1623,6 +1623,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum2(col("value")).as("sum_value"))
         .orderBy(col("wid"))
     }),
+    "q101_incremental_stats" -> ((s, d) => {
+      // §2.11 incremental mergeable stats: the corpus split into two
+      // disjoint shards (doc_id parity standing in for ingest
+      // batches), each aggregated ONCE to per-lang partials, partials
+      // merged — counts/sums exactly, the distinct-source dimension as
+      // a DataSketches HLL register union. The oracle recomputes the
+      // exact columns from the full corpus; merged_est_matches_direct
+      // pins that union-of-sketches == sketch-of-union (lossless
+      // register max), est_within_5pct bounds the estimate against the
+      // exact distinct count. Like q71/q93, the booleans are
+      // deterministic for a fixed corpus + Spark sketch version (a
+      // sketch-library upgrade flipping them is expected fragility,
+      // not a regression).
+      val docs = documents(s, d)
+      val parts = graft.ops.IncrementalStats
+        .shardStats(docs.where(col("doc_id") % 2 === 0), "lang", "n_chars", "source")
+        .unionByName(graft.ops.IncrementalStats
+          .shardStats(docs.where(col("doc_id") % 2 === 1), "lang", "n_chars", "source"))
+      val merged = graft.ops.IncrementalStats
+        .withEstimate(graft.ops.IncrementalStats.mergeStats(parts, "lang"))
+        .select(col("lang"), col("n_rows"), col("w_sum"),
+          col("n_distinct_est").as("merged_est"))
+      val direct = docs.groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("source"))).as("direct_est"),
+          countDistinct(col("source")).as("n_sources_exact"))
+      merged.join(direct, Seq("lang"))
+        .select(col("lang"),
+          col("n_rows").cast("long").as("n_docs"),
+          col("w_sum").cast("long").as("total_chars"),
+          col("n_sources_exact"),
+          (col("merged_est") === col("direct_est")).as("merged_est_matches_direct"),
+          (abs(col("merged_est") - col("n_sources_exact")) <=
+            col("n_sources_exact") * 0.05).as("est_within_5pct"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2665,5 +2700,13 @@ Hosts: %s
            sum(CAST(round_even(value*100, 0) AS BIGINT)) / 100.0 AS sum_value
          FROM w JOIN events p ON p.ts >= w.w_start AND p.ts < w.w_end
          GROUP BY wid ORDER BY wid""",
+    // q101: exact columns recomputed from the full corpus; sketch
+    // booleans pinned (deterministic for a fixed corpus + sketch lib).
+    "q101_incremental_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         count(DISTINCT source) AS n_sources_exact,
+         TRUE AS merged_est_matches_direct,
+         TRUE AS est_within_5pct
+         FROM documents GROUP BY lang ORDER BY lang""",
   )
 }

@@ -922,4 +922,34 @@ class OpsSpec extends SparkSpec {
     val counts = reference.groupBy(_._2).view.mapValues(_.size).toMap
     assert(counts == Map("big" -> 7, "mid" -> 7, "tiny" -> 5))
   }
+
+  test("mergeable stats: any shard split and re-merge equals the direct scan") {
+    import graft.ops.IncrementalStats
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, s"g${i % 3}", (i % 7).toLong, s"src${i % 11}"))
+      .toDF("id", "g", "w", "src")
+    def finish(stats: org.apache.spark.sql.DataFrame) =
+      IncrementalStats.withEstimate(stats)
+        .select(col("g"), col("n_rows").cast("long"), col("w_sum").cast("long"),
+          col("n_distinct_est").cast("long"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val direct = finish(IncrementalStats.shardStats(rows, "g", "w", "src"))
+    // 11 distinct srcs per group: the HLL estimate is exact down here,
+    // so set equality pins counts, sums, AND the estimate.
+    assert(direct.map(r => (r._1, r._2, r._3, r._4)) ==
+      Set(("g0", 100L, 297L, 11L), ("g1", 100L, 299L, 11L), ("g2", 100L, 301L, 11L)))
+    // Three-way split with OVERLAPPING source values across shards.
+    val shards = Seq(
+      rows.where(col("id") % 3 === 0), rows.where(col("id") % 3 === 1),
+      rows.where(col("id") % 3 === 2))
+      .map(IncrementalStats.shardStats(_, "g", "w", "src"))
+    val merged = finish(IncrementalStats.mergeStats(
+      shards.reduce(_ unionByName _), "g"))
+    assert(merged == direct)
+    // Incremental: a previously-merged row is just another partial.
+    val incremental = finish(IncrementalStats.mergeStats(
+      IncrementalStats.mergeStats(shards.head.unionByName(shards(1)), "g")
+        .unionByName(shards(2)), "g"))
+    assert(incremental == direct)
+  }
 }
