@@ -1658,6 +1658,15 @@ object SparkEntry {
             col("n_sources_exact") * 0.05).as("est_within_5pct"))
         .orderBy(col("lang"))
     }),
+    "q102_scd2_versions" -> ((s, d) =>
+      // §2.11 SCD2 versioning: each user's event_type stream becomes
+      // validity intervals (no-op repeats suppressed, end-exclusive
+      // tiling, lead() closes each version). Both windows partition by
+      // user_id — one key-shuffle, per-key sorted streams, no global
+      // sort. The oracle replays the same lag/lead decomposition.
+      graft.ops.Scd2
+        .fromChangeLog(events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("user_id"), col("valid_from"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2708,5 +2717,18 @@ Hosts: %s
          TRUE AS merged_est_matches_direct,
          TRUE AS est_within_5pct
          FROM documents GROUP BY lang ORDER BY lang""",
+    // q102: the same lag-suppress + lead-close decomposition in SQL.
+    "q102_scd2_versions" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         k AS (SELECT user_id, ts, event_id, event_type FROM c
+           WHERE event_type IS DISTINCT FROM prev),
+         v AS (SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+           FROM k)
+         SELECT user_id, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, valid_from""",
   )
 }

@@ -952,4 +952,51 @@ class OpsSpec extends SparkSpec {
         .unionByName(shards(2)), "g"))
     assert(incremental == direct)
   }
+
+  test("scd2: no-op suppression, null-safe transitions, end-exclusive tiling") {
+    import graft.ops.Scd2
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val log = Seq(
+      (1L, 10L, 100L, Some("a")),
+      (1L, 20L, 101L, Some("a")),   // repeat -> suppressed
+      (1L, 30L, 102L, Some("b")),
+      (1L, 30L, 103L, Some("c")),   // same ts: event_id breaks the tie
+      (1L, 40L, 104L, None),        // non-null -> null IS a change
+      (1L, 50L, 105L, None),        // null repeat -> suppressed
+      (1L, 60L, 106L, Some("a")),   // null -> non-null IS a change
+      (2L, 10L, 200L, Some("x")))   // single-version key
+      .map { case (k, s, id, st) => (k, t(s), id, st.orNull) }
+      .toDF("k", "ts", "id", "st")
+    val out = Scd2.fromChangeLog(log, "k", "ts", "id", "st")
+      .select(col("k"), col("st"), col("valid_from").cast("long"),
+        col("valid_to").cast("long"), col("is_current"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    assert(out == Seq(
+      (1L, Some("a"), 10L, Some(30L), false),
+      (1L, Some("b"), 30L, Some(30L), false), // zero-width: superseded same-ts
+      (1L, Some("c"), 30L, Some(40L), false),
+      (1L, None, 40L, Some(60L), false),
+      (1L, Some("a"), 60L, None, true),
+      (2L, Some("x"), 10L, None, true)))
+    // Tiling: each key's intervals cover [first_from, inf) with no
+    // gaps — every valid_to equals the next valid_from.
+    out.groupBy(_._1).values.foreach { vs =>
+      vs.sortBy(_._3).sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), s"gap between $a and $b")
+        case _ =>
+      }
+    }
+    // Composability: the as-of semantics — a fact at t joins the
+    // version with valid_from <= t < coalesce(valid_to, inf).
+    val facts = Seq((1L, 35L), (1L, 45L), (1L, 70L)).map { case (k, s) => (k, t(s)) }
+      .toDF("k", "fts")
+    val versions = Scd2.fromChangeLog(log, "k", "ts", "id", "st")
+    val matched = facts.join(versions,
+        facts("k") === versions("k") && col("fts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("fts") < col("valid_to")))
+      .select(col("fts").cast("long"), col("st"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(matched == Set((35L, Some("c")), (45L, None), (70L, Some("a"))))
+  }
 }
