@@ -65,6 +65,14 @@ object GraftFunctions {
       graft.chunk.ChunkTranscriptGen(args(0),
         intLit(args(1), "chunkSize"), intLit(args(2), "chunkOverlap"))
     },
+    // Unicode canonical/compatibility normalization (no Spark builtin;
+    // multilingual dedup keys break on raw byte equality without it).
+    "nfc" -> { args =>
+      arity("nfc", args, 1); graft.functions.UnicodeNormExpr(args.head, "NFC") },
+    "nfd" -> { args =>
+      arity("nfd", args, 1); graft.functions.UnicodeNormExpr(args.head, "NFD") },
+    "nfkc" -> { args =>
+      arity("nfkc", args, 1); graft.functions.UnicodeNormExpr(args.head, "NFKC") },
     // Structured LLM output (SURVEY §1.3): raw response text -> typed
     // struct, with fence/preamble recovery and malformed -> null.
     "parse_agent_response" -> { args =>

@@ -1667,6 +1667,27 @@ object SparkEntry {
       graft.ops.Scd2
         .fromChangeLog(events(s, d), "user_id", "ts", "event_id", "event_type")
         .orderBy(col("user_id"), col("valid_from"))),
+    "q103_unicode_norm" -> ((s, d) => {
+      // Unicode canonical normalization: the synthetic corpus is
+      // ASCII, so the fixture text is BUILT with both spellings of an
+      // accented word — composed U+00E9 and decomposed e+U+0301, which
+      // are different byte strings every exact-dedup hash would keep
+      // as distinct documents. normKey (NFD -> strip marks -> NFC ->
+      // lower, a codegen'd native NFC/NFD expression) collapses them;
+      // the oracle mirrors with lower(strip_accents()) and
+      // nfc_normalize(). keys_match is an actual cross-spelling
+      // comparison in BOTH engines, not a pinned literal.
+      val c = customer(s, d)
+      val composed = concat(lit("Caf\u00e9 "), col("c_name"))
+      val decomposed = concat(lit("Cafe\u0301 "), col("c_name"))
+      import graft.functions.UnicodeNormOps.{nfc, normKey}
+      c.select(col("c_custkey"),
+          normKey(composed).as("fold_key"),
+          (normKey(composed) === normKey(decomposed)).as("keys_match"),
+          length(nfc(decomposed)).as("nfc_chars"),
+          length(decomposed).as("raw_chars"))
+        .orderBy(col("c_custkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2730,5 +2751,14 @@ Hosts: %s
          SELECT user_id, event_type, valid_from, valid_to,
            valid_to IS NULL AS is_current
          FROM v ORDER BY user_id, valid_from""",
+    // q103: chr(233) = composed e-acute, chr(769) = combining acute.
+    "q103_unicode_norm" ->
+      """SELECT c_custkey,
+         lower(strip_accents('Caf' || chr(233) || ' ' || c_name)) AS fold_key,
+         lower(strip_accents('Caf' || chr(233) || ' ' || c_name)) =
+           lower(strip_accents('Cafe' || chr(769) || ' ' || c_name)) AS keys_match,
+         length(nfc_normalize('Cafe' || chr(769) || ' ' || c_name)) AS nfc_chars,
+         length('Cafe' || chr(769) || ' ' || c_name) AS raw_chars
+         FROM customer ORDER BY c_custkey""",
   )
 }

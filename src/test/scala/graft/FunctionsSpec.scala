@@ -200,6 +200,35 @@ class FunctionsSpec extends SparkSpec {
     assert(nn._1.isEmpty && nn._2.isEmpty, s"null element must poison: $nn")
   }
 
+  test("unicode normalization: forms, fold key, nulls, ascii fast path") {
+    import graft.functions.UnicodeNormOps.{nfc, nfd, nfkc, normKey}
+    val composedCafe = "Caf\u00e9"
+    val decomposedCafe = "Cafe\u0301"
+    val df = Seq(
+      ("composed", composedCafe),
+      ("decomposed", decomposedCafe),
+      ("ligature", "\ufb01n"),   // fi ligature: NFKC folds, NFC keeps
+      ("ascii", "plain"),
+      ("tilde", "man\u0303ana")) // n + combining tilde
+      .toDF("tag", "s")
+    val out = df.select(col("tag"), nfc(col("s")).as("c"), nfd(col("s")).as("d"),
+        nfkc(col("s")).as("kc"), normKey(col("s")).as("k"))
+      .as[(String, String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("composed")._2 == composedCafe)
+    assert(out("decomposed")._2 == composedCafe, // NFC composes
+      s"got ${out("decomposed")._2.codePoints().toArray.toSeq}")
+    assert(out("composed")._3 == decomposedCafe) // NFD decomposes
+    assert(out("composed")._5 == "cafe" && out("decomposed")._5 == "cafe")
+    assert(out("ligature")._4 == "fin" && out("ligature")._2 == "\ufb01n")
+    assert(out("ascii")._2 == "plain" && out("ascii")._5 == "plain")
+    assert(out("tilde")._5 == "manana")
+    // Nulls pass through (unary null-safe expression).
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(nfc(col("s"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("native lsh_bucket expression is bit-identical to the HOF form") {
     // Same hyperplane derivation, same accumulation order, same sign
     // test — swapping the native expression into Similarity.lshBucket
