@@ -1688,6 +1688,38 @@ object SparkEntry {
           length(decomposed).as("raw_chars"))
         .orderBy(col("c_custkey"))
     }),
+    "q104_blocklist" -> ((s, d) => {
+      // §2.11 URL/domain blocklist curation: deterministic URLs of
+      // varied shape (scheme/userinfo/port/path present by doc_id
+      // modulus) are canonicalized to hosts with RE2-compatible regex
+      // algebra the oracle runs verbatim, membership is a broadcast
+      // anti-probe (the corpus never shuffles), and the C4-style
+      // badwords density is a per-row literal-array intersection. The
+      // boolean is a real blocklist-join outcome in both engines.
+      val docs = documents(s, d)
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("https://"))
+          .when(col("doc_id") % 3 === 1, lit("http://user:pw@"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"), lit(".example.org"),
+        when(col("doc_id") % 5 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/watch?v="), col("doc_id"))
+      val host = graft.ops.Blocklist.urlHost(url)
+      import s.implicits._
+      val blocked = Seq("src1.example.org", "src7.example.org",
+        "src13.example.org").toDF("h")
+      docs.select(col("doc_id"), url.as("url"), host.as("host"),
+          // Half-even grid snap (rint), not round(): a power-of-two
+          // distinct-word count makes exact .xxxx5 halves, where
+          // HALF_UP conventions differ across engines.
+          (rint(graft.ops.Blocklist.blockedWordRatio(col("text"),
+            Seq("spark", "fast", "slow")) * 10000) / 10000).as("badword_ratio"))
+        .join(broadcast(blocked), col("host") === col("h"), "left")
+        .select(col("doc_id"), col("url"), col("host"),
+          col("h").isNotNull.as("blocked"), col("badword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2760,5 +2792,29 @@ Hosts: %s
          length(nfc_normalize('Cafe' || chr(769) || ' ' || c_name)) AS nfc_chars,
          length('Cafe' || chr(769) || ' ' || c_name) AS raw_chars
          FROM customer ORDER BY c_custkey""",
+    // q104: identical RE2 pattern, identical blocklist membership,
+    // half-even ratio grid.
+    "q104_blocklist" ->
+      """WITH u AS (SELECT doc_id, text,
+           CASE WHEN doc_id % 3 = 0 THEN 'https://'
+                WHEN doc_id % 3 = 1 THEN 'http://user:pw@' ELSE '' END ||
+           CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+           source || '.example.org' ||
+           CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END ||
+           '/watch?v=' || doc_id AS url
+           FROM documents),
+         h AS (SELECT doc_id, url, text,
+           regexp_replace(lower(regexp_extract(url,
+             '^(?:[a-z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)),
+             '^www\.', '') AS host FROM u),
+         w AS (SELECT *, list_distinct(
+             regexp_split_to_array(lower(trim(text)), '\s+')) AS words FROM h)
+         SELECT doc_id, url, host,
+           host IN ('src1.example.org', 'src7.example.org',
+                    'src13.example.org') AS blocked,
+           round_even(CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_intersect(words, ['spark', 'fast', 'slow'])) * 1.0
+                  / len(words) END * 10000, 0) / 10000 AS badword_ratio
+         FROM w ORDER BY doc_id""",
   )
 }

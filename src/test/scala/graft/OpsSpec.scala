@@ -953,6 +953,41 @@ class OpsSpec extends SparkSpec {
     assert(incremental == direct)
   }
 
+  test("blocklist: host canonicalization, broadcast anti-join, word ratio") {
+    import graft.ops.Blocklist
+    val urls = Seq(
+      "https://www.Bad.Example.org/path?q=1" -> "bad.example.org",
+      "http://user:pw@bad.example.org:8080/x" -> "bad.example.org",
+      "bad.example.org/path" -> "bad.example.org",
+      "www.good.example.org" -> "good.example.org",
+      "https://good.example.org" -> "good.example.org",
+      "ftp+ssh://WWW.GOOD.example.org:21" -> "good.example.org",
+      "https://192.168.0.1:443/x" -> "192.168.0.1",
+      "wwwgood.example.org" -> "wwwgood.example.org") // no dot: not a www prefix
+    val hosts = urls.map(_._1).toDF("url")
+      .select(Blocklist.urlHost(col("url"))).as[String].collect().toSeq
+    assert(hosts == urls.map(_._2))
+
+    val docs = urls.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val bl = Seq("bad.example.org").toDF("host")
+    val kept = Blocklist.filterBlockedHosts(docs, "url", bl, "host")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L, 6L, 7L))
+    val plan = Blocklist.filterBlockedHosts(docs, "url", bl, "host")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist probe must be a broadcast anti-join:\n$plan")
+
+    val ratios = Seq("spark fast spark other", "  ", "none here")
+      .toDF("t")
+      .select(Blocklist.blockedWordRatio(col("t"), Seq("spark", "fast")))
+      .as[Double].collect().toSeq
+    // distinct words: {spark, fast, other} -> 2/3; blank -> 0; {none, here} -> 0
+    assert(math.abs(ratios.head - 2.0 / 3.0) < 1e-12 &&
+      ratios(1) == 0.0 && ratios(2) == 0.0, s"got $ratios")
+  }
+
   test("scd2: no-op suppression, null-safe transitions, end-exclusive tiling") {
     import graft.ops.Scd2
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
