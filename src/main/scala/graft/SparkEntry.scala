@@ -1720,6 +1720,16 @@ object SparkEntry {
           col("h").isNotNull.as("blocked"), col("badword_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q105_negative_sampling" -> ((s, d) =>
+      // §2.11 contrastive negative mining: md5-drawn bucket
+      // representatives (bucket-grain relation, broadcast), k map-only
+      // slot draws per query doc, same-source slots dropped as
+      // in-domain false negatives. Fully deterministic — the oracle
+      // recomputes every draw, election, and exclusion.
+      graft.ops.Sampling
+        .negativeSamples(documents(s, d), "doc_id", "source",
+          k = 4, buckets = 64, salt = "neg1")
+        .orderBy(col("doc_id"), col("slot"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2816,5 +2826,21 @@ Hosts: %s
              ELSE len(list_intersect(words, ['spark', 'fast', 'slow'])) * 1.0
                   / len(words) END * 10000, 0) / 10000 AS badword_ratio
          FROM w ORDER BY doc_id""",
+    // q105: same md5 draws, min-id election, and exclusions.
+    "q105_negative_sampling" ->
+      """WITH r0 AS (SELECT doc_id, source,
+           (('0x' || substr(md5('neg1' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT)
+             % 64 AS b
+           FROM documents),
+         reps AS (SELECT b, min(doc_id) AS neg_id FROM r0 GROUP BY b),
+         repx AS (SELECT r.b, r.neg_id, d.source AS nsrc
+           FROM reps r JOIN documents d ON d.doc_id = r.neg_id),
+         slots AS (SELECT d.doc_id, d.source, s.slot,
+           (('0x' || substr(md5('neg1' || CAST(d.doc_id AS VARCHAR) || ':'
+              || CAST(s.slot AS VARCHAR)), 1, 4))::BIGINT) % 64 AS b
+           FROM documents d, (SELECT unnest(range(1, 5)) AS slot) s)
+         SELECT doc_id, slot, neg_id FROM slots JOIN repx USING (b)
+         WHERE neg_id <> doc_id AND nsrc <> source
+         ORDER BY doc_id, slot""",
   )
 }

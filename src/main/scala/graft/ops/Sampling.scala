@@ -186,6 +186,51 @@ object Sampling {
         col("cum_weight").cast("long").as("cum_weight"), col("selected"))
   }
 
+  /** Deterministic negative mining for contrastive training pairs:
+    * every document gets up to `k` pseudo-random negatives drawn from
+    * the corpus, reproducible by any engine (md5 draws, no RNG state).
+    *
+    * Mechanics: documents hash into `buckets` buckets, each bucket
+    * elects its min-id member as representative (one tiny bucket-grain
+    * relation); each (doc, slot) pair hashes to a target bucket and
+    * takes that bucket's representative as the negative. Slots whose
+    * representative is the query itself or shares its `exclCol` value
+    * (in-domain false-negative guard — same source here, same dup
+    * cluster in a pipeline that has one) are DROPPED, so a document
+    * yields AT MOST k negatives.
+    *
+    * Scale shape: the representative relation is `buckets` rows and
+    * broadcasts; the query side is a map-only k-slot explode plus the
+    * broadcast probe — the corpus never shuffles. Bias note: min-id
+    * election is deliberate (engine-portable, append-stable for
+    * existing buckets); representatives rotate by changing `salt`.
+    */
+  def negativeSamples(
+      docs: DataFrame,
+      idCol: String,
+      exclCol: String,
+      k: Int,
+      buckets: Int,
+      salt: String): DataFrame = {
+    require(k >= 1 && buckets >= 2, s"need k >= 1, buckets >= 2; got $k, $buckets")
+    def bucketOf(key: Column): Column =
+      pmod(conv(hashHex16(key, salt), 16, 10).cast("long"), lit(buckets.toLong))
+    val reps = docs
+      .select(col(idCol).as("__rid"), col(exclCol).as("__rexcl"))
+      .withColumn("__bucket", bucketOf(col("__rid")))
+      .groupBy(col("__bucket"))
+      .agg(min(struct(col("__rid"), col("__rexcl"))).as("__r"))
+      .select(col("__bucket"), col("__r.__rid").as("neg_id"),
+        col("__r.__rexcl").as("__nexcl"))
+    docs.select(col(idCol), col(exclCol))
+      .withColumn("slot", explode(array((1 to k).map(lit): _*)))
+      .withColumn("__bucket", bucketOf(
+        concat(col(idCol).cast("string"), lit(":"), col("slot").cast("string"))))
+      .join(broadcast(reps), Seq("__bucket"))
+      .where(col("neg_id") =!= col(idCol) && !(col("__nexcl") <=> col(exclCol)))
+      .select(col(idCol), col("slot"), col("neg_id"))
+  }
+
   /** Exact-k uniform sample per stratum — the deterministic form of
     * per-group reservoir sampling: order each stratum by its md5 draw
     * (key as tie-break, so the order is total) and keep the first `k`.

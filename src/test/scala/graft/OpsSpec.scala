@@ -988,6 +988,27 @@ class OpsSpec extends SparkSpec {
       ratios(1) == 0.0 && ratios(2) == 0.0, s"got $ratios")
   }
 
+  test("negative sampling: bounded, excluded, slicing-independent") {
+    val docs = Seq.tabulate(200)(i => (i.toLong, s"src${i % 5}"))
+      .toDF("doc_id", "source")
+    def run(parts: Int) = graft.ops.Sampling.negativeSamples(
+        docs.repartition(parts), "doc_id", "source",
+        k = 3, buckets = 16, salt = "t")
+      .select("doc_id", "slot", "neg_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val out = run(4)
+    assert(out == run(1) && out == run(13), "selection depends on slicing")
+    // At most k negatives per query doc.
+    out.groupBy(_._1).values.foreach(vs => assert(vs.size <= 3))
+    // Exclusions: never self, never same source.
+    val srcOf = (0 until 200).map(i => i.toLong -> s"src${i % 5}").toMap
+    out.foreach { case (q, _, n) =>
+      assert(q != n && srcOf(q) != srcOf(n), s"bad negative ($q, $n)")
+    }
+    // The guard actually fires somewhere (some slots dropped).
+    assert(out.size < 600 && out.size > 300, s"unexpected volume ${out.size}")
+  }
+
   test("scd2: no-op suppression, null-safe transitions, end-exclusive tiling") {
     import graft.ops.Scd2
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
