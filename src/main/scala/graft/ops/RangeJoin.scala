@@ -56,7 +56,7 @@ object RangeJoin {
       binSeconds: Long): DataFrame = {
     require(binSeconds > 0, s"binSeconds must be positive, got $binSeconds")
     val w = binSeconds * 1000000L // micros per bin
-    val p = points.withColumn("__bin", floor(unix_micros(col(tsCol)) / w))
+    val p = points.withColumn("__graft_bin", floor(unix_micros(col(tsCol)) / w))
     // Inclusive bin span; the end bin is kept even when `end` sits on
     // its first microsecond — the exact re-check drops the non-match,
     // and guarding it here would save at most one bin row per
@@ -64,11 +64,11 @@ object RangeJoin {
     // would otherwise step BACKWARD and emit phantom bins).
     val i = intervals
       .where(col(startCol) <= col(endCol))
-      .withColumn("__bin", explode(sequence(
+      .withColumn("__graft_bin", explode(sequence(
         floor(unix_micros(col(startCol)) / w),
         floor(unix_micros(col(endCol)) / w))))
-    p.join(i, Seq("__bin"))
+    p.join(i, Seq("__graft_bin"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
-      .drop("__bin")
+      .drop("__graft_bin")
   }
 }

@@ -53,8 +53,8 @@ object ZOrder {
     * which is exactly what format-level skipping consumes.
     */
   def zorderLayout(df: DataFrame, zKey: Column, numFiles: Int): DataFrame =
-    df.withColumn("__z", zKey)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    df.withColumn("__graft_z", zKey)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
 }
