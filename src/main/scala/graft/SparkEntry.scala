@@ -1730,6 +1730,15 @@ object SparkEntry {
         .negativeSamples(documents(s, d), "doc_id", "source",
           k = 4, buckets = 64, salt = "neg1")
         .orderBy(col("doc_id"), col("slot"))),
+    "q106_event_funnel" -> ((s, d) =>
+      // §2.11 behavioral funnel: earliest view -> first click within
+      // 2h -> first purchase within 2h of that, greedy
+      // earliest-binding. One filtered scan + key-grain min-agg per
+      // step (never an event-grain self-join, never a per-key sort);
+      // the oracle replays the same greedy chain as CTEs.
+      graft.ops.Funnel.funnelMatch(events(s, d), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"), 7200L)
+        .orderBy(col("key"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2842,5 +2851,24 @@ Hosts: %s
          SELECT doc_id, slot, neg_id FROM slots JOIN repx USING (b)
          WHERE neg_id <> doc_id AND nsrc <> source
          ORDER BY doc_id, slot""",
+    // q106: the same greedy earliest-binding chain as CTEs.
+    "q106_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.ts_1
+             AND e.ts <= s1.ts_1 + INTERVAL 7200 SECOND
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.ts_2
+             AND e.ts <= s2.ts_2 + INTERVAL 7200 SECOND
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+         SELECT s1.user_id AS key,
+           1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS steps_completed,
+           ts_1, ts_2, ts_3
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+           LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY key""",
   )
 }

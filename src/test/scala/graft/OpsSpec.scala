@@ -988,6 +988,38 @@ class OpsSpec extends SparkSpec {
       ratios(1) == 0.0 && ratios(2) == 0.0, s"got $ratios")
   }
 
+  test("event funnel: greedy earliest binding, gap boundaries, broken prefixes") {
+    import graft.ops.Funnel
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val evs = Seq(
+      // user 1: completes all three; step 2 binds to its EARLIEST
+      // qualifying click (t=5), not the later one (t=8).
+      (1L, 0L, "view"), (1L, 5L, "click"), (1L, 8L, "click"), (1L, 12L, "purchase"),
+      // user 2: click at EXACTLY the gap bound (10) -> included (<=);
+      // purchase exactly at its bound too.
+      (2L, 0L, "view"), (2L, 10L, "click"), (2L, 20L, "purchase"),
+      // user 3: click at the SAME ts as the view -> strict > excludes
+      // it; the later click is beyond the gap -> funnel breaks at 1.
+      (3L, 0L, "view"), (3L, 0L, "click"), (3L, 11L, "click"),
+      // user 4: no view at all -> absent from output.
+      (4L, 0L, "click"), (4L, 1L, "purchase"),
+      // user 5: view then click, purchase too late -> 2 steps.
+      (5L, 0L, "view"), (5L, 3L, "click"), (5L, 30L, "purchase"))
+      .map { case (u, s, ty) => (u, t(s), ty) }
+      .toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnelMatch(evs, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGapSeconds = 10L)
+      .select(col("key"), col("steps_completed"),
+        col("ts_1").cast("long"), col("ts_2").cast("long"), col("ts_3").cast("long"))
+      .as[(Long, Int, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 3, Some(0L), Some(5L), Some(12L)),
+      (2L, 3, Some(0L), Some(10L), Some(20L)),
+      (3L, 1, Some(0L), None, None),
+      (5L, 2, Some(0L), Some(3L), None)))
+  }
+
   test("negative sampling: bounded, excluded, slicing-independent") {
     val docs = Seq.tabulate(200)(i => (i.toLong, s"src${i % 5}"))
       .toDF("doc_id", "source")
