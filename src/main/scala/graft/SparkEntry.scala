@@ -1739,6 +1739,23 @@ object SparkEntry {
       graft.ops.Funnel.funnelMatch(events(s, d), "user_id", "ts",
           "event_type", Seq("view", "click", "purchase"), 7200L)
         .orderBy(col("key"))),
+    "q107_range_frame" -> ((s, d) => {
+      // §2.9 event-TIME window frames (vs q41/q42's row frames): per
+      // user, the trailing-1-hour activity count and exact decimal
+      // sum. rangeBetween runs on unix_micros so the frame boundary is
+      // microsecond-exact — identical to the oracle's
+      // RANGE INTERVAL frame on the raw timestamps. Partitioned by
+      // user: one key shuffle, per-key sorted scan, no global sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      events(s, d)
+        .withColumn("__us", unix_micros(col("ts")))
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          (sum(rint(col("value") * 100).cast("long")).over(w) / 100.0).as("sum_1h"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2870,5 +2887,15 @@ Hosts: %s
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
            LEFT JOIN s3 ON s1.user_id = s3.user_id
          ORDER BY key""",
+    // q107: RANGE INTERVAL frame on the raw timestamps — micros-exact
+    // on both engines.
+    "q107_range_frame" ->
+      """SELECT event_id,
+         count(*) OVER w AS n_1h,
+         sum(CAST(round_even(value*100, 0) AS BIGINT)) OVER w / 100.0 AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
   )
 }
