@@ -1756,6 +1756,30 @@ object SparkEntry {
           (sum(rint(col("value") * 100).cast("long")).over(w) / 100.0).as("sum_1h"))
         .orderBy(col("event_id"))
     }),
+    "q108_decayed_score" -> ((s, d) => {
+      // §2.11 recency-weighted engagement: per-user decayed value sum
+      // with a one-day half-life against a fixed reference instant.
+      // The decay is 2^-days with an INTEGER day age, so every term is
+      // the exact integer cents*2^(30-age) — the whole feature
+      // aggregates in exact int64 on both engines and divides once at
+      // the end (an exp()-based decay differs in the last ULP across
+      // libm implementations; the pow-of-two ladder has no such seam).
+      // Ages beyond 30 days decay below the grid and are dropped
+      // scan-side. Map-only + one key-grain aggregation.
+      val refUs = 1706745600000000L // 2024-02-01T00:00:00Z, after the corpus
+      val age = ((lit(refUs) - unix_micros(col("ts"))) / lit(86400000000L))
+        .cast("long")
+      events(s, d)
+        .where(age <= 30 && age >= 0)
+        .select(col("user_id"),
+          (rint(col("value") * 100).cast("long") *
+            pow(lit(2.0), lit(30L) - age).cast("long")).as("__term"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("__term")).cast("double") / lit(100.0 * (1L << 30)))
+            .as("decayed_value"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2897,5 +2921,16 @@ Hosts: %s
          WINDOW w AS (PARTITION BY user_id ORDER BY ts
            RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    // q108: the same exact power-of-two ladder in int64.
+    "q108_decayed_score" ->
+      """WITH a AS (SELECT user_id, value,
+           (1706745600000000 - epoch_us(ts)) // 86400000000 AS age
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round_even(value*100, 0) AS BIGINT)
+                    * CAST(pow(2, 30 - age) AS BIGINT)) AS DOUBLE)
+             / (100.0 * 1073741824) AS decayed_value
+         FROM a WHERE age <= 30 AND age >= 0
+         GROUP BY user_id ORDER BY user_id""",
   )
 }
