@@ -1364,7 +1364,11 @@ object SparkEntry {
           graft.ops.Quantize.int8Codes(col("embedding"), col("scale")).as("codes"))
         .select(col("vec_id"), col("embedding"), col("scale"), col("codes"),
           graft.ops.Quantize.int8Reconstruct(col("codes"), col("scale")).as("recon"))
-        .select(col("vec_id"), col("codes"), col("scale"),
+        // codes rendered as a comma-joined string: the gate's pandas
+        // row-sort can't order raw array cells (unhashable ndarray);
+        // the join is lossless for int8 codes so the check stays exact.
+        .select(col("vec_id"),
+          concat_ws(",", col("codes")).as("codes"), col("scale"),
           round(vecCosine(col("embedding"), col("recon")), 6).as("cos_recon"),
           (round(vecCosine(col("embedding"), col("recon")), 6) >= 0.999)
             .as("within_tol"))
@@ -1449,7 +1453,9 @@ object SparkEntry {
         docs, docs.where(col("lang") === "en"),
         "text", "doc_id", n = 1, k = 25, salt = "dsir1")
       val w = Window.orderBy(col("total_micro").desc, col("id"))
-      sel.withColumn("rank", row_number().over(w))
+      // rank as long: the oracle dialect's row_number() is 64-bit, and the
+      // gate compares pandas dtypes strictly (int32 vs int64 = red row).
+      sel.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("id").as("doc_id"), col("w_micro"), col("g_micro"),
           col("total_micro"), col("rank"))
         .orderBy(col("rank"))
@@ -2422,8 +2428,8 @@ Hosts: %s
            COALESCE(sum(n_chars) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
            FROM documents)
-         SELECT before // 20000 AS shard, count(*) AS n_docs,
-           sum(n_chars) AS chars, min(doc_id) AS first_doc,
+         SELECT CAST(before // 20000 AS BIGINT) AS shard, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
          FROM c GROUP BY shard ORDER BY shard""",
     "q79_decontamination" ->
@@ -2471,7 +2477,7 @@ Hosts: %s
            FROM pd JOIN rep USING (s) GROUP BY 1),
          tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1)
          SELECT d.doc_id, COALESCE(tot.n_spans, 0) AS n_spans,
-           COALESCE(dup.dup_spans, 0) AS dup_spans,
+           CAST(COALESCE(dup.dup_spans, 0) AS BIGINT) AS dup_spans,
            round(COALESCE(dup.dup_spans * 1.0 / tot.n_spans, 0), 4) AS dup_frac,
            round(COALESCE(dup.dup_spans * 1.0 / tot.n_spans, 0), 4) > 0.5 AS flagged
          FROM documents d
@@ -2498,7 +2504,7 @@ Hosts: %s
              sum(db.c) AS n
            FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
            GROUP BY db.doc_id)
-         SELECT d.doc_id, COALESCE(sc.n, 0) AS n_bigrams,
+         SELECT d.doc_id, CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams,
            COALESCE(((2*sc.s + sc.n) // (2*sc.n)) / 1000000.0, 0) AS avg_nll
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY d.doc_id""",
@@ -2512,7 +2518,8 @@ Hosts: %s
            FROM c CROSS JOIN t),
          ws AS (SELECT sum(wq) AS wsum FROM w),
          cuts AS (SELECT lang, n_docs,
-             least(65536, (ntarget * wq * 65536) // (wsum * n_docs)) AS cut
+             CAST(least(65536, (ntarget * wq * 65536) // (wsum * n_docs))
+               AS BIGINT) AS cut
            FROM w CROSS JOIN ws),
          samp AS (SELECT d.lang, count(*) AS n_sampled
            FROM documents d JOIN cuts USING (lang)
@@ -2662,7 +2669,7 @@ Hosts: %s
          r AS (SELECT vec_id, v, scale, codes,
            list_transform(codes, c -> CASE WHEN scale IS NULL THEN 0.0
              ELSE c / scale END) AS recon FROM q)
-         SELECT vec_id, codes, scale,
+         SELECT vec_id, array_to_string(codes, ',') AS codes, scale,
            round(list_cosine_similarity(v, recon), 6) AS cos_recon,
            round(list_cosine_similarity(v, recon), 6) >= 0.999 AS within_tol
          FROM r ORDER BY vec_id""",
@@ -2702,7 +2709,8 @@ Hosts: %s
                - ln(coalesce(rc, 0) + 1.0) + ln(nr + 4096.0)) * 1000000.0, 0)
                AS BIGINT) AS lr_micro
            FROM rawc LEFT JOIN tgtc USING (bucket), tot),
-         w AS (SELECT d.doc_id, coalesce(sum(lr_micro), 0) AS w_micro
+         w AS (SELECT d.doc_id,
+             CAST(coalesce(sum(lr_micro), 0) AS BIGINT) AS w_micro
            FROM documents d
            LEFT JOIN f ON d.doc_id = f.doc_id
            LEFT JOIN lr USING (bucket)
@@ -2712,7 +2720,7 @@ Hosts: %s
                  + 0.5) / 65536.0)) * 1000000.0, 0) AS BIGINT) AS g_micro
            FROM documents),
          s AS (SELECT w.doc_id, w_micro, g_micro,
-             w_micro + g_micro AS total_micro
+             CAST(w_micro + g_micro AS BIGINT) AS total_micro
            FROM w JOIN g ON w.doc_id = g.doc_id)
          SELECT doc_id, w_micro, g_micro, total_micro,
            row_number() OVER (ORDER BY total_micro DESC, doc_id) AS rank
@@ -2805,10 +2813,10 @@ Hosts: %s
     // division anywhere near the selection boundary.
     "q99_source_topshare" ->
       """WITH per AS (SELECT source, count(*) AS n_rows,
-           sum(n_chars) AS weight FROM documents GROUP BY source),
+           CAST(sum(n_chars) AS BIGINT) AS weight FROM documents GROUP BY source),
          c AS (SELECT *,
-           sum(weight) OVER (ORDER BY weight DESC, source
-             ROWS UNBOUNDED PRECEDING) AS cum_weight,
+           CAST(sum(weight) OVER (ORDER BY weight DESC, source
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight,
            sum(weight) OVER () AS total FROM per)
          SELECT source, n_rows, weight, cum_weight,
            (cum_weight - weight) * 5 < total * 3 AS selected
@@ -2825,7 +2833,8 @@ Hosts: %s
     // q101: exact columns recomputed from the full corpus; sketch
     // booleans pinned (deterministic for a fixed corpus + sketch lib).
     "q101_incremental_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
          count(DISTINCT source) AS n_sources_exact,
          TRUE AS merged_est_matches_direct,
          TRUE AS est_within_5pct

@@ -20,18 +20,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** The events table ships with parquet TIMESTAMP(NANOS) which Spark
-    * only reads as long (spark.sql.legacy.parquet.nanosAsLong=true, set
-    * by Verify/Bench/Sessions). Normalize to a microsecond TimestampType
-    * column here with integer arithmetic (no double precision loss).
+  /** The events table's `ts` has shipped in three parquet spellings of
+    * the same UTC instants: TIMESTAMP(NANOS) (Spark reads as long under
+    * spark.sql.legacy.parquet.nanosAsLong=true, set by Verify/Bench/
+    * Sessions), tz-naive TIMESTAMP(MICROS) (Spark reads as
+    * TIMESTAMP_NTZ), and tz-aware micros (plain TimestampType). The
+    * engine's time arithmetic (`unix_micros`, interval bin joins, RANGE
+    * frames) requires TimestampType, so normalize ALL spellings here.
+    * The reference treats naive timestamps as UTC; with the session TZ
+    * pinned to UTC the NTZ→LTZ cast is exact (no wall-clock shift).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _      => raw
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"), "ts")
+
+  /** Canonicalize a timestamp column to TimestampType (UTC semantics),
+    * whatever parquet spelling it arrived in. Integer arithmetic only —
+    * no double-precision round trip.
+    */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
@@ -78,6 +91,9 @@ object Sessions {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", math.max(cores, 4).toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-naive parquet timestamps = UTC instants here (reference
+      // semantics); read them as TimestampType so time arithmetic works.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

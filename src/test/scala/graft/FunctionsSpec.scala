@@ -292,6 +292,25 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("Tables.events: tz-naive (TIMESTAMP_NTZ) parquet normalizes to UTC TimestampType") {
+    // The driver has shipped events.ts as TIMESTAMP(NANOS), tz-aware
+    // micros, AND tz-naive micros (TIMESTAMP_NTZ). The engine's time
+    // arithmetic (unix_micros, interval bins, RANGE frames) requires
+    // TimestampType, so events() must canonicalize the NTZ spelling —
+    // under a UTC session the cast is exact.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    val naive = java.time.LocalDateTime.of(2026, 1, 2, 3, 4, 5)
+    Seq((1L, naive)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // Precondition: the raw read really is NTZ (else this test pins nothing).
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val out = graft.core.Tables.events(spark, dir)
+    assert(out.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val epoch = out.select(unix_timestamp(col("ts"))).as[Long].head()
+    assert(epoch == naive.toEpochSecond(java.time.ZoneOffset.UTC))
+  }
+
   test("custom expressions reject wrong input types at analysis time") {
     GraftFunctions.register(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {
