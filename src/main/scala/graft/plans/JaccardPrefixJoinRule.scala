@@ -3,7 +3,7 @@ package graft.plans
 import graft.functions.JaccardSimExpr
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
@@ -22,30 +22,57 @@ import org.apache.spark.sql.types._
   * |x| - ceil(t*|x|) + 1 tokens, so exploding only those PREFIX tokens
   * and equi-joining on the token finds every qualifying pair. Unlike
   * [[CosineBandJoinRule]] this rewrite is EXACT, so like
-  * [[HammingBandJoinRule]] it is always on (no session knob):
+  * [[HammingBandJoinRule]] it is always on (no session knob).
   *
-  *  - recall: the prefix theorem covers every pair at J >= t, with an
-  *    epsilon on the double bounds so rounding can only over-generate;
-  *  - no duplicates: a candidate pair sharing several prefix tokens is
-  *    emitted only for the SMALLEST shared prefix token
-  *    (`tok = array_min(array_intersect(prefix_l, prefix_r))`), so row
-  *    multiplicities are preserved without a distinct;
-  *  - a null set drops on the token join exactly as the original null
-  *    jaccard comparison dropped it; empty sets have J = 0 < t and are
-  *    dropped by their empty prefix.
+  * Plan shape (the hand-tuned jaccardJoinExact's, lifted to arbitrary
+  * relations that carry no unique row id):
+  *
+  *  1. TOKEN branch per side: project ONLY the sorted set's size, a
+  *     128-bit content identity (two independently-seeded xxhash64 of
+  *     the sorted set), and the exploded prefix token — the raw key
+  *     arrays never enter the token-grain shuffle (carrying them was
+  *     the dominant byte cost of the r5 rewrite: each exploded token
+  *     row dragged the whole set).
+  *  2. Candidate pairs = token equi-join + size filter
+  *     (t * max(|A|,|B|) <= min(|A|,|B|) prunes what J <= min/max
+  *     forbids), deduplicated to DISTINCT identity pairs — a shuffle of
+  *     four longs per row, replacing the r5 per-pair prefix merge scan
+  *     that kept prefix arrays alive through the join.
+  *  3. VERIFY: join candidates back to each side by content identity
+  *     and re-apply the ORIGINAL conjuncts (exact Jaccard on the real
+  *     key arrays, plus the user's residual predicates) at row grain.
+  *
+  * Exactness does NOT rest on hash collision-freedom: the final join
+  * re-checks the original `jaccard_sim(l, r) >= t` on the true arrays,
+  * so a colliding candidate only costs a discarded probe. Multiplicity
+  * is exact: candidates are unique per (left set, right set) content,
+  * and the verify joins fan them back out to every underlying row —
+  * duplicate rows (or distinct rows with identical sets) each pair up
+  * exactly once, with no distinct over user rows. Nulls/empties drop
+  * in the token branch (explode of a null/empty prefix emits nothing)
+  * exactly as the original null/below-threshold comparison dropped
+  * them; unmatched lookup rows simply never meet a candidate.
   *
   * Matches inner joins whose condition carries a conjunct
   * `jaccard_sim(l, r) >= t` (or `>`, or literal-first reversed) with
   * t in (0, 1], element arrays declared null-free (shingle/token
   * columns are), and no cross-side equi conjunct (the shared
-  * convergence guard — the rewrite's own token equality blocks
-  * re-matching). The size filter `t * max(|A|,|B|) <= min(|A|,|B|)`
-  * prunes candidates before the original condition re-checks exact
-  * Jaccard on each one.
+  * convergence guard — the verify join's own identity equality blocks
+  * re-matching).
+  *
+  * Scale note: each side's child subtree is referenced twice (token
+  * branch + verify lookup) — column pruning cuts the token-branch copy
+  * to just the key column, and the re-scan trade beats carrying arrays
+  * through the token shuffle (measured on the hand-tuned op, which has
+  * recomputed its set relation per reference since round 3).
   */
 object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val Eps = 1e-9
+  // Independent seeds -> 128-bit content identity. Collisions cost a
+  // wasted verify probe, never a wrong row (see Scaladoc).
+  private val SeedA = 42L
+  private val SeedB = 0x9e3779b97f4a7c15L
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _)
@@ -54,8 +81,8 @@ object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val conjuncts = splitConjunctivePredicates(cond)
       conjuncts.iterator
         .map(c => (c, extractJaccard(c, left, right)))
-        .collectFirst { case (matched, Some((lKey, rKey, t))) =>
-          rewrite(j, conjuncts, matched, lKey, rKey, t)
+        .collectFirst { case (_, Some((lKey, rKey, t))) =>
+          rewrite(j, conjuncts, lKey, rKey, t)
         }
         .getOrElse(j)
   }
@@ -101,70 +128,81 @@ object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(
       j: Join,
       conjuncts: Seq[Expression],
-      jaccardConjunct: Expression,
       lKey: Expression,
       rKey: Expression,
       t: Double): LogicalPlan = {
 
-    // One side: project the set SIZE (a long — the full sorted set is
-    // NOT carried; shuffling it once per exploded prefix token was the
-    // dominant byte cost of the rewrite, measured 3.3x the hand-tuned
-    // jaccardJoinExact at 10x scale) and the eps-guarded prefix, then
-    // explode the prefix to token grain. The final exact-Jaccard
-    // re-check runs on the ORIGINAL key columns, which flow through
-    // `child.output` anyway.
-    def prefixed(child: LogicalPlan, key: Expression)
-        : (LogicalPlan, Attribute, Attribute, Attribute) = {
-      val sortedSet = SortArray(ArrayDistinct(key), Literal(true))
-      val setAlias = Alias(sortedSet, "__graft_set")()
+    /** Token-grain branch: (sz, h1, h2, tok) — four scalars, no arrays
+      * survive the Generate (the prefix feeds the explode and is marked
+      * unrequired).
+      */
+    def tokenBranch(child: LogicalPlan, key: Expression)
+        : (LogicalPlan, Attribute, Attribute, Attribute, Attribute) = {
+      val setAlias = Alias(SortArray(ArrayDistinct(key), Literal(true)), "__graft_set")()
+      val p1 = Project(child.output :+ setAlias, child)
       val szAlias = Alias(
         Cast(Size(setAlias.toAttribute, legacySizeOfNull = false), LongType),
         "__graft_sz")()
+      val p2 = Project(Seq(setAlias.toAttribute, szAlias), p1)
       val required = Ceil(Subtract(
         Multiply(Literal(t), Cast(szAlias.toAttribute, DoubleType)), Literal(Eps)))
       val prefLen = Cast(Add(Subtract(szAlias.toAttribute, required), Literal(1L)),
         IntegerType)
+      val h1Alias = Alias(XxHash64(Seq(setAlias.toAttribute), SeedA), "__graft_h1")()
+      val h2Alias = Alias(XxHash64(Seq(setAlias.toAttribute), SeedB), "__graft_h2")()
       val prefAlias = Alias(Slice(setAlias.toAttribute, Literal(1), prefLen),
         "__graft_prefix")()
-      val projected = Project(child.output ++ Seq(setAlias), child)
-      val projected2 = Project(projected.output :+ szAlias, projected)
-      // Third projection DROPS __graft_set: only its size and prefix
-      // survive to the join (CollapseProject keeps the chain because the
-      // set alias is referenced more than once).
-      val projected3 = Project(
-        child.output ++ Seq(szAlias.toAttribute, prefAlias), projected2)
+      val p3 = Project(Seq(szAlias.toAttribute, h1Alias, h2Alias, prefAlias), p2)
       val gen = Explode(prefAlias.toAttribute)
       val tokAttr = gen.elementSchema.fields.toSeq.map(f =>
         AttributeReference(f.name, f.dataType, f.nullable)())
-      (Generate(gen, unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = tokAttr, child = projected3),
-        szAlias.toAttribute, prefAlias.toAttribute, tokAttr.head)
+      // unrequiredChildIndex drops the prefix array from the Generate's
+      // output: downstream sees only (sz, h1, h2, tok).
+      val g = Generate(gen, unrequiredChildIndex = Seq(3), outer = false,
+        qualifier = None, generatorOutput = tokAttr, child = p3)
+      (g, szAlias.toAttribute, h1Alias.toAttribute, h2Alias.toAttribute, tokAttr.head)
     }
 
-    val (lGen, lSz, lPref, lTok) = prefixed(j.left, lKey)
-    val (rGen, rSz, rPref, rTok) = prefixed(j.right, rKey)
+    /** Verify lookup: the original rows plus their content identity. */
+    def lookupBranch(child: LogicalPlan, key: Expression)
+        : (LogicalPlan, Attribute, Attribute) = {
+      val setAlias = Alias(SortArray(ArrayDistinct(key), Literal(true)), "__graft_vset")()
+      val p1 = Project(child.output :+ setAlias, child)
+      val h1Alias = Alias(XxHash64(Seq(setAlias.toAttribute), SeedA), "__graft_vh1")()
+      val h2Alias = Alias(XxHash64(Seq(setAlias.toAttribute), SeedB), "__graft_vh2")()
+      (Project(child.output ++ Seq(h1Alias, h2Alias), p1),
+        h1Alias.toAttribute, h2Alias.toAttribute)
+    }
+
+    val (lGen, lSz, lH1, lH2, lTok) = tokenBranch(j.left, lKey)
+    val (rGen, rSz, rH1, rH2, rTok) = tokenBranch(j.right, rKey)
 
     def dsize(a: Attribute): Expression = Cast(a, DoubleType)
     // t * max(|A|,|B|) - eps <= min(|A|,|B|): J <= min/max, so larger
-    // size mismatches cannot reach t.
+    // size mismatches cannot reach t. Eps-guarded so double rounding
+    // only over-generates (the verify stays exact).
     val sizeFilter = GreaterThanOrEqual(
       Least(Seq(dsize(lSz), dsize(rSz))),
       Subtract(Multiply(Literal(t), Greatest(Seq(dsize(lSz), dsize(rSz)))),
         Literal(Eps)))
-    // Emit each candidate pair exactly once: only at the SMALLEST shared
-    // prefix token — a codegen'd zero-allocation merge scan (the builtin
-    // array_min(array_intersect) form is CodegenFallback and builds a
-    // hash set per joined token-pair row, the hottest row grain here).
-    val firstSharedOnly = graft.functions.IsFirstSharedSortedExpr(lTok, lPref, rPref)
-    // Cost-ordered re-check: size filter and the user's cheap residual
-    // conjuncts first (in a symmetric self-join, id_a < id_b discards
-    // the mirrored half), THEN the per-candidate prefix merge scan, and
-    // the full Jaccard set comparison last.
-    val cheap = conjuncts.filterNot(_ eq jaccardConjunct)
-    val ordered = (sizeFilter +: cheap) ++ Seq(firstSharedOnly, jaccardConjunct)
+    val tokenJoin = Join(lGen, rGen, Inner,
+      Some(And(EqualTo(lTok, rTok), sizeFilter)), JoinHint.NONE)
+    // Distinct identity pairs: a pair sharing several prefix tokens (or
+    // duplicated input rows sharing one set) collapses to ONE candidate.
+    val candCols = Seq(lH1, lH2, rH1, rH2)
+    val cands = Aggregate(candCols, candCols,
+      Project(candCols, tokenJoin))
 
-    val joined = Join(lGen, rGen, Inner,
-      Some((EqualTo(lTok, rTok) +: ordered).reduce(And)), j.hint)
-    Project(j.output, joined)
+    val (lLook, lVh1, lVh2) = lookupBranch(j.left, lKey)
+    val (rLook, rVh1, rVh2) = lookupBranch(j.right, rKey)
+    val withLeft = Join(cands, lLook, Inner,
+      Some(And(EqualTo(lH1, lVh1), EqualTo(lH2, lVh2))), JoinHint.NONE)
+    // The ORIGINAL condition re-applies in full at row grain — exact
+    // Jaccard on the real arrays last. The identity equi conjuncts also
+    // serve as the convergence guard against re-matching this rule.
+    val verifyCond = (Seq(EqualTo(rH1, rVh1), EqualTo(rH2, rVh2)) ++ conjuncts)
+      .reduce(And)
+    val verified = Join(withLeft, rLook, Inner, Some(verifyCond), j.hint)
+    Project(j.output, verified)
   }
 }
