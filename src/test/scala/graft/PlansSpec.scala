@@ -194,6 +194,51 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("cosine-threshold join rule: null embeddings are filtered BENEATH the probe explosion") {
+    // LshBucketExpr maps a null array to bucket 0, so without the
+    // rule's IsNotNull filters every dirty row on both sides would
+    // concentrate in bucket 0 AND each left null row would explode into
+    // numPlanes+1 probe rows against that hot bucket — a skew footgun
+    // at corpus scale. Pin both halves: (a) the filter sits below the
+    // Generate in the plan, (b) results on dirty data equal the clean
+    // subset's (null rows can never satisfy the cosine predicate).
+    GraftFunctions.registerOptimizations(spark)
+    val clean = clusteredEmb(nClusters = 4, perCluster = 10, dim = 64)
+    val dirty = clean.unionByName(
+      Seq.tabulate(20)(i => (1000L + i, null: Array[Float])).toDF("vec_id", "embedding"))
+    dirty.persist()
+    try {
+      spark.conf.set(graft.plans.CosineBandJoinRule.EnabledKey, "true")
+      spark.conf.set(graft.plans.CosineBandJoinRule.PlanesKey, "6")
+      val onDirty = cosineJoin(dirty, 0.6)
+      // Optimized logical plan: every Generate (probe explosion) must
+      // have an isnotnull(embedding-ish) Filter somewhere BELOW it.
+      val optimized = onDirty.queryExecution.optimizedPlan
+      val gens = optimized.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+      assert(gens.nonEmpty, "expected the probe Generate in the rewritten plan")
+      gens.foreach { g =>
+        val hasGuard = g.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.exists {
+                case org.apache.spark.sql.catalyst.expressions.IsNotNull(e) =>
+                  e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+                case _ => false
+              } => f
+        }.nonEmpty
+        assert(hasGuard, s"no IsNotNull(array) filter beneath the Generate:\n$optimized")
+      }
+      val got = onDirty.as[(Long, Long)].collect().toSet
+      val expected = cosineJoin(clean, 0.6).as[(Long, Long)].collect().toSet
+      assert(got == expected, "null rows changed the result set")
+      assert(got.forall { case (a, b) => a < 1000L && b < 1000L })
+    } finally {
+      spark.conf.unset(graft.plans.CosineBandJoinRule.EnabledKey)
+      spark.conf.unset(graft.plans.CosineBandJoinRule.PlanesKey)
+      dirty.unpersist()
+    }
+  }
+
   // ---- JaccardPrefixJoinRule (always-on EXACT rewrite) ----------------
 
   test("jaccard-threshold join rule: exact rewrite equals the naive join, once each") {
