@@ -703,10 +703,26 @@ object SparkEntry {
           coalesce(col("cand"), lit(false)).as("covered"))
         .orderBy(col("id_a"), col("id_b"))
     }),
-    "q50_simhash" -> ((s, d) =>
+    "q50_simhash" -> ((s, d) => {
+      // §2.11 document fingerprinting: 64-bit SimHash per document,
+      // FULL-VALUE oracle. The production tokenizer hashes tokens with
+      // xxhash64 (no DuckDB mirror — that made this row the suite's one
+      // no-oracle entry through r5); here the SAME native vote-loop
+      // expression (SimHash64Expr — the operator under test) runs over
+      // md5-derived 60-bit token hashes, which DuckDB recomputes
+      // exactly: per bit j, set iff 2*sum(bit_j) > n_tokens (ties
+      // clear). The xxhash64-hash production path stays pinned by
+      // q62/q65's banding envelopes and the FunctionsSpec vote-loop
+      // goldens; empty docs fingerprint to 0 on both engines.
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "")
+      val hashes = transform(toks,
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
       documents(s, d)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"),
+          graft.functions.SimHashOps.simhash64FromHashes(hashes).as("simhash"),
+          size(toks).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q62_simhash_pairs" -> ((s, d) => {
       // SimHash banded near-dup, verified against the in-engine
       // brute-force all-pairs Hamming join over the SAME
@@ -2177,6 +2193,30 @@ Hosts: %s
          octet_length(encode(text)) AS n_bytes,
          hex(encode(substr(text, 1, 4))) AS magic
          FROM documents ORDER BY doc_id""",
+    // q50: full simhash recompute — same md5-derived 60-bit token hash,
+    // same vote rule (bit j set iff 2*ones > n_tokens, ties clear);
+    // docless/empty rows fingerprint to 0 via the left join.
+    "q50_simhash" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         h AS (SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+         votes AS (SELECT doc_id, b.j, sum((h >> b.j) & 1) AS ones,
+             count(*) AS total
+           FROM h, LATERAL unnest(generate_series(0, 59)) AS b(j)
+           GROUP BY 1, 2),
+         sh AS (SELECT doc_id,
+             sum(CASE WHEN 2 * ones > total
+                 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+           FROM votes GROUP BY 1)
+         SELECT d.doc_id, CAST(COALESCE(sh.simhash, 0) AS BIGINT) AS simhash,
+           CAST(COALESCE(len(toks.t), 0) AS BIGINT) AS n_tokens
+         FROM documents d
+         LEFT JOIN toks ON d.doc_id = toks.doc_id
+         LEFT JOIN sh ON d.doc_id = sh.doc_id
+         ORDER BY d.doc_id""",
     "q61_length_histogram" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
          count(*) AS n_docs,
