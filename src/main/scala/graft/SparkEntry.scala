@@ -1827,6 +1827,42 @@ object SparkEntry {
             .as("decayed_value"))
         .orderBy(col("user_id"))
     }),
+    "q109_column_profile" -> ((s, d) =>
+      // §2.11 one-pass data-quality profile: rows/nulls/cardinality/
+      // range/char-budget for every column of documents, as one
+      // schema-stable table. Unpivot + single column-grain agg — the
+      // scan is read once, no per-column job. Full-value oracle (the
+      // string renderings are engine-portable).
+      graft.ops.Profile.profile(
+          documents(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+    "q110_weighted_sample" -> ((s, d) =>
+      // §2.11 Efraimidis-Spirakis weighted sampling without
+      // replacement: 50 docs drawn proportionally to n_chars, as a
+      // deterministic md5-seeded top-k (TakeOrderedAndProject — no
+      // global sort; rank window runs over the 50 survivors). DuckDB
+      // recomputes draw, snap, selection, and rank bit-for-bit.
+      graft.ops.Sampling.weightedSampleK(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), col("n_chars"), k = 50, salt = "es1")
+        .select(col("doc_id"), col("n_chars"), col("es_key_micro"), col("rank"))
+        .orderBy(col("rank"))),
+    "q111_equidepth_hist" -> ((s, d) =>
+      // §2.11 equal-frequency histogram of events.value in 10 buckets:
+      // exact interpolated decile boundaries (4-dp rounded, the q57
+      // percentile precedent), broadcast, scan-side bucket assignment
+      // — a map-only pass + bucket-grain agg, NOT the single-reducer
+      // ntile() global window. Sum exact on the cents grid.
+      graft.ops.Histogram.equiDepth(events(s, d), "value", buckets = 10)
+        .orderBy(col("bucket"))),
+    "q112_zscore_outliers" -> ((s, d) =>
+      // §2.11 per-type anomaly gate: |v - mean| > 3 sigma evaluated in
+      // EXACT integer arithmetic (cents grid, cleared denominators,
+      // decimal(38,0) vs the oracle's HUGEINT) — no float stddev seam,
+      // no reduction-order sensitivity. Group stats broadcast back;
+      // row data never shuffles.
+      graft.ops.Outliers.zscoreOutliers(events(s, d), "event_type", "value", z = 3)
+        .orderBy(col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3013,5 +3049,64 @@ Hosts: %s
              / (100.0 * 1073741824) AS decayed_value
          FROM a WHERE age <= 30 AND age >= 0
          GROUP BY user_id ORDER BY user_id""",
+    // q109: the same unpivot, spelled as UNION ALL; every aggregate
+    // that DuckDB widens (sum -> HUGEINT) is cast back to BIGINT.
+    "q109_column_profile" ->
+      """WITH u AS (
+           SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+           UNION ALL SELECT 'lang', lang FROM documents
+           UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+           UNION ALL SELECT 'source', source FROM documents
+           UNION ALL SELECT 'text', text FROM documents)
+         SELECT col_name, count(*) AS n_rows, count(v) AS n_vals,
+           count(DISTINCT v) AS n_distinct, min(v) AS min_val,
+           max(v) AS max_val,
+           CAST(sum(coalesce(length(v), 0)) AS BIGINT) AS sum_chars
+         FROM u GROUP BY col_name ORDER BY col_name""",
+    // q110: identical draw (first 8 md5 hex digits as a 32-bit int),
+    // identical ln/weight/1e-6 snap, identical (key desc, id) order.
+    "q110_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+           CAST(round_even(
+             ln((CAST(concat('0x', substr(md5('es1' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                / 4294967297.0)
+             / n_chars * 1000000.0, 0) AS BIGINT) AS es_key_micro
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT doc_id, n_chars, es_key_micro,
+           row_number() OVER (ORDER BY es_key_micro DESC, doc_id) AS rank
+           FROM d)
+         SELECT doc_id, n_chars, es_key_micro, rank
+         FROM r WHERE rank <= 50 ORDER BY rank""",
+    // q111: quantile_cont == Spark's interpolated percentile (q57
+    // precedent), 4-dp rounded boundaries, strictly-below membership.
+    "q111_equidepth_hist" ->
+      """WITH b AS (SELECT list_transform(
+             quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             x -> round(x, 4)) AS bounds
+           FROM events),
+         a AS (SELECT value,
+           len(list_filter(b.bounds, x -> x < value)) AS bucket
+           FROM events, b WHERE value IS NOT NULL)
+         SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+           min(value) AS min_val, max(value) AS max_val,
+           CAST(sum(CAST(round_even(value*100, 0) AS BIGINT)) AS BIGINT) / 100.0 AS sum_val
+         FROM a GROUP BY bucket ORDER BY bucket""",
+    // q112: the cleared-denominator integer predicate in HUGEINT —
+    // bit-identical to the decimal(38,0) evaluation.
+    "q112_zscore_outliers" ->
+      """WITH v AS (SELECT event_type,
+           CAST(round_even(value*100, 0) AS BIGINT) AS v100 FROM events),
+         st AS (SELECT event_type, count(*) AS n,
+           CAST(sum(v100) AS HUGEINT) AS s, CAST(sum(v100*v100) AS HUGEINT) AS q
+           FROM v GROUP BY event_type),
+         f AS (SELECT v.event_type, v100,
+           (n >= 2 AND
+            (CAST(n AS HUGEINT)*v100 - s)*(CAST(n AS HUGEINT)*v100 - s)*(n - 1)
+              > 9*CAST(n AS HUGEINT)*(CAST(n AS HUGEINT)*q - s*s)) AS is_out
+           FROM v JOIN st USING (event_type))
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN is_out THEN v100 ELSE 0 END) AS BIGINT) / 100.0 AS outlier_sum
+         FROM f GROUP BY event_type ORDER BY event_type""",
   )
 }

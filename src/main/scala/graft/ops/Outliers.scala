@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed z-score outlier detection (§2.11 extension — the
+  * per-group anomaly gate a metrics/quality pipeline runs at ingest:
+  * "which rows sit more than z standard deviations from their group's
+  * mean?").
+  *
+  * The float spelling — `abs(v - avg) > z * stddev_samp(v)` — is a
+  * cross-engine minefield: stddev is a sqrt over a float sum whose
+  * last ULP depends on reduction order, so rows NEAR the threshold
+  * flip between engines (and between runs, since shuffle order isn't
+  * stable). This operator instead clears denominators and evaluates
+  * the SAME predicate in exact integer arithmetic on the cents grid:
+  *
+  *   |v - s/n| > z * sqrt((n*q - s^2) / (n*(n-1)))
+  *   <=>  (n*v - s)^2 * (n-1) > z^2 * n * (n*q - s^2)
+  *
+  * with v in cents (exact int64), s = sum(v), q = sum(v^2). Both
+  * sides are integers — decimal(38,0) here, HUGEINT in the DuckDB
+  * oracle — so the flag is bit-identical on any engine and any row
+  * order, at any scale.
+  *
+  * Scale shape: one aggregation at GROUP grain (tiny), broadcast back,
+  * then a map-only flag pass and one more group-grain aggregation.
+  * The row-grain data is never shuffled — the group-stat join is a
+  * broadcast, not a window over a skewed partition key.
+  *
+  * Output: (group, n_events, n_outliers, outlier_sum) with
+  * outlier_sum the exact cents total of flagged values.
+  */
+object Outliers {
+
+  def zscoreOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      z: Int): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val dec = "decimal(38,0)"
+    val v100 = rint(col(valueCol) * 100).cast("long")
+    val stats = df
+      .select(col(groupCol), v100.as("__v"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+    val nD = col("__n").cast(dec)
+    val sD = col("__s").cast(dec)
+    val qD = col("__q").cast(dec)
+    val vD = col("__v").cast(dec)
+    val dev = nD * vD - sD
+    val lhs = dev * dev * (nD - lit(1).cast(dec))
+    val rhs = lit(z * z).cast(dec) * nD * (nD * qD - sD * sD)
+    val flag = col("__n") >= 2 && lhs > rhs
+    df.select(col(groupCol), v100.as("__v"))
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("__out", when(flag, 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("__out")).as("n_outliers"),
+        (sum(when(col("__out") === 1L, col("__v")).otherwise(0L))
+          .cast("double") / lit(100.0)).as("outlier_sum"))
+  }
+}

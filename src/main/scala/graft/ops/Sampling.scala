@@ -261,4 +261,55 @@ object Sampling {
       .where(col("rank") <= k)
       .drop("__draw", "__key")
   }
+
+  /** Weighted sampling WITHOUT replacement, top-k of the whole frame —
+    * Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    * reservoir"): give row i a uniform draw u_i and keep the k largest
+    * u_i^(1/w_i); the result is distributed exactly as sequential
+    * weighted draws without replacement. Ordering by u^(1/w) equals
+    * ordering by ln(u)/w, which is what we materialize.
+    *
+    * Determinism across engines: u is the md5 draw ((h32+1)/(2^32+1),
+    * h32 = first 8 md5 hex digits — exact in double), and the ONLY
+    * libm step, ln, is snapped to a 1e-6 grid via rint before the
+    * comparison (temperatureCuts precedent: a 1-ULP libm seam moves
+    * the snapped key only when the true value sits within ~1e-9 of a
+    * grid midpoint). Grid ties are broken by key, so selection AND
+    * rank are total orders any engine reproduces.
+    *
+    * Scale shape: the sort key is scan-local (map-only); the global
+    * top-k plans as TakeOrderedAndProject (per-partition heap of k,
+    * driver merge of k x partitions — no global sort, same shape as
+    * bm25TopK), and the rank window runs AFTER the limit over k rows.
+    * Rows with non-positive weight are excluded (they have probability
+    * zero by definition).
+    *
+    * Output: the input columns + `es_key_micro` (the snapped sort key)
+    * + `rank` (1-based).
+    */
+  def weightedSampleK(
+      df: DataFrame,
+      key: Column,
+      weight: Column,
+      k: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be > 0, got $k")
+    val h32 = conv(
+      substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h32.cast("double") + lit(1.0)) / lit(4294967297.0)
+    val keyMicro =
+      rint(log(u) / weight.cast("double") * lit(1000000.0)).cast("long")
+    df.where(weight > 0)
+      .withColumn("es_key_micro", keyMicro)
+      .withColumn("__key", key)
+      .orderBy(col("es_key_micro").desc, col("__key"))
+      .limit(k)
+      .withColumn("rank",
+        row_number()
+          .over(Window.orderBy(col("es_key_micro").desc, col("__key")))
+          .cast("long"))
+      .drop("__key")
+  }
 }

@@ -1087,4 +1087,88 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toSet
     assert(matched == Set((35L, Some("c")), (45L, None), (70L, Some("a"))))
   }
+
+  test("column profile: counts, nulls, cardinality, range, char budget") {
+    import graft.ops.Profile
+    val df = Seq(
+      (1L, Some("aa"), Some(10L)),
+      (2L, None, Some(10L)),
+      (3L, Some("bbb"), None),
+      (4L, Some("aa"), Some(7L)))
+      .toDF("id", "s", "n")
+    val out = Profile.profile(df, Seq("id", "s", "n"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String], Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("id", 4L, 4L, 4L, Some("1"), Some("4"), 4L),
+      // numeric min/max are over the STRING rendering by design
+      ("n", 4L, 3L, 2L, Some("10"), Some("7"), 5L),
+      ("s", 4L, 3L, 2L, Some("aa"), Some("bbb"), 7L)))
+  }
+
+  test("weighted sample equals an independent JVM reimplementation of E-S top-k") {
+    import graft.ops.Sampling
+    val rows = (1L to 400L).map(i => (i, (i % 37) * 50 + 1)) :+ (401L, 0L)
+    val df = rows.toDF("id", "w")
+    val out = Sampling.weightedSampleK(df, col("id"), col("w"), k = 25, salt = "t1")
+      .select(col("id"), col("es_key_micro"), col("rank"))
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+    // Brute-force reference: same md5 draw, same ln/w, same 1e-6 snap,
+    // same (key desc, id) total order — computed without Spark.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keyMicro(id: Long, w: Long): Long = {
+      val hex = md.digest(s"t1$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
+      Math.rint(Math.log(u) / w * 1e6).toLong
+    }
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, keyMicro(id, w)) }
+      .sortBy { case (id, km) => (-km, id) }.take(25)
+      .zipWithIndex.map { case ((id, km), i) => (id, km, i + 1L) }
+    assert(out == expect)
+    assert(!out.exists(_._1 == 401L), "zero-weight row must be excluded")
+  }
+
+  test("equi-depth histogram: uniform data fills every bucket equally") {
+    import graft.ops.Histogram
+    val df = (1 to 100).map(i => i.toDouble).toDF("v")
+    val out = Histogram.equiDepth(df, "v", buckets = 10)
+      .orderBy("bucket")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == (0L until 10L))
+    assert(out.forall(_._2 == 10L), s"uneven buckets: $out")
+    // contiguous, ordered coverage: each bucket's min follows the
+    // previous bucket's max
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 < b._3)
+      case _ =>
+    }
+    assert(out.map(_._5).sum == (1 to 100).sum.toDouble)
+  }
+
+  test("z-score outliers: exact integer predicate agrees with float reference") {
+    import graft.ops.Outliers
+    val a = Seq.fill(20)(1.0) :+ 100.0          // one planted outlier
+    val b = Seq.fill(10)(5.0)                   // zero variance -> none
+    val c = Seq(1.0, 2.0)                       // n=2, huge relative dev
+    val df = (a.map(("a", _)) ++ b.map(("b", _)) ++ c.map(("c", _)))
+      .toDF("g", "v")
+    val out = Outliers.zscoreOutliers(df, "g", "v", z = 3)
+      .orderBy("g")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // Float reference on group a: mean/stddev_samp on cents
+    val cents = a.map(x => Math.rint(x * 100).toLong)
+    val n = cents.size
+    val mean = cents.sum.toDouble / n
+    val varS = cents.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+    val expA = cents.count(x => Math.abs(x - mean) > 3 * Math.sqrt(varS))
+    assert(out == Seq(
+      ("a", 21L, expA.toLong, 100.0),
+      ("b", 10L, 0L, 0.0),
+      // n=2: each dev is s/2; 9x variance dominates -> never flagged
+      ("c", 2L, 0L, 0.0)))
+    assert(expA == 1)
+  }
 }
