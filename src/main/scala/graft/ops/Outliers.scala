@@ -41,6 +41,12 @@ object Outliers {
     require(z > 0, s"z must be > 0, got $z")
     val dec = "decimal(38,0)"
     val v100 = rint(col(valueCol) * 100).cast("long")
+    val nD = col("__n").cast(dec)
+    val sD = col("__s").cast(dec)
+    val qD = col("__q").cast(dec)
+    // Everything group-constant — the z^2*n*(n*q - s^2) threshold and
+    // the (n-1) factor — is computed ONCE per group here, not per row:
+    // the row-grain hot loop below pays 3 decimal multiplications, not 6.
     val stats = df
       .select(col(groupCol), v100.as("__v"))
       .groupBy(col(groupCol))
@@ -48,14 +54,12 @@ object Outliers {
         count(lit(1)).as("__n"),
         sum(col("__v")).as("__s"),
         sum(col("__v") * col("__v")).as("__q"))
-    val nD = col("__n").cast(dec)
-    val sD = col("__s").cast(dec)
-    val qD = col("__q").cast(dec)
+      .withColumn("__rhs", lit(z * z).cast(dec) * nD * (nD * qD - sD * sD))
+      .withColumn("__nm1", nD - lit(1).cast(dec))
     val vD = col("__v").cast(dec)
     val dev = nD * vD - sD
-    val lhs = dev * dev * (nD - lit(1).cast(dec))
-    val rhs = lit(z * z).cast(dec) * nD * (nD * qD - sD * sD)
-    val flag = col("__n") >= 2 && lhs > rhs
+    val lhs = dev * dev * col("__nm1")
+    val flag = col("__n") >= 2 && lhs > col("__rhs")
     df.select(col(groupCol), v100.as("__v"))
       .join(broadcast(stats), Seq(groupCol))
       .withColumn("__out", when(flag, 1L).otherwise(0L))
