@@ -1863,6 +1863,24 @@ object SparkEntry {
       // row data never shuffles.
       graft.ops.Outliers.zscoreOutliers(events(s, d), "event_type", "value", z = 3)
         .orderBy(col("event_type"))),
+    "q113_cohort_retention" -> ((s, d) =>
+      // §2.11 weekly cohort retention: users bucketed by first-activity
+      // week, distinct-active counted per (cohort, offset). One
+      // user-grain agg + one user-key join + one cohort-grain distinct
+      // — no window, no global sort; the user→cohort map is the small
+      // join side at any corpus size.
+      graft.ops.Retention.weeklyCohorts(events(s, d), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+    "q114_part_affinity" -> ((s, d) =>
+      // §2.11 market-basket lift: co-order part pairs at min-support 2,
+      // lift on the exact integer micro grid (IntegralDivide). Pair
+      // cost is sum(basket^2) — bounded by basket size, linear in
+      // baskets — and the support filter runs before the frequency
+      // joins. Top-100 by (support, pair) is a total order.
+      graft.ops.Affinity.basketLift(
+          lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+        .limit(100)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3108,5 +3126,34 @@ Hosts: %s
            CAST(sum(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            CAST(sum(CASE WHEN is_out THEN v100 ELSE 0 END) AS BIGINT) / 100.0 AS outlier_sum
          FROM f GROUP BY event_type ORDER BY event_type""",
+    // q113: date_trunc('week') agrees Monday-start across engines; the
+    // offset is exact day arithmetic // 7 (non-negative, so Spark's
+    // truncating cast matches DuckDB's floor division).
+    "q113_cohort_retention" ->
+      """WITH f AS (SELECT user_id,
+           min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+           FROM events GROUP BY user_id),
+         a AS (SELECT e.user_id, CAST(date_trunc('week', e.ts) AS DATE) AS w,
+           f.cohort_week FROM events e JOIN f USING (user_id))
+         SELECT cohort_week, CAST((w - cohort_week) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM a GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+    // q114: identical pair/support/lift algebra; HUGEINT keeps the
+    // micro-lift product exact, // is the same integral division.
+    "q114_part_affinity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (SELECT a.i AS item_a, bb.i AS item_b, count(*) AS n_ab
+           FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         freq AS (SELECT i, count(*) AS n FROM items GROUP BY i),
+         tot AS (SELECT count(DISTINCT b) AS total_b FROM items)
+         SELECT item_a, item_b, n_ab, fa.n AS n_a, fb.n AS n_b,
+           CAST((CAST(total_b AS HUGEINT) * n_ab * 1000000)
+                // (CAST(fa.n AS HUGEINT) * fb.n) AS BIGINT) AS lift_micro
+         FROM pairs
+         JOIN freq fa ON fa.i = item_a
+         JOIN freq fb ON fb.i = item_b, tot
+         ORDER BY n_ab DESC, item_a, item_b LIMIT 100""",
   )
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity / co-occurrence lift (§2.11 extension — the
+  * "what co-occurs with what, beyond chance" primitive behind
+  * recommendation candidates, query-expansion tables, and data-mixing
+  * diagnostics).
+  *
+  * lift(a,b) = P(a,b) / (P(a)·P(b)) = N·n_ab / (n_a·n_b) over baskets.
+  *
+  * Shape: the pair enumeration is a SELF-JOIN ON THE BASKET KEY — cost
+  * is sum(basket_size^2), bounded by the max basket, NOT corpus^2 (the
+  * market-basket bound; a 100 TB corpus of bounded baskets scales
+  * linearly). Item frequencies then attach via two item-key joins of
+  * the (already aggregated) pair table, and the basket total rides a
+  * one-row broadcast. The min-support filter runs BEFORE the frequency
+  * joins, so the heavy pair tail never shuffles twice.
+  *
+  * Determinism: lift is emitted on the exact micro grid —
+  * `lift_micro = (N * n_ab * 1e6) div (n_a * n_b)` in decimal integer
+  * arithmetic (IntegralDivide), which any engine reproduces digit for
+  * digit; no float division near a comparison boundary.
+  */
+object Affinity {
+
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** (item_a, item_b, n_ab, n_a, n_b, lift_micro) for unordered item
+    * pairs co-occurring in at least `minSupport` baskets
+    * (item_a < item_b). Duplicate (basket, item) rows count once.
+    */
+  def basketLift(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = df
+      .select(col(basketCol).cast("long").as("__b"), col(itemCol).cast("long").as("__i"))
+      .where(col("__b").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val l = items.select(col("__b"), col("__i").as("item_a"))
+    val r = items.select(col("__b"), col("__i").as("item_b"))
+    val pairs = l.join(r, Seq("__b"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val total = items.select(col("__b")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val dec = "decimal(38,0)"
+    pairs
+      .join(freq.select(col("__i").as("item_a"), col("__n").as("n_a")), "item_a")
+      .join(freq.select(col("__i").as("item_b"), col("__n").as("n_b")), "item_b")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_micro",
+        intDiv(
+          col("__N").cast(dec) * col("n_ab").cast(dec) * lit(1000000L).cast(dec),
+          col("n_a").cast(dec) * col("n_b").cast(dec)).cast("long"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("lift_micro"))
+  }
+}

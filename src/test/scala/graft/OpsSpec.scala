@@ -1171,4 +1171,42 @@ class OpsSpec extends SparkSpec {
       ("c", 2L, 0L, 0.0)))
     assert(expA == 1)
   }
+
+  test("weekly cohorts: first-week bucketing, offsets, distinct actives") {
+    import graft.ops.Retention
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // Weeks (Mon-start): W1=Jan1, W2=Jan8, W3=Jan15, W4=Jan22.
+    val ev = Seq(
+      (1L, t(2)), (1L, t(3)), (1L, t(9)), (1L, t(23)),  // W1 cohort: W1,W2,W4
+      (2L, t(5)),                                       // W1 cohort: W1 only
+      (3L, t(10)), (3L, t(16)))                         // W2 cohort: W2,W3
+      .toDF("user_id", "ts")
+    val out = Retention.weeklyCohorts(ev, "user_id", "ts")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("basket lift: pair counts, exact micro lift, duplicate-row collapse") {
+    import graft.ops.Affinity
+    val rows = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L),  // duplicate (basket,item) counts once
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 40L))
+      .toDF("b", "i")
+    val out = Affinity.basketLift(rows, "b", "i", minSupport = 1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // N=4 baskets; n_10=3, n_20=2, n_30=1.
+    // lift(10,20) = 4*2*1e6 / (3*2) = 1333333 (floor)
+    // lift(10,30) = 4*1*1e6 / (3*1) = 1333333 (floor)
+    assert(out == Seq(
+      (10L, 20L, 2L, 3L, 2L, 1333333L),
+      (10L, 30L, 1L, 3L, 1L, 1333333L)))
+    val sup2 = Affinity.basketLift(rows, "b", "i", minSupport = 2)
+      .select("item_a", "item_b").as[(Long, Long)].collect().toSeq
+    assert(sup2 == Seq((10L, 20L)))
+  }
 }
