@@ -1881,6 +1881,24 @@ object SparkEntry {
           lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
         .limit(100)),
+    "q115_copurchase_pagerank" -> ((s, d) => {
+      // §2.11 graph authority over the co-order part graph (support-2
+      // pairs, symmetric): 3 PageRank iterations on the exact integer
+      // micro grid — every contribution and damped update is floor
+      // division, so DuckDB's 3-CTE chain matches digit for digit. One
+      // join + one key agg per iteration, composed into a single DAG.
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val l = items.select(col("b"), col("i").as("pa"))
+      val r = items.select(col("b"), col("i").as("pb"))
+      val pairs = l.join(r, Seq("b")).where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 2)
+      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      graft.ops.PageRank.pageRankMicro(edges, "src", "dst", iterations = 3)
+        .orderBy(col("rank_micro").desc, col("node")).limit(50)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3155,5 +3173,37 @@ Hosts: %s
          JOIN freq fa ON fa.i = item_a
          JOIN freq fb ON fb.i = item_b, tot
          ORDER BY n_ab DESC, item_a, item_b LIMIT 100""",
+    // q115: the same 3 integer-grid damped updates as CTE stages —
+    // floor division everywhere, so the chain is exact on both engines.
+    "q115_copurchase_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         pairs AS (SELECT a.i AS pa, bb.i AS pb
+           FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (SELECT pa AS src, pb AS dst FROM pairs
+           UNION ALL SELECT pb, pa FROM pairs),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+         it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         it1 AS (SELECT n.node,
+           CAST(150000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.r // d.out_deg) AS c
+             FROM edges e JOIN it0 p ON p.node = e.src
+             JOIN deg d ON d.src = e.src GROUP BY e.dst) s ON s.node = n.node),
+         it2 AS (SELECT n.node,
+           CAST(150000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.r // d.out_deg) AS c
+             FROM edges e JOIN it1 p ON p.node = e.src
+             JOIN deg d ON d.src = e.src GROUP BY e.dst) s ON s.node = n.node),
+         it3 AS (SELECT n.node,
+           CAST(150000 + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS node, sum(p.r // d.out_deg) AS c
+             FROM edges e JOIN it2 p ON p.node = e.src
+             JOIN deg d ON d.src = e.src GROUP BY e.dst) s ON s.node = n.node)
+         SELECT node, r AS rank_micro FROM it3
+         ORDER BY rank_micro DESC, node LIMIT 50""",
   )
 }

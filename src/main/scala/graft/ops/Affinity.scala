@@ -41,10 +41,14 @@ object Affinity {
       itemCol: String,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val items = df
+    // Persist the deduped (basket, item) relation: the self-join reads
+    // it twice and the frequency/total aggregates twice more — four
+    // consumers of one distinct whose input scan is the expensive part
+    // at scale. Released by the caller via Caches.releaseAll.
+    val items = graft.core.Caches.persistTracked(df
       .select(col(basketCol).cast("long").as("__b"), col(itemCol).cast("long").as("__i"))
       .where(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+      .distinct())
     val l = items.select(col("__b"), col("__i").as("item_a"))
     val r = items.select(col("__b"), col("__i").as("item_b"))
     val pairs = l.join(r, Seq("__b"))

@@ -1209,4 +1209,23 @@ class OpsSpec extends SparkSpec {
       .select("item_a", "item_b").as[(Long, Long)].collect().toSeq
     assert(sup2 == Seq((10L, 20L)))
   }
+
+  test("integer-grid pagerank matches hand-computed damped updates") {
+    import graft.ops.PageRank
+    // Symmetric path 1-2-3: deg(1)=1, deg(2)=2, deg(3)=1.
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    // it1: r1=r3 = 150000 + 17*(1e6//2)//20 = 575000
+    //      r2   = 150000 + 17*(1e6 + 1e6)//20 = 1850000
+    // it2: r1=r3 = 150000 + 17*(1850000//2)//20 = 936250
+    //      r2   = 150000 + 17*(575000 + 575000)//20 = 1127500
+    val it2 = PageRank.pageRankMicro(path, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(it2 == Seq((1L, 936250L), (2L, 1127500L), (3L, 936250L)))
+    // A node with no in-edges keeps the 150000 base; its target
+    // collects the full damped contribution.
+    val oneWay = Seq((4L, 1L)).toDF("src", "dst")
+    val r = PageRank.pageRankMicro(oneWay, "src", "dst", iterations = 1)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(r == Seq((1L, 1000000L), (4L, 150000L)))
+  }
 }
