@@ -553,4 +553,53 @@ class PlansSpec extends SparkSpec {
     assert(df.count() > 0)
     graft.core.Caches.releaseAll()
   }
+
+  // ---- Session-2 operator plan shapes ---------------------------------
+
+  test("weighted sample: TakeOrderedAndProject top-k, rank window post-limit only") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val df = graft.ops.Sampling.weightedSampleK(
+      docs, col("doc_id"), col("n_chars"), k = 10, salt = "p1")
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"expected TakeOrderedAndProject top-k:\n$plan")
+    plan.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.collectFirst { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+        s"rank Window must see only the k survivors:\n$plan")
+    }
+  }
+
+  test("z-score outliers: group stats broadcast back, row data never exchange-shuffled") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val df = graft.ops.Outliers.zscoreOutliers(ev, "event_type", "value", z = 3)
+    val plan = df.queryExecution.sparkPlan
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"expected the stats join to broadcast:\n$plan")
+    // The probe (row-grain) side of the broadcast join must reach its
+    // scan without any shuffle: only the tiny group-stat build side and
+    // the post-flag group-grain aggregations may exchange.
+    val probe = bhj.head.children(if (bhj.head.buildSide ==
+      org.apache.spark.sql.catalyst.optimizer.BuildRight) 0 else 1)
+    assert(probe.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"row-grain probe side must be map-only:\n$plan")
+  }
+
+  test("pagerank: edge discovery is persisted, not re-derived per iteration branch") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val df = graft.ops.PageRank.pageRankMicro(e, "src", "dst", iterations = 3)
+    val plan = df.queryExecution.sparkPlan
+    // Every reference to the edge list (deg, nodes, per-iteration
+    // contribution joins) must read the InMemoryRelation; if the cache
+    // were dropped the iteration branches would recompute the upstream
+    // discovery subtree once each.
+    val scans = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(scans.size >= 4,
+      s"expected >=4 cached edge-list scans (3 iterations + nodes/deg), got ${scans.size}:\n$plan")
+    graft.core.Caches.releaseAll()
+  }
 }
