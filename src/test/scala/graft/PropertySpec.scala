@@ -182,4 +182,39 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"round $round: $n edges")
     }
   }
+
+  // ---- Session-2 ops: results are partition-layout invariant --------
+
+  test("weighted sample / histogram / outliers / pagerank are slicing-independent") {
+    val rnd = new Random(77)
+    val docs = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(5000) + 1L))
+      .toDF("doc_id", "n_chars")
+    val ev = Seq.tabulate(400)(i =>
+      (s"t${i % 3}", math.rint(rnd.nextDouble() * 10000) / 100))
+      .toDF("event_type", "value")
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for (parts <- Seq(1, 3, 13)) {
+      val d = docs.repartition(parts)
+      val e = ev.repartition(parts)
+      val g = edges.repartition(parts)
+      assert(canon(graft.ops.Sampling.weightedSampleK(
+          d, col("doc_id"), col("n_chars"), k = 20, salt = "pp")) ==
+        canon(graft.ops.Sampling.weightedSampleK(
+          docs, col("doc_id"), col("n_chars"), k = 20, salt = "pp")),
+        s"weightedSampleK differs at $parts slices")
+      assert(canon(graft.ops.Histogram.equiDepth(e, "value", 10)) ==
+        canon(graft.ops.Histogram.equiDepth(ev, "value", 10)),
+        s"equiDepth differs at $parts slices")
+      assert(canon(graft.ops.Outliers.zscoreOutliers(e, "event_type", "value", 3)) ==
+        canon(graft.ops.Outliers.zscoreOutliers(ev, "event_type", "value", 3)),
+        s"zscoreOutliers differs at $parts slices")
+      assert(canon(graft.ops.PageRank.pageRankMicro(g, "src", "dst", 3)) ==
+        canon(graft.ops.PageRank.pageRankMicro(edges, "src", "dst", 3)),
+        s"pageRankMicro differs at $parts slices")
+      graft.core.Caches.releaseAll()
+    }
+  }
 }
