@@ -1899,6 +1899,14 @@ object SparkEntry {
       graft.ops.PageRank.pageRankMicro(edges, "src", "dst", iterations = 3)
         .orderBy(col("rank_micro").desc, col("node")).limit(50)
     }),
+    "q116_jl_projection" -> ((s, d) =>
+      // §2.11 Johnson-Lindenstrauss ±1 projection to 8 dims, map-only
+      // (the sign matrix is a pure md5-parity function — never
+      // materialized, never joined). Components accumulate as exact
+      // int64 micro sums, so DuckDB recomputes every output digit.
+      graft.ops.RandomProjection.jlProject(
+          embeddings(s, d), "vec_id", "embedding", outDims = 8, salt = "jl1")
+        .orderBy(col("vec_id"), col("j"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3205,5 +3213,17 @@ Hosts: %s
              JOIN deg d ON d.src = e.src GROUP BY e.dst) s ON s.node = n.node)
          SELECT node, r AS rank_micro FROM it3
          ORDER BY rank_micro DESC, node LIMIT 50""",
+    // q116: the identical md5-nibble sign function and micro-grid
+    // int64 accumulation (DuckDB lists are 1-based; i-1 re-aligns).
+    "q116_jl_projection" ->
+      """SELECT vec_id, CAST(r.j AS BIGINT) AS j,
+           CAST(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+             ((CAST(concat('0x', substr(md5('jl1' || r.j || ':' || (i - 1)), 1, 1)) AS BIGINT) % 2) * 2 - 1)
+             * CAST(round_even(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)))
+             AS BIGINT) AS out_micro
+         FROM embeddings
+         CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
+         WHERE embedding IS NOT NULL
+         ORDER BY vec_id, j""",
   )
 }

@@ -1210,6 +1210,30 @@ class OpsSpec extends SparkSpec {
     assert(sup2 == Seq((10L, 20L)))
   }
 
+  test("JL projection equals an independent JVM reimplementation; null vecs dropped") {
+    import graft.ops.RandomProjection
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.25f, 3.0f)),
+      (2L, Array(2.0f, 0.0f, -0.75f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val out = RandomProjection.jlProject(vecs, "vec_id", "embedding", outDims = 4, salt = "t9")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Long, i: Int): Long = {
+      val hex = md.digest(s"t9$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 1), 16) % 2) * 2 - 1
+    }
+    val expect = for {
+      (id, v) <- Seq((1L, Array(0.5f, -1.25f, 3.0f)), (2L, Array(2.0f, 0.0f, -0.75f)))
+      j <- 0L until 4L
+    } yield (id, j, v.zipWithIndex.map { case (x, i) =>
+      sign(j, i) * Math.rint(x.toDouble * 1e6).toLong }.sum)
+    assert(out == expect.sorted)
+    assert(!out.exists(_._1 == 3L), "null vector must be dropped")
+  }
+
   test("integer-grid pagerank matches hand-computed damped updates") {
     import graft.ops.PageRank
     // Symmetric path 1-2-3: deg(1)=1, deg(2)=2, deg(3)=1.

@@ -78,7 +78,7 @@ class RespellSpec extends SparkSpec {
   // NTZ-respelled column).
   private val queries = Seq(
     "q96_stratified_sample", "q109_column_profile", "q110_weighted_sample",
-    "q28_cosine_topk", "q89_embedding_quantization",
+    "q28_cosine_topk", "q89_embedding_quantization", "q116_jl_projection",
     "q97_interval_join", "q108_decayed_score", "q112_zscore_outliers")
 
   for (q <- queries)
