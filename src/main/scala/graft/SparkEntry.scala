@@ -1907,6 +1907,64 @@ object SparkEntry {
       graft.ops.RandomProjection.jlProject(
           embeddings(s, d), "vec_id", "embedding", outDims = 8, salt = "jl1")
         .orderBy(col("vec_id"), col("j"))),
+    "q117_snapshot_diff" -> ((s, d) => {
+      // §2.11 snapshot CDC: two corpus snapshots derived from the same
+      // table (docs ending in 3 arrive only in the new snapshot, docs
+      // ending in 4 were dropped, docs ending in 7 carried a truncated
+      // old revision), diffed by one full-outer key join with null-safe
+      // content comparison — added/removed/changed/unchanged per key.
+      val docs = documents(s, d)
+      val prev = docs.where(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7, substring(col("text"), 1, 40))
+            .otherwise(col("text")))
+      val cur = docs.where(col("doc_id") % 10 =!= 4)
+      graft.ops.SnapshotDiff.diff(prev, cur, "doc_id",
+          Seq("text", "lang", "source"))
+        .withColumnRenamed("key", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q118_retrieval_metrics" -> ((s, d) => {
+      // §2.11 offline rank-eval: vec_ids < 10 are the query set, the
+      // rest the candidate corpus, relevance = same cluster label.
+      // Ranked lists come from the q29 brute-force cosine retriever;
+      // hits@10 / recall@10 / RR reduce per query in exact integer
+      // micro arithmetic (no nDCG — its log2 discount is a libm seam).
+      val emb = embeddings(s, d)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"),
+          col("label").as("q_label"))
+      val cands = emb.where(col("vec_id") >= 10)
+      val retrieved = graft.query.Retriever.neighbors(cands, queries, 10)
+      val relevant = cands.select(col("vec_id"), col("label"))
+        .join(broadcast(queries.select(col("q_id"), col("q_label"))),
+          col("label") === col("q_label"))
+        .select(col("q_id"), col("vec_id"))
+      graft.ops.RankEval.rankEval(
+          retrieved, relevant, "q_id", "vec_id", "rank", k = 10)
+        .orderBy(col("q"))
+    }),
+    "q119_semantic_decontamination" -> ((s, d) => {
+      // §2.11 cross-corpus semantic contamination probe: every 37th
+      // vector stands in for an eval benchmark; the train side gets a
+      // map-only max-cosine against the broadcast reference set (the
+      // paraphrase-robust complement of q79's n-gram decontamination).
+      val emb = embeddings(s, d)
+      val ref = emb.where(col("vec_id") % 37 === 0)
+      val train = emb.where(col("vec_id") % 37 =!= 0)
+      Dedup.cosineContaminationAgainst(train, ref, "embedding", "vec_id", 0.8)
+        .select(col("id"), round(col("max_cos"), 6).as("max_cos"),
+          col("contaminated"))
+        .orderBy(col("id"))
+    }),
+    "q120_tfidf_keywords" -> ((s, d) =>
+      // §2.11 per-source characteristic terms: group-grain TF × doc-
+      // grain IDF on the micro grid (exact int64 scores — no float
+      // ordering seam), top-5 per source with the rank filter adjacent
+      // to the window so InferWindowGroupLimit prunes map-side.
+      graft.ops.Lexical.tfidfKeywords(
+          documents(s, d), "text", "doc_id", "source", k = 5)
+        .orderBy(col("grp"), col("rnk"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3225,5 +3283,84 @@ Hosts: %s
          CROSS JOIN (SELECT unnest(range(0, 8)) AS j) r
          WHERE embedding IS NOT NULL
          ORDER BY vec_id, j""",
+    // q117: the same two derived snapshots, full-outer joined; content
+    // equality is per-field IS NOT DISTINCT FROM (the oracle spelling
+    // of Spark's null-safe struct <=>).
+    "q117_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 7 THEN substr(text, 1, 40) ELSE text END AS text,
+           lang, source FROM documents WHERE doc_id % 10 <> 3),
+         cur AS (SELECT doc_id, text, lang, source FROM documents
+           WHERE doc_id % 10 <> 4)
+         SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+           CASE WHEN p.doc_id IS NULL THEN 'added'
+                WHEN c.doc_id IS NULL THEN 'removed'
+                WHEN p.text IS NOT DISTINCT FROM c.text
+                 AND p.lang IS NOT DISTINCT FROM c.lang
+                 AND p.source IS NOT DISTINCT FROM c.source THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+         ORDER BY doc_id""",
+    // q118: DuckDB re-ranks the same candidate corpus per query (the
+    // q29 CTE restricted to vec_id >= 10), rebuilds the same-label
+    // judgment set, and reduces to the identical integer-micro metrics
+    // (`//` ≡ Spark IntegralDivide).
+    "q118_retrieval_metrics" ->
+      """WITH ranked AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+           FROM embeddings e, embeddings q
+           WHERE q.vec_id < 10 AND e.vec_id >= 10),
+         topk AS (SELECT * FROM ranked WHERE rank <= 10),
+         rel AS (SELECT q.vec_id AS q_id, e.vec_id AS vec_id
+           FROM embeddings e, embeddings q
+           WHERE q.vec_id < 10 AND e.vec_id >= 10 AND e.label = q.label),
+         tot AS (SELECT q_id, count(*) AS n_relevant FROM rel GROUP BY q_id),
+         h AS (SELECT t.q_id, count(r.vec_id) AS hits,
+             min(CASE WHEN r.vec_id IS NOT NULL THEN t.rank END) AS first_rank
+           FROM topk t LEFT JOIN rel r
+             ON t.q_id = r.q_id AND t.vec_id = r.vec_id
+           GROUP BY t.q_id)
+         SELECT tot.q_id AS q, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           tot.n_relevant,
+           CAST((1000000 * COALESCE(h.hits, 0)) // tot.n_relevant AS BIGINT)
+             AS recall_micro,
+           CAST(COALESCE(1000000 // h.first_rank, 0) AS BIGINT) AS rr_micro
+         FROM tot LEFT JOIN h ON tot.q_id = h.q_id
+         ORDER BY q""",
+    // q119: max cosine per train vector over the reference subset; the
+    // contaminated flag compares the exact double pre-rounding, as the
+    // engine does.
+    "q119_semantic_decontamination" ->
+      """WITH m AS (SELECT t.vec_id AS id,
+           max(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+             CAST(r.embedding AS DOUBLE[]))) AS mc
+           FROM embeddings t
+           CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id % 37 = 0) r
+           WHERE t.vec_id % 37 <> 0
+           GROUP BY t.vec_id)
+         SELECT id, round(mc, 6) AS max_cos, mc >= 0.8 AS contaminated
+         FROM m ORDER BY id""",
+    // q120: identical tokenizer (q76/q82 spelling), group-grain tf,
+    // doc-grain df, micro-grid ln idf (round_even ≡ rint), exact int64
+    // product scores, same rank tie-break.
+    "q120_tfidf_keywords" ->
+      """WITH toks AS (SELECT doc_id, source,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '')) AS term FROM documents),
+         tfg AS (SELECT source AS grp, term, count(*) AS tf
+           FROM toks GROUP BY source, term),
+         dfreq AS (SELECT term, count(*) AS df FROM
+           (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         sc AS (SELECT grp, term, tf, df,
+             tf * CAST(round_even(ln(n.n_docs * 1.0 / df) * 1000000, 0)
+               AS BIGINT) AS score_micro
+           FROM tfg JOIN dfreq USING (term) CROSS JOIN n),
+         r AS (SELECT *, row_number() OVER (PARTITION BY grp
+             ORDER BY score_micro DESC, term) AS rnk FROM sc)
+         SELECT grp, term, tf, df, score_micro, rnk
+         FROM r WHERE rnk <= 5 ORDER BY grp, rnk""",
   )
 }

@@ -467,6 +467,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Cross-corpus (R-S) embedding-cosine contamination probe — the
+    * SEMANTIC counterpart of [[jaccardJoinAgainst]]/`Decontaminate`:
+    * find every training vector whose cosine against ANY vector of a
+    * reference set (an eval benchmark, a blocklist of memorized
+    * passages) reaches `threshold`. N-gram decontamination misses
+    * paraphrases; embedding-cosine catches them (the SemDeDup
+    * observation, Abbas et al. 2023, applied across corpora instead of
+    * within one).
+    *
+    * Shape: the reference side is SMALL by nature (benchmarks are
+    * thousands of rows, corpora are billions) — broadcast it and the
+    * corpus never shuffles at all: one map-side pass computes each
+    * train vector's max cosine over the broadcast set. This exact form
+    * is |train|·|ref| cosines of map-only work, embarrassingly
+    * parallel; when the reference set outgrows a broadcast, bucket both
+    * sides with [[Similarity.lshBucket]] exactly as
+    * [[embeddingNearDuplicatesLsh]] does and probe buckets instead.
+    *
+    * Output: one row per TRAIN id — (id, max_cos, contaminated) — keyed
+    * at corpus grain so the downstream filter is a semi-join-free
+    * boolean column. max() over doubles is order-independent, so the
+    * score is deterministic under any partitioning.
+    */
+  def cosineContaminationAgainst(
+      train: DataFrame,
+      reference: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.vecCosine
+    val refs = reference.select(col(embCol).as("__ref_emb"))
+    train.select(col(idCol).as("id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(refs))
+      .groupBy(col("id"))
+      .agg(max(vecCosine(col("emb"), col("__ref_emb"))).as("max_cos"))
+      .select(col("id"), col("max_cos"),
+        (col("max_cos") >= threshold).as("contaminated"))
+  }
+
   /** 64-bit SimHash from word unigrams: per bit, sign of the sum over
     * tokens of (+1 if token-hash bit set else -1). Token hashing is one
     * builtin HOF pass; the 64-counter vote fold is a native Catalyst

@@ -129,4 +129,54 @@ object Lexical {
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("id"))))
   }
+
+  /** Top-k characteristic terms per document group (per source, per
+    * language, per domain — the "what is this slice about" audit a
+    * mixture rebalance or a contamination investigation starts with):
+    * classic TF-IDF with tf at GROUP grain and document frequency at
+    * doc grain, so a term scores high when the slice uses it heavily
+    * and the rest of the corpus does not.
+    *
+    * Exactness: tf and df are integer counts; idf snaps to the 1e-6
+    * micro grid as `rint(ln(N/df) * 1e6)` (the q82 precedent — DuckDB's
+    * `round_even(ln(...)*1e6)` lands on the same integer), and the
+    * score is the exact int64 product tf * idf_micro. No float ordering
+    * seam anywhere, so ranks reproduce on any engine.
+    *
+    * Scale shape: one token-grain explode (the inverted-index grain),
+    * two hash aggregations — (group, term) tf and term-grain df from
+    * the DISTINCT (doc, term) relation — a broadcast 1-row corpus
+    * count, and a per-group top-k. The rank window filters to
+    * `rnk <= k` immediately, so InferWindowGroupLimit prunes to k rows
+    * per group map-side before the rank shuffle — no group ever sorts
+    * its full vocabulary on one reducer.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val toks = graft.core.Caches.persistTracked(
+      docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("term")))
+    val tfGrp = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val idfMicro = rint(log(col("n_docs").cast("double") / col("df")) * lit(1000000.0))
+      .cast("long")
+    val scored = tfGrp.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_micro", col("tf") * idfMicro)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score_micro").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("grp"), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rnk"))
+  }
 }

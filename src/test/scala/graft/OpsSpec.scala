@@ -1252,4 +1252,91 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted
     assert(r == Seq((1L, 1000000L), (4L, 150000L)))
   }
+
+  test("snapshot diff labels added/removed/changed/unchanged; null fields compare equal") {
+    import graft.ops.SnapshotDiff
+    val prev = Seq(
+      (1L, Some("a"), "s1"),          // unchanged
+      (2L, Some("b"), "s1"),          // changed (text)
+      (3L, Some("c"), "s1"),          // removed
+      (4L, None: Option[String], "s1") // unchanged with a NULL field
+    ).toDF("doc_id", "text", "source")
+    val cur = Seq(
+      (1L, Some("a"), "s1"),
+      (2L, Some("B"), "s1"),
+      (4L, None: Option[String], "s1"),
+      (5L, Some("e"), "s2")           // added
+    ).toDF("doc_id", "text", "source")
+    val out = SnapshotDiff.diff(prev, cur, "doc_id", Seq("text", "source"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+    // The 100 TB hash spelling agrees row for row.
+    val byHash = SnapshotDiff.diffByHash(prev, cur, "doc_id", Seq("text", "source"))
+      .as[(Long, String)].collect().toMap
+    assert(byHash == out)
+    val summary = SnapshotDiff.diffSummary(prev, cur, "doc_id", Seq("text", "source"))
+      .as[(String, Long)].collect().toMap
+    assert(summary == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 2L))
+  }
+
+  test("rank eval computes exact integer hits/recall/RR per query") {
+    import graft.ops.RankEval
+    // q=1: relevant {10,11,12}; top-3 retrieved hits 11 at rank 2 ->
+    //   hits=1, recall=floor(1e6/3)=333333, rr=floor(1e6/2)=500000.
+    // q=2: relevant {20}; retrieved misses entirely -> zeros, rr=0.
+    // q=3: no judgments -> dropped.
+    val retrieved = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 98L, 3L), (1L, 10L, 4L), // rank 4 > k
+      (2L, 97L, 1L), (2L, 96L, 2L),
+      (3L, 95L, 1L)
+    ).toDF("q_id", "vec_id", "rank")
+    val relevant = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("q_id", "vec_id")
+    val out = RankEval.rankEval(retrieved, relevant, "q_id", "vec_id", "rank", k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 1L, 3L, 333333L, 500000L),
+      (2L, 0L, 1L, 0L, 0L)))
+    val s = RankEval.rankEvalSummary(retrieved, relevant, "q_id", "vec_id", "rank", k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // mean recall = (333333+0)//2, mrr = (500000+0)//2
+    assert(s == ((2L, 333333L, 500000L, 166666L, 250000L)))
+  }
+
+  test("cross-corpus cosine contamination flags the planted near-match only") {
+    import graft.ops.Dedup
+    val ref = Seq((100L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cosine 1.0 -> contaminated
+      (2L, Seq(0.0f, 1.0f)),   // cosine 0.0
+      (3L, Seq(1.0f, 1.0f))    // cosine ~0.7071
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.cosineContaminationAgainst(train, ref, "embedding", "vec_id", 0.9)
+      .select(col("id"), round(col("max_cos"), 4), col("contaminated"))
+      .as[(Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 1.0, true), (2L, 0.0, false), (3L, 0.7071, false)))
+  }
+
+  test("tfidf keywords rank group-characteristic terms; shared terms score zero") {
+    import graft.ops.Lexical
+    // "rare" appears only in s1's docs (df=2 of 4 docs, tf=3 in s1);
+    // "common" appears in every doc -> idf ln(1)=0 -> score 0.
+    val docs = Seq(
+      (1L, "s1", "rare rare common"),
+      (2L, "s1", "rare common"),
+      (3L, "s2", "common other"),
+      (4L, "s2", "common other other")
+    ).toDF("doc_id", "source", "text")
+    val out = Lexical.tfidfKeywords(docs, "text", "doc_id", "source", k = 2)
+      .as[(String, String, Long, Long, Long, Int)].collect().toSeq
+      .sortBy(r => (r._1, r._6))
+    val lnHalfMicro = math.rint(math.log(4.0 / 2.0) * 1e6).toLong // ln(2) grid
+    assert(out == Seq(
+      ("s1", "rare", 3L, 2L, 3L * lnHalfMicro, 1),
+      ("s1", "common", 2L, 4L, 0L, 2),
+      ("s2", "other", 3L, 2L, 3L * lnHalfMicro, 1),
+      ("s2", "common", 2L, 4L, 0L, 2)))
+  }
 }

@@ -79,7 +79,9 @@ class RespellSpec extends SparkSpec {
   private val queries = Seq(
     "q96_stratified_sample", "q109_column_profile", "q110_weighted_sample",
     "q28_cosine_topk", "q89_embedding_quantization", "q116_jl_projection",
-    "q97_interval_join", "q108_decayed_score", "q112_zscore_outliers")
+    "q97_interval_join", "q108_decayed_score", "q112_zscore_outliers",
+    "q117_snapshot_diff", "q118_retrieval_metrics",
+    "q119_semantic_decontamination", "q120_tfidf_keywords")
 
   for (q <- queries)
     test(s"$q is invariant under the respelled parquet schema") {
