@@ -1965,6 +1965,27 @@ object SparkEntry {
       graft.ops.Lexical.tfidfKeywords(
           documents(s, d), "text", "doc_id", "source", k = 5)
         .orderBy(col("grp"), col("rnk"))),
+    "q121_source_overlap" -> ((s, d) =>
+      // §2.11 source-pair content-overlap matrix: Jaccard + containment
+      // of trigram vocabularies, integer-exact micro ratios. The join
+      // runs on the DISTINCT (source, shingle) relation, so per-key
+      // fan-out is bounded by the source count, not document count.
+      graft.ops.CorpusOverlap.sourceOverlap(documents(s, d), "text", "source", 3)
+        .orderBy(col("grp_a"), col("grp_b"))),
+    "q122_kl_drift" -> ((s, d) =>
+      // §2.11 mixture-drift monitor: KL(source ‖ corpus) over unigram
+      // distributions in micro-nats (per-term ln on the 1e-6 grid,
+      // int64 weighted sum, floor-divided mean — all engine-exact).
+      graft.ops.Drift.klDrift(documents(s, d), "text", "source")
+        .orderBy(col("grp"))),
+    "q123_token_entropy" -> ((s, d) =>
+      // §2.11 lexical-diversity signal: per-document token-distribution
+      // Shannon entropy in exact micro-nats, map-only over the scan.
+      documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.tokenEntropyMicro(col("text")).as("entropy_micro"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3362,5 +3383,65 @@ Hosts: %s
              ORDER BY score_micro DESC, term) AS rnk FROM sc)
          SELECT grp, term, tf, df, score_micro, rnk
          FROM r WHERE rnk <= 5 ORDER BY grp, rnk""",
+    // q121: identical trigram spelling (q76's slice idiom widened to
+    // 3-grams), DISTINCT per source, exact integer micro ratios
+    // (`//` ≡ IntegralDivide).
+    "q121_source_overlap" ->
+      """WITH toks AS (SELECT source,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         sh AS (SELECT DISTINCT source AS grp,
+           unnest(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
+         sizes AS (SELECT grp, count(*) AS n FROM sh GROUP BY grp),
+         c AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.grp < b.grp
+           GROUP BY a.grp, b.grp)
+         SELECT grp_a, grp_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           CAST((1000000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT)
+             AS jaccard_micro,
+           CAST((1000000 * n_common) // least(sa.n, sb.n) AS BIGINT)
+             AS containment_micro
+         FROM c JOIN sizes sa ON c.grp_a = sa.grp
+                JOIN sizes sb ON c.grp_b = sb.grp
+         ORDER BY grp_a, grp_b""",
+    // q122: same tokenizer, same micro-ln grid (round_even ≡ rint) on
+    // the per-term probability ratio, HUGEINT-safe casts on the way
+    // out.
+    "q122_kl_drift" ->
+      """WITH toks AS (SELECT source AS grp,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '')) AS term FROM documents),
+         bg AS (SELECT grp, term, count(*) AS c_st FROM toks GROUP BY grp, term),
+         bt AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+         tot AS (SELECT count(*) AS n FROM toks),
+         gt AS (SELECT grp, sum(c_st) AS n_s, count(*) AS n_terms
+           FROM bg GROUP BY grp),
+         w AS (SELECT bg.grp, gt.n_terms, gt.n_s,
+             sum(bg.c_st * CAST(round_even(
+               ln((bg.c_st * tot.n) * 1.0 / (gt.n_s * bt.c_t)) * 1000000, 0)
+               AS BIGINT)) AS s
+           FROM bg JOIN bt USING (term) JOIN gt USING (grp) CROSS JOIN tot
+           GROUP BY bg.grp, gt.n_terms, gt.n_s)
+         SELECT grp, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(n_s AS BIGINT) AS n_tokens,
+           CAST(s // n_s AS BIGINT) AS kl_micro
+         FROM w ORDER BY grp""",
+    // q123: per-document token histogram reduced to the exact
+    // micro-nat entropy; empty documents coalesce to zero.
+    "q123_token_entropy" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         u AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         k AS (SELECT doc_id, term, count(*) AS k FROM u GROUP BY doc_id, term),
+         a AS (SELECT doc_id, sum(k) AS n,
+             sum(k * CAST(round_even(ln(k) * 1000000, 0) AS BIGINT)) AS s
+           FROM k GROUP BY doc_id)
+         SELECT d.doc_id, CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(CAST(round_even(ln(a.n) * 1000000, 0) AS BIGINT)
+             - a.s // a.n, 0) AS BIGINT) AS entropy_micro
+         FROM documents d LEFT JOIN a USING (doc_id)
+         ORDER BY d.doc_id""",
   )
 }

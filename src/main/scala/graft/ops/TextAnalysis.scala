@@ -143,4 +143,34 @@ object TextAnalysis {
     when(st.getItem(0) === 0, lit(0.0))
       .otherwise(st.getItem(2).cast("double") / st.getItem(0))
   }
+
+  /** Shannon entropy of the document's unigram (token) distribution in
+    * micro-nats — the lexical-diversity quality signal (low entropy =
+    * repetitive/boilerplate text; the Gopher fractions catch LOCAL
+    * repetition, entropy catches global skew).
+    *
+    * Exact integer form: with k_c the count of token c and n the token
+    * total, H = ln(n) − (1/n)·Σ_c k_c·ln(k_c); each ln snaps to the
+    * 1e-6 micro grid (`rint`, the q82 convention) and the division is
+    * floor — every digit reproduces on any engine. Empty text → 0.
+    *
+    * Shape: pure builtin HOFs over the row — MAP-ONLY, no token-grain
+    * shuffle for a per-document statistic. The distinct×tokens count
+    * loop is O(d·n) per document; if entropy ever sits in a scan hot
+    * loop, the upgrade is a one-pass native expression over a local
+    * hash map (the [[ngramRepetition]] precedent).
+    */
+  def tokenEntropyMicro(textCol: Column): Column = {
+    val toks = filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    def microLn(c: Column): Column =
+      rint(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val sumKLnK = aggregate(
+      transform(array_distinct(toks), t => size(filter(toks, x => x === t))),
+      lit(0L), (acc, k) => acc + k.cast("long") * microLn(k))
+    when(n === 0, lit(0L)).otherwise(
+      microLn(n) - Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          Bridge.expression(sumKLnK), Bridge.expression(n.cast("long")))))
+  }
 }

@@ -28,6 +28,9 @@ case class Event(
 /** Running per-user session accumulator. */
 case class SessionState(nEvents: Long, totalValue: Double, startMs: Long, lastMs: Long)
 
+/** One emitted CDC delta from [[StreamingOps.cdcStream]]. */
+case class CdcChange(key: Long, status: String)
+
 /** Emitted session row (update-mode: running totals per session). */
 case class SessionUpdate(
     user_id: Long,
@@ -146,6 +149,58 @@ object StreamingOps {
       .withColumn("__h", sha2(col(textCol), 256))
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+
+  /** Streaming twin of [[graft.ops.SnapshotDiff]]: an insert-only
+    * stream of (key, content, event-time) rows becomes a stream of CDC
+    * DELTAS — `added` the first time a key appears, `changed` whenever
+    * its content hash differs from the last seen one; unchanged
+    * re-deliveries emit nothing (that silence is the operator's whole
+    * value: downstream re-embed/re-clean work triggers only on real
+    * change). `removed` is unobservable from an insert-only stream by
+    * construction — removals come from the batch snapshot diff or from
+    * explicit tombstone rows upstream.
+    *
+    * State: ONE 64-bit hash per key (the minimal CDC memory),
+    * partitioned by key in the state store — at corpus scale this is
+    * the RocksDB-backed keyed state Spark already shards per
+    * partition. No timeout: a document may legitimately change after
+    * any silence, so CDC state has no watermark-safe eviction; bound
+    * it operationally (state-store TTL / snapshot compaction) when
+    * keys are transient. Within a batch, rows fold in event-time order
+    * so a key that appears twice in one micro-batch emits
+    * added-then-changed exactly as it would across batches.
+    */
+  def cdcStream(
+      docs: DataFrame,
+      keyCol: String,
+      contentCols: Seq[String],
+      seqCol: String): Dataset[CdcChange] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(keyCol).cast("long").as("key"),
+        xxhash64(contentCols.map(col): _*).as("h"),
+        col(seqCol).cast("long").as("seq"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, CdcChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          val ordered = rows.toSeq.sortBy(_._3).map(_._2)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CdcChange]
+          var last: Option[Long] = state.getOption
+          for (h <- ordered) {
+            last match {
+              case None => out += CdcChange(key, "added")
+              case Some(prev) if prev != h => out += CdcChange(key, "changed")
+              case _ => ()
+            }
+            last = Some(h)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
 
   /** §2.9 stream-stream attribution join: each right-stream event
     * (click) matched to the left-stream events (impressions) of the

@@ -1339,4 +1339,40 @@ class OpsSpec extends SparkSpec {
       ("s2", "other", 3L, 2L, 3L * lnHalfMicro, 1),
       ("s2", "common", 2L, 4L, 0L, 2)))
   }
+
+  test("source overlap computes exact trigram Jaccard/containment; disjoint pairs omitted") {
+    import graft.ops.CorpusOverlap
+    val docs = Seq(
+      (1L, "s1", "a b c d"), // trigrams {a b c, b c d}
+      (2L, "s2", "a b c e"), // trigrams {a b c, b c e}
+      (3L, "s3", "x y z w") // disjoint
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusOverlap.sourceOverlap(docs, "text", "source", 3)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    // |A∩B|=1, |A|=|B|=2 -> jaccard 1/3, containment 1/2 (micro floor)
+    assert(out == Seq(("s1", "s2", 2L, 2L, 1L, 333333L, 500000L)))
+  }
+
+  test("KL drift matches the hand-computed micro-nat grid") {
+    import graft.ops.Drift
+    // corpus: a×2, b×4 (n=6); g1 = [a,a,b], g2 = [b,b,b]
+    // KL(g1) = (2·ln2 + 1·ln0.5)//3 = 693147//3 = 231049
+    // KL(g2) = (3·ln1.5)//3 = ln1.5 = 405465
+    val docs = Seq((1L, "g1", "a a b"), (2L, "g2", "b b b"))
+      .toDF("doc_id", "source", "text")
+    val out = Drift.klDrift(docs, "text", "source")
+      .as[(String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(("g1", 2L, 3L, 231049L), ("g2", 1L, 3L, 405465L)))
+  }
+
+  test("token entropy is exact on the micro grid; uniform and empty edge cases") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "a a b"), (2L, "x x x x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.tokenEntropyMicro(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    // H(a a b) = ln3 − (2ln2)//3 = 1098612 − 1386294//3 = 636514
+    assert(out == Map(1L -> 636514L, 2L -> 0L, 3L -> 0L))
+  }
 }

@@ -260,4 +260,35 @@ class StreamingSpec extends SparkSpec {
     assert(got(1L)._4 == "pass")
     assert(got(2L)._4 == "too_short" && got(2L)._3 == 0)
   }
+
+  test("cdcStream: added on first sight, changed on new hash, silence on re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    // (key, text, seq)
+    val input = MemoryStream[(Long, String, Long)]
+    val out = StreamingOps.cdcStream(
+      input.toDF().toDF("doc_id", "text", "seq"),
+      "doc_id", Seq("text"), "seq")
+    val q = out.writeStream.format("memory").queryName("cdc")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two new docs; doc 4 appears twice IN one batch with
+      // different content (added then changed, in seq order).
+      input.addData((1L, "v1", 1L), (2L, "v1", 2L), (4L, "v1", 3L), (4L, "v2", 4L))
+      q.processAllAvailable()
+      val b1 = spark.table("cdc").as[(Long, String)].collect().toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(b1 == Map((1L, "added") -> 1, (2L, "added") -> 1,
+        (4L, "added") -> 1, (4L, "changed") -> 1))
+      // Batch 2: doc 1 re-delivered unchanged (no emission), doc 2
+      // changed, doc 3 new, doc 4 re-delivered at its LAST content
+      // (state carries v2 across batches -> silence).
+      input.addData((1L, "v1", 5L), (2L, "v2", 6L), (3L, "v1", 7L), (4L, "v2", 8L))
+      q.processAllAvailable()
+      val all = spark.table("cdc").as[(Long, String)].collect().toSeq
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(all == Map((1L, "added") -> 1, (2L, "added") -> 1,
+        (4L, "added") -> 1, (4L, "changed") -> 1,
+        (2L, "changed") -> 1, (3L, "added") -> 1))
+    } finally q.stop()
+  }
 }
