@@ -1946,12 +1946,15 @@ object SparkEntry {
     }),
     "q119_semantic_decontamination" -> ((s, d) => {
       // §2.11 cross-corpus semantic contamination probe: every 37th
-      // vector stands in for an eval benchmark; the train side gets a
-      // map-only max-cosine against the broadcast reference set (the
-      // paraphrase-robust complement of q79's n-gram decontamination).
+      // vector OF THE BASE ID SPACE stands in for an eval benchmark —
+      // the vec_id < 20000 cap models what a benchmark is (fixed-size
+      // while the corpus grows), so the probe stays linear in the
+      // corpus at any scale. The train side gets a map-only max-cosine
+      // against the broadcast reference set (the paraphrase-robust
+      // complement of q79's n-gram decontamination).
       val emb = embeddings(s, d)
-      val ref = emb.where(col("vec_id") % 37 === 0)
-      val train = emb.where(col("vec_id") % 37 =!= 0)
+      val ref = emb.where(col("vec_id") % 37 === 0 && col("vec_id") < 20000)
+      val train = emb.where(col("vec_id") % 37 =!= 0 || col("vec_id") >= 20000)
       Dedup.cosineContaminationAgainst(train, ref, "embedding", "vec_id", 0.8)
         .select(col("id"), round(col("max_cos"), 6).as("max_cos"),
           col("contaminated"))
@@ -1986,6 +1989,17 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.tokenEntropyMicro(col("text")).as("entropy_micro"))
         .orderBy(col("doc_id"))),
+    "q124_edit_distance_join" -> ((s, d) =>
+      // §2.11 string-similarity join under edit distance (PassJoin
+      // segment filtering) at DISTINCT-NAME grain — identical strings
+      // collapse to (representative, count) before any similarity
+      // work, the exact-dedup-first discipline that keeps the result
+      // vocabulary-sized on duplicate-heavy catalogs. Constant-fan-out
+      // explodes + one skinny-key hash join + exact verify — the
+      // oracle's all-pairs levenshtein is what the operator avoids.
+      graft.ops.EditDistanceJoin.editDistanceJoinDistinct(
+          part(s, d), "p_name", "p_partkey", k = 1)
+        .orderBy(col("id_a"), col("id_b"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3358,8 +3372,9 @@ Hosts: %s
            max(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
              CAST(r.embedding AS DOUBLE[]))) AS mc
            FROM embeddings t
-           CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id % 37 = 0) r
-           WHERE t.vec_id % 37 <> 0
+           CROSS JOIN (SELECT embedding FROM embeddings
+             WHERE vec_id % 37 = 0 AND vec_id < 20000) r
+           WHERE t.vec_id % 37 <> 0 OR t.vec_id >= 20000
            GROUP BY t.vec_id)
          SELECT id, round(mc, 6) AS max_cos, mc >= 0.8 AS contaminated
          FROM m ORDER BY id""",
@@ -3443,5 +3458,15 @@ Hosts: %s
              - a.s // a.n, 0) AS BIGINT) AS entropy_micro
          FROM documents d LEFT JOIN a USING (doc_id)
          ORDER BY d.doc_id""",
+    // q124: the all-pairs form over distinct names that the
+    // segment-filtered join provably equals (and exists to avoid).
+    "q124_edit_distance_join" ->
+      """WITH g AS (SELECT p_name AS s, min(p_partkey) AS id,
+             count(*) AS n FROM part GROUP BY p_name)
+         SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.s, b.s) AS d, a.n AS n_a, b.n AS n_b
+         FROM g a JOIN g b ON a.id < b.id
+         WHERE levenshtein(a.s, b.s) <= 1
+         ORDER BY id_a, id_b""",
   )
 }

@@ -91,7 +91,24 @@ object ScaleUp {
 
     write(replicate(Tables.customer(spark, src), Seq("c_custkey" -> custSpace)), "customer")
     write(replicate(Tables.supplier(spark, src), Seq("s_suppkey" -> suppSpace)), "supplier")
-    write(replicate(Tables.part(spark, src), Seq("p_partkey" -> partSpace)), "part")
+    // part: in mutate mode, decorate names per replica with a DOUBLED
+    // base-26 replica code (" c1c1c2c2"). Within a replica every name
+    // gets the same suffix, so the replica's internal edit-distance
+    // structure replicates; across replicas, two distinct doubled codes
+    // always differ in >= 2 positions, and equal-length lev=1 is
+    // exactly Hamming=1 — so no cross-replica pair can sit at edit
+    // distance <= 1 (replica 0 keeps the original, shorter names). An
+    // organic 10x catalog has ~10x typo clusters, not 10x-deeper ones;
+    // byte-identical replicas would grow matching pairs ~factor^2.
+    val partRep = replicate(Tables.part(spark, src), Seq("p_partkey" -> partSpace))
+    val partOut =
+      if (!mutate) partRep
+      else partRep.withColumn("p_name",
+        when(col("__r") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit(" "),
+            expr("repeat(char(97 + CAST(__r / 26 AS INT)), 2)"),
+            expr("repeat(char(97 + CAST(__r % 26 AS INT)), 2)"))))
+    write(partOut, "part")
     write(replicate(Tables.orders(spark, src),
       Seq("o_orderkey" -> orderSpace, "o_custkey" -> custSpace)), "orders")
     write(replicate(Tables.lineitem(spark, src),

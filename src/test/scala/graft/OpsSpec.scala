@@ -1375,4 +1375,34 @@ class OpsSpec extends SparkSpec {
     // H(a a b) = ln3 − (2ln2)//3 = 1098612 − 1386294//3 = 636514
     assert(out == Map(1L -> 636514L, 2L -> 0L, 3L -> 0L))
   }
+
+  test("edit-distance join equals brute force at k=1 and k=2, incl. short strings") {
+    import graft.ops.EditDistanceJoin
+    // Deterministic corpus with planted typos (substitution, deletion,
+    // insertion, transposition = 2 edits), duplicates, and strings
+    // short enough for the brute-force arm (len <= 3k).
+    val words = Seq("spark", "spork", "sprk", "sparkk", "sprak", "spark",
+      "catalyst", "catalist", "engine", "enginee", "ab", "ba", "a", "",
+      "abc", "axc", "tungsten", "tungsten")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = EditDistanceJoin.editDistanceJoin(df, "s", "id", k)
+        .as[(Long, Long, Int)].collect().toSet
+      val brute = (for {
+        (a, i) <- words.zipWithIndex; (b, j) <- words.zipWithIndex
+        if i < j
+        d = {
+          val m = Array.tabulate(a.length + 1, b.length + 1) { (x, y) =>
+            if (x == 0) y else if (y == 0) x else 0 }
+          for (x <- 1 to a.length; y <- 1 to b.length)
+            m(x)(y) = math.min(math.min(m(x - 1)(y) + 1, m(x)(y - 1) + 1),
+              m(x - 1)(y - 1) + (if (a(x - 1) == b(y - 1)) 0 else 1))
+          m(a.length)(b.length)
+        }
+        if d <= k
+      } yield (i.toLong, j.toLong, d)).toSet
+      assert(got == brute, s"k=$k: got ${got.size}, brute ${brute.size}")
+    }
+  }
 }
