@@ -2000,6 +2000,24 @@ object SparkEntry {
       graft.ops.EditDistanceJoin.editDistanceJoinDistinct(
           part(s, d), "p_name", "p_partkey", k = 1)
         .orderBy(col("id_a"), col("id_b"))),
+    "q125_source_overlap_sketch" -> ((s, d) => {
+      // §2.11 the PB-scale estimate path of q121: pairwise overlap
+      // from MERGEABLE per-source MinHash signatures (128 perms,
+      // constant bytes per source, no shingle join), enveloped against
+      // the exact matrix — |est − exact| <= 0.25 pinned TRUE for every
+      // pair including disjoint ones (~5.5σ at k=128).
+      val docs = documents(s, d)
+      val est = graft.ops.CorpusOverlap.sourceOverlapEstimate(
+        docs, "text", "source", 3, 128)
+      val exact = graft.ops.CorpusOverlap.sourceOverlap(docs, "text", "source", 3)
+        .select(col("grp_a"), col("grp_b"), col("jaccard_micro"))
+      est.join(exact, Seq("grp_a", "grp_b"), "left")
+        .select(col("grp_a"), col("grp_b"),
+          coalesce(col("jaccard_micro"), lit(0L)).as("jaccard_micro"),
+          (abs(col("est_micro") - coalesce(col("jaccard_micro"), lit(0L)))
+            <= 250000).as("est_ok"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3468,5 +3486,27 @@ Hosts: %s
          FROM g a JOIN g b ON a.id < b.id
          WHERE levenshtein(a.s, b.s) <= 1
          ORDER BY id_a, id_b""",
+    // q125: DuckDB recomputes the EXACT overlap matrix over all source
+    // pairs (disjoint ones coalesce to 0) and pins the sketch-accuracy
+    // boolean TRUE; the MinHash estimate itself rides only inside the
+    // boolean (XXH64 permutations aren't reproducible in SQL).
+    "q125_source_overlap_sketch" ->
+      """WITH toks AS (SELECT source,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         sh AS (SELECT DISTINCT source AS grp,
+           unnest(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
+         sizes AS (SELECT grp, count(*) AS n FROM sh GROUP BY grp),
+         c AS (SELECT a.grp AS grp_a, b.grp AS grp_b, count(*) AS n_common
+           FROM sh a JOIN sh b ON a.g = b.g AND a.grp < b.grp
+           GROUP BY a.grp, b.grp)
+         SELECT sa.grp AS grp_a, sb.grp AS grp_b,
+           CAST(COALESCE((1000000 * c.n_common) // (sa.n + sb.n - c.n_common), 0)
+             AS BIGINT) AS jaccard_micro,
+           TRUE AS est_ok
+         FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp
+         LEFT JOIN c ON c.grp_a = sa.grp AND c.grp_b = sb.grp
+         ORDER BY grp_a, grp_b""",
   )
 }

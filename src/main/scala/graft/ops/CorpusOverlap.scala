@@ -66,4 +66,54 @@ object CorpusOverlap {
         intDiv(m * col("n_common"), least(col("n_a"), col("n_b")))
           .as("containment_micro"))
   }
+
+  /** Per-group MERGEABLE MinHash signature over the group's shingle
+    * vocabulary: (grp, sig) with sig = elementwise min of the member
+    * documents' native MinHash signatures — which IS the MinHash of
+    * the UNION of their shingle sets (a min of mins), so signatures
+    * merge across shards/snapshots in any order with no raw rescan
+    * (the IncrementalStats property, for set overlap). Constant
+    * `numHashes`·8 bytes per group; the per-doc signature pass is the
+    * codegen'd [[graft.functions.MinHashSigExpr]] scan loop, the merge
+    * is a map-side-combinable (grp, pos) min.
+    */
+  def groupSignatures(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        posexplode(Dedup.minhashSignature(col(textCol), shingleN, numHashes))
+          .as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos")).agg(min(col("v")).as("v"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("sig"))
+
+  /** The PB-scale estimate of [[sourceOverlap]]: pairwise Jaccard from
+    * the group signatures (matching-component fraction — the classic
+    * unbiased MinHash estimator), for EVERY group pair including
+    * disjoint ones. No shingle join at all: the pair loop runs over
+    * #groups² constant-size signatures. est stderr = sqrt(J(1-J)/k).
+    * Output: (grp_a, grp_b, est_micro).
+    */
+  def sourceOverlapEstimate(
+      docs: DataFrame,
+      textCol: String,
+      groupCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    val sigs = graft.core.Caches.persistTracked(
+      groupSignatures(docs, textCol, groupCol, shingleN, numHashes))
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, z) => acc + z)
+    sigs.select(col("grp").as("grp_a"), col("sig").as("sig_a"))
+      .join(sigs.select(col("grp").as("grp_b"), col("sig").as("sig_b")),
+        col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        intDiv(lit(1000000L) * matches, lit(numHashes.toLong)).as("est_micro"))
+  }
 }

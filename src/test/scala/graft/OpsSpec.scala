@@ -1405,4 +1405,36 @@ class OpsSpec extends SparkSpec {
       assert(got == brute, s"k=$k: got ${got.size}, brute ${brute.size}")
     }
   }
+
+  test("group MinHash signatures merge (min of parts == signature of union) and estimate tracks exact Jaccard") {
+    import graft.ops.CorpusOverlap
+    // Two sources sharing half their vocabulary: s1 = w0..w59,
+    // s2 = w30..w89 as 10-word docs -> trigram sets overlap heavily.
+    def doc(lo: Int): String = (lo until lo + 10).map(i => s"w$i").mkString(" ")
+    val s1 = (0 until 51 by 10).map(lo => ("s1", doc(lo)))
+    val s2 = (30 until 81 by 10).map(lo => ("s2", doc(lo)))
+    val docs = (s1 ++ s2).zipWithIndex
+      .map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    // Mergeability: signature over the full group equals the
+    // elementwise min of the signatures of any disjoint split.
+    val full = CorpusOverlap.groupSignatures(docs, "text", "source", 3, 64)
+      .as[(String, Seq[Long])].collect().toMap
+    val splitDf = docs.withColumn("source",
+      concat(col("source"), lit("_p"), (col("doc_id") % 2).cast("string")))
+    val parts = CorpusOverlap.groupSignatures(splitDf, "text", "source", 3, 64)
+      .as[(String, Seq[Long])].collect().toMap
+    for (g <- Seq("s1", "s2")) {
+      val merged = parts(s"${g}_p0").zip(parts(s"${g}_p1"))
+        .map { case (a, b) => math.min(a, b) }
+      assert(merged == full(g), s"merge mismatch for $g")
+    }
+    // Estimator vs exact, same bound the q125 envelope pins.
+    val exact = CorpusOverlap.sourceOverlap(docs, "text", "source", 3)
+      .select("jaccard_micro").as[Long].collect().head
+    val est = CorpusOverlap.sourceOverlapEstimate(docs, "text", "source", 3, 128)
+      .select("est_micro").as[Long].collect().head
+    assert(math.abs(est - exact) <= 250000L,
+      s"estimate $est vs exact $exact out of bound")
+  }
 }
