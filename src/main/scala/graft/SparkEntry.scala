@@ -2018,6 +2018,27 @@ object SparkEntry {
             <= 250000).as("est_ok"))
         .orderBy(col("grp_a"), col("grp_b"))
     }),
+    "q126_markov_transitions" -> ((s, d) =>
+      // §2.11 behavioral transition matrix: per-user next-event pairs
+      // on the total (ts, event_id) order, (src,dst)-grain counts,
+      // row-conditional probabilities on the exact micro grid. One
+      // user-key shuffle; the src-grain totals broadcast.
+      graft.ops.Markov.transitionMatrix(
+          events(s, d), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("src"), col("dst"))),
+    "q127_hashed_classifier" -> ((s, d) =>
+      // §2.11 fastText-style hashed linear scorer: md5 feature buckets
+      // + hash-derived micro weights folded per row — model application
+      // at pure scan cost, zero shuffles, one codegen stage.
+      graft.ops.HashedClassifier.score(documents(s, d), "text", "doc_id")
+        .orderBy(col("id"))),
+    "q128_token_budget" -> ((s, d) =>
+      // §2.11 per-source token-budget cap: longest-first prefix under
+      // an 800-token budget per source; every doc ships its running
+      // total and the kept/dropped decision.
+      graft.ops.BudgetCap.tokenBudgetCap(
+          documents(s, d), "text", "doc_id", "source", 800L)
+        .orderBy(col("grp"), col("id"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3508,5 +3529,55 @@ Hosts: %s
          FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp
          LEFT JOIN c ON c.grp_a = sa.grp AND c.grp_b = sb.grp
          ORDER BY grp_a, grp_b""",
+    // q126: identical (ts, event_id) total order inside each user, so
+    // lead() picks the same successor; counts are integers and the
+    // conditional probability floor-divides on the micro grid (`//` is
+    // truncating in both engines; operands non-negative here anyway).
+    "q126_markov_transitions" ->
+      """WITH t AS (SELECT user_id, event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS dst FROM events),
+         c AS (SELECT src, dst, count(*) AS n FROM t
+           WHERE dst IS NOT NULL GROUP BY src, dst),
+         tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src
+           FROM c GROUP BY src)
+         SELECT c.src, c.dst, c.n, tot.n_src,
+           CAST((1000000 * c.n) // tot.n_src AS BIGINT) AS p_micro
+         FROM c JOIN tot USING (src) ORDER BY src, dst""",
+    // q127: DuckDB recomputes the md5 bucket and the md5 weight per
+    // token (same 15-hex-digit 60-bit integers), folds with list_sum,
+    // and divides on the same truncating integer grid. Both engines'
+    // `%` agrees because every operand is non-negative until the final
+    // weight centering.
+    "q127_hashed_classifier" ->
+      """WITH toks AS (SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         w AS (SELECT id, len(t) AS n_tokens,
+           COALESCE(list_sum(list_transform(t, tk ->
+             (('0x' || substr(md5('hc1' || CAST(
+                 (('0x' || substr(md5(tk), 1, 15))::BIGINT % 4096)
+                 AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000)), 0)
+             AS w_total FROM toks)
+         SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE w_total // n_tokens END AS BIGINT) AS score_micro,
+           (CASE WHEN n_tokens = 0 THEN 0
+                ELSE w_total // n_tokens END) >= 0 AS label
+         FROM w ORDER BY id""",
+    // q128: same tokenizer, same (n_tokens DESC, id) total order, and
+    // an EXPLICIT ROWS frame on both sides (the default RANGE frame
+    // would merge ties and change the boundary).
+    "q128_token_budget" ->
+      """WITH t AS (SELECT source AS grp, doc_id AS id,
+           len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x <> '')) AS n_tokens FROM documents),
+         c AS (SELECT grp, id, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY grp
+             ORDER BY n_tokens DESC, id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens FROM t)
+         SELECT grp, id, n_tokens, cum_tokens, cum_tokens <= 800 AS kept
+         FROM c ORDER BY grp, id""",
   )
 }

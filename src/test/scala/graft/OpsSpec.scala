@@ -1437,4 +1437,72 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(est - exact) <= 250000L,
       s"estimate $est vs exact $exact out of bound")
   }
+
+  test("markov transition matrix matches brute sequence walk") {
+    import graft.ops.Markov
+    // Two users; u1 has an equal-timestamp tie broken by event_id.
+    val rows = Seq(
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"),
+      (1L, 20L, 102L, "view"), (1L, 30L, 103L, "buy"),
+      (2L, 5L, 104L, "view"), (2L, 6L, 105L, "view"),
+      (2L, 7L, 106L, "click"))
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Markov.transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val brute = rows.groupBy(_._1).values.flatMap { evs =>
+      evs.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+        case Seq(a, b) => (a, b)
+      }
+    }.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val totals = brute.groupBy(_._1._1).map { case (s, m) => (s, m.values.sum) }
+    val expect = brute.map { case ((s, t), n) =>
+      (s, t, n, totals(s), 1000000L * n / totals(s))
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("hashed classifier: scan-only scoring matches a JVM md5 recompute; empty doc scores 0") {
+    import graft.ops.HashedClassifier
+    val docs = Seq((1L, "spark joins hash tables fast"), (2L, ""),
+      (3L, "spark joins hash tables fast"), (4L, "one"))
+      .toDF("doc_id", "text")
+    val got = HashedClassifier.score(docs, "text", "doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def score(text: String): Long = {
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) 0L
+      else toks.map(t => h60("hc1" + (h60(t) % 4096)) % 2000001L - 1000000L)
+        .sum / toks.length
+    }
+    for ((id, n, s, lbl) <- got) {
+      val text = Seq("spark joins hash tables fast", "",
+        "spark joins hash tables fast", "one")(id.toInt - 1)
+      assert(s == score(text), s"doc $id")
+      assert(lbl == (s >= 0) && n == text.split("\\s+").count(_.nonEmpty))
+    }
+    // Identical texts score identically (pure function of content).
+    assert(got(0)._3 == got(2)._3)
+  }
+
+  test("token budget cap keeps exactly the longest-first prefix within budget") {
+    import graft.ops.BudgetCap
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      ("a", 1L, words(5)), ("a", 2L, words(9)), ("a", 3L, words(9)),
+      ("a", 4L, words(4)), ("b", 5L, words(2)))
+      .toDF("source", "doc_id", "text")
+    val got = BudgetCap.tokenBudgetCap(df, "text", "doc_id", "source", 20L)
+      .as[(String, Long, Int, Long, Boolean)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // Priority in 'a': id2(9), id3(9), id1(5), id4(4) -> cum 9,18,23,27:
+    // only the two 9-token docs fit the 20-token budget.
+    assert(got == Seq(
+      ("a", 1L, 5, 23L, false), ("a", 2L, 9, 9L, true),
+      ("a", 3L, 9, 18L, true), ("a", 4L, 4, 27L, false),
+      ("b", 5L, 2, 2L, true)))
+  }
 }

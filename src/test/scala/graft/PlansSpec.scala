@@ -602,4 +602,30 @@ class PlansSpec extends SparkSpec {
       s"expected >=4 cached edge-list scans (3 iterations + nodes/deg), got ${scans.size}:\n$plan")
     graft.core.Caches.releaseAll()
   }
+
+  test("hashed classifier: zero shuffles — scoring is one map stage over the scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Seq((1L, "spark joins hash"), (2L, "fast scans"))
+      .toDF("doc_id", "text")
+    val df = graft.ops.HashedClassifier.score(docs, "text", "doc_id")
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"model application must not exchange:\n$plan")
+  }
+
+  test("markov matrix: one user-key shuffle for the sequence window; src totals broadcast") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val df = graft.ops.Markov.transitionMatrix(
+      ev, "user_id", "ts", "event_type", "event_id")
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"src-grain totals must broadcast back onto the matrix:\n$plan")
+    // Exactly two exchanges below the join: the user-key window sort and
+    // the (src,dst) aggregation — the totals side reuses the aggregated
+    // matrix, never a second fact-grain shuffle of the events.
+    val ex = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(ex.size <= 3, s"expected <=3 exchanges (window, agg, agg):\n$plan")
+  }
 }
