@@ -2039,6 +2039,42 @@ object SparkEntry {
       graft.ops.BudgetCap.tokenBudgetCap(
           documents(s, d), "text", "doc_id", "source", 800L)
         .orderBy(col("grp"), col("id"))),
+    "q129_quantile_sketch" -> ((s, d) =>
+      // §2.11 mergeable quantile sketch envelope: constant-size GK
+      // summaries per group (the distributed-percentile path at scale)
+      // with the rank-error guarantee pinned as booleans; exact
+      // p50/p90 ride along as the full-value mirror.
+      graft.ops.Sketches.quantileSketchBound(events(s, d), "event_type", "value")
+        .orderBy(col("grp"))),
+    "q130_bottomk_sample" -> ((s, d) =>
+      // §2.11 mergeable bottom-k uniform sample: md5-draw bottom-k is
+      // a sketch of the key set (per-shard samples union losslessly);
+      // plans as TakeOrderedAndProject — per-partition heaps, no
+      // global sort.
+      graft.ops.Sampling.bottomKSample(
+          documents(s, d).select(col("doc_id")), col("doc_id"), 100, "bk1")
+        .orderBy(col("draw"), col("doc_id"))),
+    "q131_entity_resolution" -> ((s, d) => {
+      // §2.11 blocked record linkage: a deterministic dirty mirror
+      // (every 7th customer re-spelled with a trailing-char typo) is
+      // resolved against the originals — blocking on (nation, 6-digit
+      // name prefix) keeps blocks ~corpus/150k-sized, levenshtein runs
+      // only in-block, and the integer Fellegi-Sunter-style score
+      // decides at 0.8: name-edit similarity alone can't match, name +
+      // exact-balance agreement can.
+      val c = customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val dirty = c.where(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          concat(substring(col("c_name"), 1, 17), lit("x")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val recs = c.unionByName(dirty)
+        .withColumn("name_blk", substring(col("c_name"), 10, 6))
+      graft.ops.EntityResolution.resolve(
+          recs, "c_custkey", "c_name", Seq("c_nationkey", "name_blk"),
+          "c_acctbal", "c_mktsegment", maxLev = 1, thresholdMicro = 800000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3579,5 +3615,50 @@ Hosts: %s
              AS cum_tokens FROM t)
          SELECT grp, id, n_tokens, cum_tokens, cum_tokens <= 800 AS kept
          FROM c ORDER BY grp, id""",
+    // q129: the exact side mirrors in full (quantile_cont == Spark's
+    // interpolated percentile, the q57-pinned identity); the sketched
+    // values are partition-layout-dependent GK merges, so their
+    // rank-error guarantee rides as booleans the oracle pins TRUE —
+    // the q125 envelope discipline.
+    "q129_quantile_sketch" ->
+      """SELECT event_type AS grp, count(*) AS n,
+         round(quantile_cont(value, 0.5), 4) AS p50_exact,
+         round(quantile_cont(value, 0.9), 4) AS p90_exact,
+         TRUE AS sketch_ok50, TRUE AS sketch_ok90
+         FROM events GROUP BY event_type ORDER BY grp""",
+    // q130: the draw is pure md5 — DuckDB recomputes the identical
+    // bottom-k (hex draws sort identically as strings; doc_id breaks
+    // would-be ties).
+    "q130_bottomk_sample" ->
+      """SELECT doc_id, substr(md5('bk1' || CAST(doc_id AS VARCHAR)), 1, 16)
+           AS draw
+         FROM documents ORDER BY draw, doc_id LIMIT 100""",
+    // q131: same dirty-mirror derivation, same block key, levenshtein
+    // only in-block, same truncating integer score grid.
+    "q131_entity_resolution" ->
+      """WITH recs AS (
+           SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer
+           UNION ALL
+           SELECT c_custkey + 10000000, substr(c_name, 1, 17) || 'x',
+             c_nationkey, c_acctbal, c_mktsegment
+           FROM customer WHERE c_custkey % 7 = 0),
+         r AS (SELECT *, substr(c_name, 10, 6) AS name_blk FROM recs),
+         cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             levenshtein(a.c_name, b.c_name) AS lev,
+             greatest(len(a.c_name), len(b.c_name)) AS maxlen,
+             CASE WHEN a.c_acctbal = b.c_acctbal THEN 250000 ELSE 0 END
+               + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 150000
+                 ELSE 0 END AS agree
+           FROM r a JOIN r b
+             ON a.c_nationkey = b.c_nationkey AND a.name_blk = b.name_blk
+             AND a.c_custkey < b.c_custkey
+           WHERE levenshtein(a.c_name, b.c_name) <= 1),
+         sc AS (SELECT id_a, id_b, lev,
+             (600000 * (maxlen - lev)) // maxlen + agree AS score_micro
+           FROM cand)
+         SELECT id_a, id_b, lev, CAST(score_micro AS BIGINT) AS score_micro,
+           score_micro >= 800000 AS matched
+         FROM sc ORDER BY id_a, id_b""",
   )
 }

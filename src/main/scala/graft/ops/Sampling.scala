@@ -312,4 +312,24 @@ object Sampling {
           .cast("long"))
       .drop("__key")
   }
+
+  /** MERGEABLE deterministic uniform k-sample: the k keys with the
+    * smallest md5 draws (bottom-k sketch; Cohen & Kaplan 2007). The
+    * draw is a pure function of (salt, key), so the sample is a
+    * SKETCH of the key set itself: bottom-k(A ∪ B) =
+    * bottom-k(bottom-k(A) ∪ bottom-k(B)) — per-shard/per-day samples
+    * union into the corpus sample with no rescan, the property that
+    * makes a rolling corpus sample maintainable incrementally at
+    * 100 TB (OpsSpec pins the merge identity). Plans as
+    * TakeOrderedAndProject: per-partition k-heaps, driver merges
+    * k × partitions rows, no global sort. Output: the input row +
+    * `draw` (hex, the portable sort key).
+    */
+  def bottomKSample(df: DataFrame, key: Column, k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    df.withColumn("draw", substring(
+        md5(concat(lit(salt), key.cast("string"))), 1, 16))
+      .orderBy(col("draw"), key)
+      .limit(k)
+  }
 }

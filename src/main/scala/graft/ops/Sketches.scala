@@ -91,4 +91,48 @@ object Sketches {
       .join(processed.select(keyCol), Seq(keyCol), "left_anti")
     definitelyNew.unionByName(candidates)
   }
+
+  /** Mergeable quantile-sketch envelope (the distributed-percentile
+    * path at 100 TB: exact interpolated percentiles need every group's
+    * full value set in one place, while `approx_percentile`'s
+    * Greenwald–Khanna summaries are CONSTANT-size per group and merge
+    * across partitions/shards — the map-side-combinable shape; bound
+    * per Greenwald & Khanna, SIGMOD'01). Per group this emits the row
+    * count, the EXACT p50/p90 (what the oracle mirrors via
+    * quantile_cont), and one boolean per target percentile pinning the
+    * sketch's guarantee: the true rank of the sketched value lies
+    * within ε·n (+1 interpolation slack) of the target rank. The
+    * sketched values themselves are partition-layout-dependent (any
+    * merge order is valid GK), so the BOUND is the portable claim —
+    * same envelope discipline as the ANN/overlap-sketch rows.
+    *
+    * Scale shape: one group-grain aggregation carrying constant-size
+    * sketch + exact-percentile buffers, then one re-scan with the
+    * tiny per-group thresholds broadcast back for the rank counts —
+    * two passes, all map-side combinable, no row-grain shuffle.
+    */
+  def quantileSketchBound(
+      df: DataFrame,
+      grpCol: String,
+      valCol: String,
+      accuracy: Int = 1000): DataFrame = {
+    val stats = df.groupBy(col(grpCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        round(expr(s"percentile($valCol, 0.5)"), 4).as("p50_exact"),
+        round(expr(s"percentile($valCol, 0.9)"), 4).as("p90_exact"),
+        expr(s"approx_percentile($valCol, 0.5, $accuracy)").as("a50"),
+        expr(s"approx_percentile($valCol, 0.9, $accuracy)").as("a90"))
+    val ranks = df
+      .join(broadcast(stats), col(grpCol) === col("grp"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col(valCol) <= col("a50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col(valCol) <= col("a90"), 1L).otherwise(0L)).as("r90"))
+    def ok(r: Column, p: Double): Column = {
+      val slack = ceil(col("n").cast("double") / lit(accuracy.toDouble)) + lit(1.0)
+      abs(r.cast("double") - lit(p) * col("n").cast("double")) <= slack
+    }
+    stats.join(ranks, "grp")
+      .select(col("grp"), col("n"), col("p50_exact"), col("p90_exact"),
+        ok(col("r50"), 0.5).as("sketch_ok50"), ok(col("r90"), 0.9).as("sketch_ok90"))
+  }
 }

@@ -1488,6 +1488,59 @@ class OpsSpec extends SparkSpec {
     assert(got(0)._3 == got(2)._3)
   }
 
+  test("quantile sketch bound: exact percentiles right, GK rank guarantee holds") {
+    import graft.ops.Sketches
+    val rows = (1 to 101).map(i => ("a", i.toDouble)) ++
+      (1 to 11).map(i => ("b", i * 10.0))
+    val df = rows.toDF("g", "v").repartition(7)
+    val got = Sketches.quantileSketchBound(df, "g", "v", accuracy = 100)
+      .as[(String, Long, Double, Double, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    // 1..101: p50 = 51 exactly, p90 = 91 exactly (interpolation lands
+    // on integers); 10..110 by 10: p50 = 60, p90 = 100.
+    assert(got == Seq(("a", 101L, 51.0, 91.0, true, true),
+      ("b", 11L, 60.0, 100.0, true, true)))
+  }
+
+  test("bottom-k sample is a mergeable sketch: bottom-k of shards unions into bottom-k of whole") {
+    import graft.ops.Sampling
+    val ids = (1L to 400L).toDF("doc_id")
+    val whole = Sampling.bottomKSample(ids, col("doc_id"), 25, "bk1")
+      .as[(Long, String)].collect().toSeq
+    val shard1 = Sampling.bottomKSample(
+      ids.where(col("doc_id") <= 200), col("doc_id"), 25, "bk1")
+    val shard2 = Sampling.bottomKSample(
+      ids.where(col("doc_id") > 200), col("doc_id"), 25, "bk1")
+    val merged = Sampling.bottomKSample(
+      shard1.select("doc_id").union(shard2.select("doc_id")),
+      col("doc_id"), 25, "bk1").as[(Long, String)].collect().toSeq
+    assert(merged.sortBy(_._2) == whole.sortBy(_._2))
+    assert(whole.map(_._2) == whole.map(_._2).sorted && whole.size == 25)
+  }
+
+  test("entity resolution: planted typo resolves, digit-neighbor without balance agreement does not") {
+    import graft.ops.EntityResolution
+    val recs = Seq(
+      // 1 and its dirty copy 101: trailing-char typo, same balance+segment.
+      (1L, "Customer#000000001", 3L, 711.56, "BUILDING"),
+      (101L, "Customer#00000000x", 3L, 711.56, "BUILDING"),
+      // 2 is 1's digit-neighbor (lev 1) but different balance/segment.
+      (2L, "Customer#000000002", 3L, 121.65, "AUTOMOBILE"),
+      // 3 shares 1's balance but is in another block (nation).
+      (3L, "Customer#000000003", 7L, 711.56, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("name_blk", substring(col("c_name"), 10, 6))
+    val got = EntityResolution.resolve(recs, "c_custkey", "c_name",
+        Seq("c_nationkey", "name_blk"), "c_acctbal", "c_mktsegment",
+        maxLev = 1, thresholdMicro = 800000L)
+      .as[(Long, Long, Int, Long, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // nameSim for lev=1/len=18 pairs: 600000*17/18 = 566666.
+    assert(got == Seq(
+      (1L, 2L, 1, 566666L + 0L, false),
+      (1L, 101L, 1, 566666L + 250000L + 150000L, true),
+      (2L, 101L, 1, 566666L, false)))
+  }
+
   test("token budget cap keeps exactly the longest-first prefix within budget") {
     import graft.ops.BudgetCap
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")

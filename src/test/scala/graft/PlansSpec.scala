@@ -613,6 +613,17 @@ class PlansSpec extends SparkSpec {
       s"model application must not exchange:\n$plan")
   }
 
+  test("bottom-k sample: TakeOrderedAndProject (per-partition heaps), no global sort") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    val ids = (1L to 100L).toDF("doc_id")
+    val df = graft.ops.Sampling.bottomKSample(ids, col("doc_id"), 10, "bk1")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      s"bottom-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"no global sort for a k-sample:\n$plan")
+  }
+
   test("markov matrix: one user-key shuffle for the sequence window; src totals broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
