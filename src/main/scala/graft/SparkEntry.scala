@@ -3633,8 +3633,9 @@ Hosts: %s
       """SELECT doc_id, substr(md5('bk1' || CAST(doc_id AS VARCHAR)), 1, 16)
            AS draw
          FROM documents ORDER BY draw, doc_id LIMIT 100""",
-    // q131: same dirty-mirror derivation, same block key, levenshtein
-    // only in-block, same truncating integer score grid.
+    // q131: same dirty-mirror derivation, same DISTINCT-RECORD
+    // collapse (min-id representative + count), same block key,
+    // levenshtein only in-block, same truncating integer score grid.
     "q131_entity_resolution" ->
       """WITH recs AS (
            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
@@ -3643,22 +3644,29 @@ Hosts: %s
            SELECT c_custkey + 10000000, substr(c_name, 1, 17) || 'x',
              c_nationkey, c_acctbal, c_mktsegment
            FROM customer WHERE c_custkey % 7 = 0),
-         r AS (SELECT *, substr(c_name, 10, 6) AS name_blk FROM recs),
-         cand AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         r AS (SELECT c_name, c_acctbal, c_mktsegment, c_nationkey,
+             substr(c_name, 10, 6) AS name_blk,
+             min(c_custkey) AS id, count(*) AS n
+           FROM recs
+           GROUP BY c_name, c_acctbal, c_mktsegment, c_nationkey,
+             substr(c_name, 10, 6)),
+         cand AS (SELECT a.id AS id_a, b.id AS id_b,
              levenshtein(a.c_name, b.c_name) AS lev,
              greatest(len(a.c_name), len(b.c_name)) AS maxlen,
              CASE WHEN a.c_acctbal = b.c_acctbal THEN 250000 ELSE 0 END
                + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 150000
-                 ELSE 0 END AS agree
+                 ELSE 0 END AS agree,
+             a.n AS n_a, b.n AS n_b
            FROM r a JOIN r b
              ON a.c_nationkey = b.c_nationkey AND a.name_blk = b.name_blk
-             AND a.c_custkey < b.c_custkey
+             AND a.id < b.id
            WHERE levenshtein(a.c_name, b.c_name) <= 1),
-         sc AS (SELECT id_a, id_b, lev,
+         sc AS (SELECT id_a, id_b, lev, n_a, n_b,
              (600000 * (maxlen - lev)) // maxlen + agree AS score_micro
            FROM cand)
          SELECT id_a, id_b, lev, CAST(score_micro AS BIGINT) AS score_micro,
-           score_micro >= 800000 AS matched
+           score_micro >= 800000 AS matched,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
          FROM sc ORDER BY id_a, id_b""",
   )
 }

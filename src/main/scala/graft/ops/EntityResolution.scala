@@ -37,10 +37,20 @@ object EntityResolution {
     * segment)`: block on `blockCols`, score name edit-similarity
     * (600k × (1 − lev/maxlen) on the micro grid) + exact-balance
     * agreement (250k) + segment agreement (150k), decide at
-    * `thresholdMicro`. Emits every in-block candidate pair with
-    * `lev <= maxLev` (the verify-stage survivors), matched flag set by
-    * the score — downstream feeds matched pairs to the CC closure
-    * ([[Components]]) for transitive entity groups.
+    * `thresholdMicro`. Emits every in-block DISTINCT-RECORD candidate
+    * pair with `lev <= maxLev` (the verify-stage survivors), matched
+    * flag set by the score — downstream feeds matched pairs to the CC
+    * closure ([[Components]]) for transitive entity groups.
+    *
+    * Runs at DISTINCT-RECORD grain — the [[EditDistanceJoin]] exact-
+    * dedup-first discipline: records identical in every match field
+    * collapse to (min-id representative, count) BEFORE pairing, so a
+    * record duplicated d-deep (re-ingested crawls, replicated CRM
+    * rows) costs d ONCE in the count instead of d² in the pair join
+    * (measured: row grain went >10 min at 100-deep replication where
+    * distinct grain stays block-bounded). `n_a`/`n_b` carry the
+    * collapse multiplicity; identical-record "matches" are the
+    * diagonal the counts already encode, not emitted pairs.
     */
   def resolve(
       records: DataFrame,
@@ -51,13 +61,17 @@ object EntityResolution {
       segmentCol: String,
       maxLev: Int = 1,
       thresholdMicro: Long = 700000L): DataFrame = {
-    val a = records.select(
-      (Seq(col(idCol).as("id_a"), col(nameCol).as("name_a"),
-        col(balanceCol).as("bal_a"), col(segmentCol).as("seg_a")) ++
+    val g = records
+      .groupBy((col(nameCol).as("name") +: col(balanceCol).as("bal") +:
+        col(segmentCol).as("seg") +: blockCols.map(c => col(c))): _*)
+      .agg(min(col(idCol)).as("id"), count(lit(1)).as("n"))
+    val a = g.select(
+      (Seq(col("id").as("id_a"), col("name").as("name_a"),
+        col("bal").as("bal_a"), col("seg").as("seg_a"), col("n").as("n_a")) ++
         blockCols.map(c => col(c))): _*)
-    val b = records.select(
-      (Seq(col(idCol).as("id_b"), col(nameCol).as("name_b"),
-        col(balanceCol).as("bal_b"), col(segmentCol).as("seg_b")) ++
+    val b = g.select(
+      (Seq(col("id").as("id_b"), col("name").as("name_b"),
+        col("bal").as("bal_b"), col("seg").as("seg_b"), col("n").as("n_b")) ++
         blockCols.map(c => col(c))): _*)
     val lev = levenshtein(col("name_a"), col("name_b"))
     val maxLen = greatest(length(col("name_a")), length(col("name_b")))
@@ -71,6 +85,7 @@ object EntityResolution {
       .where(lev <= maxLev)
       .select(col("id_a"), col("id_b"), lev.as("lev"),
         score.as("score_micro"),
-        (score >= thresholdMicro).as("matched"))
+        (score >= thresholdMicro).as("matched"),
+        col("n_a"), col("n_b"))
   }
 }

@@ -1533,12 +1533,32 @@ class OpsSpec extends SparkSpec {
     val got = EntityResolution.resolve(recs, "c_custkey", "c_name",
         Seq("c_nationkey", "name_blk"), "c_acctbal", "c_mktsegment",
         maxLev = 1, thresholdMicro = 800000L)
-      .as[(Long, Long, Int, Long, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+      .as[(Long, Long, Int, Long, Boolean, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
     // nameSim for lev=1/len=18 pairs: 600000*17/18 = 566666.
     assert(got == Seq(
-      (1L, 2L, 1, 566666L + 0L, false),
-      (1L, 101L, 1, 566666L + 250000L + 150000L, true),
-      (2L, 101L, 1, 566666L, false)))
+      (1L, 2L, 1, 566666L + 0L, false, 1L, 1L),
+      (1L, 101L, 1, 566666L + 250000L + 150000L, true, 1L, 1L),
+      (2L, 101L, 1, 566666L, false, 1L, 1L)))
+  }
+
+  test("entity resolution collapses exact-duplicate records before pairing") {
+    import graft.ops.EntityResolution
+    // Record 1 replicated 3-deep (same every field, distinct ids) plus
+    // its typo'd copy: pairing runs at distinct grain — ONE pair, with
+    // the replication depth in n_a.
+    val recs = Seq(
+      (1L, "Customer#000000001", 3L, 711.56, "BUILDING"),
+      (11L, "Customer#000000001", 3L, 711.56, "BUILDING"),
+      (12L, "Customer#000000001", 3L, 711.56, "BUILDING"),
+      (101L, "Customer#00000000x", 3L, 711.56, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .withColumn("name_blk", substring(col("c_name"), 10, 6))
+    val got = EntityResolution.resolve(recs, "c_custkey", "c_name",
+        Seq("c_nationkey", "name_blk"), "c_acctbal", "c_mktsegment",
+        maxLev = 1, thresholdMicro = 800000L)
+      .as[(Long, Long, Int, Long, Boolean, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 101L, 1, 966666L, true, 3L, 1L)))
   }
 
   test("token budget cap keeps exactly the longest-first prefix within budget") {
