@@ -2075,6 +2075,20 @@ object SparkEntry {
           "c_acctbal", "c_mktsegment", maxLev = 1, thresholdMicro = 800000L)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q132_dedup_cascade" -> ((s, d) => {
+      // §2.11 staged dedup cascade over a corpus with planted exact
+      // replicas (every 9th doc duplicated at id+100000): exact stage
+      // first (one text-key shuffle), Jaccard near-dup ONLY over the
+      // exact-distinct survivors — similarity cost bounded by distinct
+      // content, immune to replication depth. Per-doc removal-stage
+      // audit trail out.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val reps = docs0.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      graft.ops.DedupCascade.cascade(
+          docs0.unionByName(reps), "text", "doc_id", 0.8, 3)
+        .orderBy(col("id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3668,5 +3682,28 @@ Hosts: %s
            score_micro >= 800000 AS matched,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
          FROM sc ORDER BY id_a, id_b""",
+    // q132: same replica derivation, same pair-dominance removal rule
+    // (min id per text; then lower-id Jaccard >= 0.8 partner among
+    // exact survivors — the q84 trigram spelling, empty sets excluded
+    // via the NULLIF guard).
+    "q132_dedup_cascade" ->
+      """WITH base AS (SELECT doc_id AS id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0),
+         ex AS (SELECT id, text,
+             min(id) OVER (PARTITION BY text) AS keep_id FROM base),
+         surv AS (SELECT id, text FROM ex WHERE id = keep_id),
+         toks AS (SELECT id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM surv),
+         sh AS (SELECT id,
+             list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
+         p AS (SELECT DISTINCT b.id AS id
+           FROM sh a JOIN sh b ON a.id < b.id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+             / NULLIF(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.8)
+         SELECT e.id, CASE WHEN e.id <> e.keep_id THEN 'exact'
+           WHEN p.id IS NOT NULL THEN 'near' ELSE 'kept' END AS stage
+         FROM ex e LEFT JOIN p ON e.id = p.id ORDER BY e.id""",
   )
 }

@@ -1561,6 +1561,23 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 101L, 1, 966666L, true, 3L, 1L)))
   }
 
+  test("dedup cascade: exact removals shield near stage; pair dominance by id") {
+    import graft.ops.DedupCascade
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val aNear = a.replace("today", "tonight") // J >= 0.8 vs a
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, aNear), (4L, aNear),
+      (5L, "completely different content about spark shuffles and joins working"))
+      .toDF("doc_id", "text")
+    val got = DedupCascade.cascade(docs, "text", "doc_id", 0.8, 3)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // 2 and 4 fall to the exact stage (lower-id identical text); 3
+    // survives exact but loses to 1 at the near stage; 1 and 5 keep.
+    assert(got == Seq((1L, "kept"), (2L, "exact"), (3L, "near"),
+      (4L, "exact"), (5L, "kept")))
+    graft.core.Caches.releaseAll()
+  }
+
   test("token budget cap keeps exactly the longest-first prefix within budget") {
     import graft.ops.BudgetCap
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")

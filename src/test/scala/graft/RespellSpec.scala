@@ -81,7 +81,12 @@ class RespellSpec extends SparkSpec {
     "q28_cosine_topk", "q89_embedding_quantization", "q116_jl_projection",
     "q97_interval_join", "q108_decayed_score", "q112_zscore_outliers",
     "q117_snapshot_diff", "q118_retrieval_metrics",
-    "q119_semantic_decontamination", "q120_tfidf_keywords")
+    "q119_semantic_decontamination", "q120_tfidf_keywords",
+    // session-4 family: NTZ window ordering (q126), NTZ + double
+    // percentile grid (q129), int32 doc ids through the native hash
+    // expression / window cumsum / bottom-k draw (q127/q128/q130)
+    "q126_markov_transitions", "q129_quantile_sketch",
+    "q127_hashed_classifier", "q128_token_budget", "q130_bottomk_sample")
 
   for (q <- queries)
     test(s"$q is invariant under the respelled parquet schema") {
