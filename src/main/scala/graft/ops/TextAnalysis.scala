@@ -160,7 +160,15 @@ object TextAnalysis {
     * loop, the upgrade is a one-pass native expression over a local
     * hash map (the [[ngramRepetition]] precedent).
     */
-  def tokenEntropyMicro(textCol: Column): Column = {
+  def tokenEntropyMicro(textCol: Column): Column =
+    Bridge.column(graft.functions.TokenEntropyExpr(Bridge.expression(textCol)))
+
+  /** The original HOF spelling of [[tokenEntropyMicro]] — O(distinct·n)
+    * interpreted lambdas per document (9.4 s warm at sf10m vs the
+    * native pass). Kept as the independent cross-check the
+    * FunctionsSpec equivalence pin runs against.
+    */
+  def tokenEntropyMicroHof(textCol: Column): Column = {
     val toks = filter(split(lower(trim(textCol)), "\\s+"), t => t =!= "")
     val n = size(toks)
     def microLn(c: Column): Column =

@@ -311,6 +311,23 @@ class FunctionsSpec extends SparkSpec {
     assert(epoch == naive.toEpochSecond(java.time.ZoneOffset.UTC))
   }
 
+  test("native token entropy == the HOF spelling on edge and random fixtures") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("a", "bb", "ccc", "spark", "join")
+    val texts = Seq("", " ", "one", "x x x x", "a b a b a b",
+      "  leading and trailing  ", "MiXeD CaSe MIXED case") ++
+      Seq.fill(30)(Seq.fill(rnd.nextInt(25))(
+        words(rnd.nextInt(words.size))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.ops.TextAnalysis.tokenEntropyMicro(col("text")).as("native"),
+        graft.ops.TextAnalysis.tokenEntropyMicroHof(col("text")).as("hof"))
+      .as[(Long, Long, Long)].collect()
+    for ((id, nat, hof) <- got)
+      assert(nat == hof, s"entropy mismatch on fixture $id: $nat vs $hof")
+  }
+
   test("custom expressions reject wrong input types at analysis time") {
     GraftFunctions.register(spark)
     val e = intercept[org.apache.spark.sql.AnalysisException] {

@@ -185,6 +185,45 @@ class PropertySpec extends SparkSpec {
 
   // ---- Session-2 ops: results are partition-layout invariant --------
 
+  test("markov / budget cap / bottom-k / cascade / entity resolution are slicing-independent") {
+    val rnd = new Random(91)
+    val types = Seq("view", "click", "buy", "share")
+    val ev = Seq.tabulate(500)(i =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(200).toLong, i.toLong,
+        types(rnd.nextInt(4))))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val words = Seq("spark", "join", "hash", "scan", "merge", "sort", "agg")
+    def text(): String =
+      Seq.fill(rnd.nextInt(20) + 3)(words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"src${i % 4}", text())).toDF("doc_id", "source", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val expectM = canon(graft.ops.Markov.transitionMatrix(
+      ev, "user_id", "ts", "event_type", "event_id"))
+    val expectB = canon(graft.ops.BudgetCap.tokenBudgetCap(
+      docs, "text", "doc_id", "source", 150L))
+    val expectK = canon(graft.ops.Sampling.bottomKSample(
+      docs.select(col("doc_id")), col("doc_id"), 20, "pp"))
+    val expectC = canon(graft.ops.DedupCascade.cascade(docs, "text", "doc_id", 0.8, 3))
+    for (parts <- Seq(1, 3, 13)) {
+      val e = ev.repartition(parts)
+      val d = docs.repartition(parts)
+      assert(canon(graft.ops.Markov.transitionMatrix(
+        e, "user_id", "ts", "event_type", "event_id")) == expectM,
+        s"markov differs at $parts slices")
+      assert(canon(graft.ops.BudgetCap.tokenBudgetCap(
+        d, "text", "doc_id", "source", 150L)) == expectB,
+        s"budget cap differs at $parts slices")
+      assert(canon(graft.ops.Sampling.bottomKSample(
+        d.select(col("doc_id")), col("doc_id"), 20, "pp")) == expectK,
+        s"bottom-k differs at $parts slices")
+      assert(canon(graft.ops.DedupCascade.cascade(d, "text", "doc_id", 0.8, 3)) ==
+        expectC, s"cascade differs at $parts slices")
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("weighted sample / histogram / outliers / pagerank are slicing-independent") {
     val rnd = new Random(77)
     val docs = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(5000) + 1L))
