@@ -2089,6 +2089,35 @@ object SparkEntry {
           docs0.unionByName(reps), "text", "doc_id", 0.8, 3)
         .orderBy(col("id"))
     }),
+    "q133_score_calibration" -> ((s, d) => {
+      // §2.11 empirical-CDF score calibration: exact interpolated
+      // 5%-quantile boundaries derived once (constant-size), broadcast
+      // to a map-only bucket projection over the q127 scorer's output
+      // — "top X% of THIS corpus" instead of a raw score threshold.
+      val scored = graft.ops.HashedClassifier.score(documents(s, d), "text", "doc_id")
+        .select(col("id"), col("score_micro"))
+      graft.ops.Calibrate.scorePercentile(scored, "score_micro", "id", 20)
+        .orderBy(col("id"))
+    }),
+    "q134_incremental_cascade" -> ((s, d) => {
+      // §2.11 the daily-append form of q132: stage TODAY'S batch
+      // against the STANDING corpus only (semi-join exact stage,
+      // prefix-filtered R-S Jaccard near stage — never corpus
+      // self-join). The batch plants exact corpus replays (%11, at
+      // id+200000) and near-miss mutations (%13, one appended token,
+      // at id+300000) so both removal stages decide real rows.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs0.where(col("doc_id") % 5 =!= 0)
+      val fresh = docs0.where(col("doc_id") % 5 === 0)
+      val replay = corpus.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val nearMiss = corpus.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val batch = fresh.unionByName(replay).unionByName(nearMiss)
+      graft.ops.DedupCascade.cascadeAgainst(batch, corpus, "text", "doc_id", 0.8, 3)
+        .orderBy(col("id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3705,5 +3734,66 @@ Hosts: %s
          SELECT e.id, CASE WHEN e.id <> e.keep_id THEN 'exact'
            WHEN p.id IS NOT NULL THEN 'near' ELSE 'kept' END AS stage
          FROM ex e LEFT JOIN p ON e.id = p.id ORDER BY e.id""",
+    // q133: q127's score CTE verbatim, then quantile_cont boundaries
+    // (== Spark's interpolated percentile, the q57/q111 identity) and
+    // the same strict-less bucket count over the boundary list.
+    "q133_score_calibration" ->
+      """WITH toks AS (SELECT doc_id AS id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         w AS (SELECT id, len(t) AS n_tokens,
+           COALESCE(list_sum(list_transform(t, tk ->
+             (('0x' || substr(md5('hc1' || CAST(
+                 (('0x' || substr(md5(tk), 1, 15))::BIGINT % 4096)
+                 AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000)), 0)
+             AS w_total FROM toks),
+         sc AS (SELECT id, CAST(CASE WHEN n_tokens = 0 THEN 0
+             ELSE w_total // n_tokens END AS BIGINT) AS score FROM w),
+         b AS (SELECT quantile_cont(score,
+             [0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,0.5,
+              0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95]) AS bnds FROM sc)
+         SELECT sc.id, sc.score,
+           CAST(1 + len(list_filter(b.bnds, x -> x < sc.score)) AS BIGINT)
+             AS bucket
+         FROM sc CROSS JOIN b ORDER BY sc.id""",
+    // q134: same batch derivation (exact replays + one-token
+    // mutations), semi-join exact stage, all-pairs batch×corpus
+    // Jaccard (the form the prefix-filtered operator avoids), same
+    // trigram spelling and NULLIF empty-set guard as q132.
+    "q134_incremental_cascade" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 5 <> 0),
+         batch AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 200000, text FROM corpus WHERE doc_id % 11 = 0
+           UNION ALL
+           SELECT doc_id + 300000, text || ' zz' FROM corpus
+             WHERE doc_id % 13 = 0),
+         ex AS (SELECT doc_id FROM batch
+           WHERE text IN (SELECT text FROM corpus)),
+         bs AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+             FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex))),
+         cs AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+               i -> array_to_string(t[i:i+2], ' '))) AS sh
+           FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS t
+             FROM corpus)),
+         nr AS (SELECT DISTINCT b.doc_id FROM bs b JOIN cs c
+           ON len(list_intersect(b.sh, c.sh)) * 1.0
+             / NULLIF(len(list_distinct(list_concat(b.sh, c.sh))), 0) >= 0.8)
+         SELECT b.doc_id AS id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_corpus'
+                WHEN nr.doc_id IS NOT NULL THEN 'near_corpus'
+                ELSE 'kept' END AS stage
+         FROM batch b
+         LEFT JOIN ex ON b.doc_id = ex.doc_id
+         LEFT JOIN nr ON b.doc_id = nr.doc_id
+         ORDER BY id""",
   )
 }

@@ -56,4 +56,48 @@ object DedupCascade {
           .when(coalesce(col("removed_near"), lit(false)), lit("near"))
           .otherwise(lit("kept")).as("stage"))
   }
+
+  /** Incremental (R-S) form of [[cascade]] — the shape a pipeline runs
+    * on every append: stage TODAY'S batch against the STANDING corpus,
+    * never the corpus against itself. A batch document leaves as
+    * 'exact_corpus' (its text already exists in the corpus — left-semi
+    * on the content key, the cheap stage), else 'near_corpus' (shingle
+    * Jaccard >= threshold against some corpus document —
+    * [[Dedup.jaccardJoinAgainst]], prefix-filtered: the corpus side
+    * explodes only eps-guarded prefixes, no batch×corpus all-pairs),
+    * else 'kept'. In-batch duplicates are [[cascade]]'s job — run it
+    * on the batch first; the two compose into the daily-run discipline
+    * (batch self-dedup → batch-vs-corpus → append).
+    *
+    * Scale shape: the corpus-side token relation is a pure column
+    * derivation a deployment materializes once per corpus version;
+    * per-append cost is batch-sized joins against it.
+    */
+  def cascadeAgainst(
+      incoming: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val in = graft.core.Caches.persistTracked(
+      incoming.select(col(idCol).as("id"), col(textCol).as("text")))
+    val co = corpus.select(col(idCol).as("id"), col(textCol).as("text"))
+    val corpusTexts = co.select(col("text")).distinct()
+    val exactHit = in.join(corpusTexts, Seq("text"), "left_semi")
+      .select(col("id")).withColumn("removed_exact", lit(true))
+    val survivors = in.join(corpusTexts, Seq("text"), "left_anti")
+    val nearHit = Dedup.jaccardJoinAgainst(
+        survivors.select(col("id"), col("text")), co, textCol = "text",
+        idCol = "id", threshold, shingleN)
+      .select(col("id_in").as("id")).distinct()
+      .withColumn("removed_near", lit(true))
+    in.select(col("id"))
+      .join(exactHit, Seq("id"), "left_outer")
+      .join(nearHit, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(coalesce(col("removed_exact"), lit(false)), lit("exact_corpus"))
+          .when(coalesce(col("removed_near"), lit(false)), lit("near_corpus"))
+          .otherwise(lit("kept")).as("stage"))
+  }
 }

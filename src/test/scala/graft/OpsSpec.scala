@@ -1578,6 +1578,39 @@ class OpsSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("score calibration buckets against exact quantile boundaries") {
+    import graft.ops.Calibrate
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "s").repartition(5)
+    val got = Calibrate.scorePercentile(df, "s", "id", buckets = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // Boundaries over 1..100 at p=.25/.5/.75: 25.75, 50.5, 75.25 —
+    // bucket = 1 + #{boundaries strictly below the score}.
+    for ((id, s, b) <- got) {
+      val expect = 1 + Seq(25.75, 50.5, 75.25).count(_ < s)
+      assert(b == expect, s"score $s: bucket $b != $expect")
+    }
+    assert(got.map(_._3).distinct.sorted == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("incremental cascade stages a batch against the corpus only") {
+    import graft.ops.DedupCascade
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq((1L, a),
+      (2L, "completely different corpus content about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, a), // exact corpus replay
+      (11L, a.replace("today", "tonight")), // near vs corpus doc 1
+      (12L, "fresh unseen material with entirely new words in it"),
+      (13L, "fresh unseen material with entirely new words in it")) // in-batch dup: NOT this op's job
+      .toDF("doc_id", "text")
+    val got = DedupCascade.cascadeAgainst(batch, corpus, "text", "doc_id", 0.8, 3)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, "exact_corpus"), (11L, "near_corpus"),
+      (12L, "kept"), (13L, "kept")))
+    graft.core.Caches.releaseAll()
+  }
+
   test("token budget cap keeps exactly the longest-first prefix within budget") {
     import graft.ops.BudgetCap
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
