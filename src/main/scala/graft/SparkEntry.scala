@@ -2118,6 +2118,14 @@ object SparkEntry {
       graft.ops.DedupCascade.cascadeAgainst(batch, corpus, "text", "doc_id", 0.8, 3)
         .orderBy(col("id"))
     }),
+    "q135_centroid_drift" -> ((s, d) =>
+      // §2.11 embedding-space drift: per-label centroid mean shift
+      // between two corpus slices (vec_id%3 split), integer-exact L1
+      // and squared-L2 over grid-snapped per-dim means. The shuffle
+      // carries |labels|x64 partial sums per partition, never vectors.
+      graft.ops.CentroidDrift.centroidDrift(
+          embeddings(s, d), "embedding", "label", col("vec_id") % 3 =!= 0)
+        .orderBy(col("label"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3795,5 +3803,27 @@ Hosts: %s
          LEFT JOIN ex ON b.doc_id = ex.doc_id
          LEFT JOIN nr ON b.doc_id = nr.doc_id
          ORDER BY id""",
+    // q135: same 1e-6 grid snap (round_even on the float->double-exact
+    // promotion), same truncating per-dim mean, same integer L1/L2²;
+    // dims enumerated 0-based to match posexplode.
+    "q135_centroid_drift" ->
+      """WITH d AS (SELECT label, vec_id % 3 <> 0 AS is_old, i.dim AS dim,
+           CAST(round_even(CAST(embedding[i.dim + 1] AS DOUBLE) * 1000000, 0)
+             AS BIGINT) AS vm
+           FROM embeddings, generate_series(0, 63) AS i(dim)),
+         s AS (SELECT label, dim,
+             sum(CASE WHEN is_old THEN vm ELSE 0 END) AS s_old,
+             sum(CASE WHEN NOT is_old THEN vm ELSE 0 END) AS s_new,
+             sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_old,
+             sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS n_new
+           FROM d GROUP BY label, dim),
+         m AS (SELECT label, n_old, n_new,
+             (s_new // n_new) - (s_old // n_old) AS delta
+           FROM s WHERE n_old > 0 AND n_new > 0)
+         SELECT label, CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(abs(delta)) AS BIGINT) AS l1_drift_micro,
+           CAST(sum(delta * delta) AS BIGINT) AS l2sq_drift
+         FROM m GROUP BY label, n_old, n_new ORDER BY label""",
   )
 }

@@ -1611,6 +1611,24 @@ class OpsSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("centroid drift: exact per-dim mean shift; one-sided labels excluded") {
+    import graft.ops.CentroidDrift
+    val rows = Seq(
+      (1L, "a", Seq(1.0f, 0.0f)), (2L, "a", Seq(1.0f, 0.0f)), // old a
+      (3L, "a", Seq(0.5f, 0.25f)),                            // new a
+      (4L, "b", Seq(0.0f, 1.0f)), (5L, "b", Seq(0.0f, 1.0f)), // old b == new b
+      (6L, "b", Seq(0.0f, 1.0f)),
+      (7L, "c", Seq(0.9f, 0.9f)))                             // old only
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = CentroidDrift.centroidDrift(df, "embedding", "label",
+        col("vec_id") % 3 =!= 0)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // a: old mean (1e6, 0), new mean (5e5, 2.5e5) -> L1 750000,
+    // L2² 5e5² + 2.5e5² = 312500000000. b: zero drift. c: excluded.
+    assert(got == Seq(("a", 2L, 1L, 750000L, 312500000000L),
+      ("b", 2L, 1L, 0L, 0L)))
+  }
+
   test("token budget cap keeps exactly the longest-first prefix within budget") {
     import graft.ops.BudgetCap
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
