@@ -2126,6 +2126,13 @@ object SparkEntry {
       graft.ops.CentroidDrift.centroidDrift(
           embeddings(s, d), "embedding", "label", col("vec_id") % 3 =!= 0)
         .orderBy(col("label"))),
+    "q136_mad_outliers" -> ((s, d) =>
+      // §2.11 robust outlier gate: Hampel median/MAD rule on the
+      // doubled-median integer grid (2·dev2 > k·mad4 — no float
+      // crosses the engine boundary). Heavy-tail-safe complement of
+      // q112's z-score; same output contract.
+      graft.ops.Outliers.madOutliers(events(s, d), "event_type", "value", k = 5)
+        .orderBy(col("event_type"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3825,5 +3832,24 @@ Hosts: %s
            CAST(sum(abs(delta)) AS BIGINT) AS l1_drift_micro,
            CAST(sum(delta * delta) AS BIGINT) AS l2sq_drift
          FROM m GROUP BY label, n_old, n_new ORDER BY label""",
+    // q136: cents grid, doubled medians exact on the half-integer
+    // grid (quantile_cont == Spark percentile, the q57 identity; the
+    // *2 lands on whole doubles so the BIGINT cast is lossless in
+    // both engines), all-integer Hampel predicate.
+    "q136_mad_outliers" ->
+      """WITH v AS (SELECT event_type AS grp,
+           CAST(round_even(value * 100, 0) AS BIGINT) AS v FROM events),
+         med AS (SELECT grp, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT)
+             AS med2, count(*) AS n FROM v GROUP BY grp),
+         d AS (SELECT v.grp, v.v, abs(2 * v.v - med.med2) AS dev2, med.n
+           FROM v JOIN med USING (grp)),
+         mad AS (SELECT grp, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT)
+             AS mad4 FROM d GROUP BY grp)
+         SELECT d.grp AS event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN d.n >= 2 AND 2 * d.dev2 > 5 * mad.mad4
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           sum(CASE WHEN d.n >= 2 AND 2 * d.dev2 > 5 * mad.mad4
+             THEN d.v ELSE 0 END) / 100.0 AS outlier_sum
+         FROM d JOIN mad USING (grp) GROUP BY d.grp ORDER BY event_type""",
   )
 }

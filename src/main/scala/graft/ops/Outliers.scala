@@ -70,4 +70,51 @@ object Outliers {
         (sum(when(col("__out") === 1L, col("__v")).otherwise(0L))
           .cast("double") / lit(100.0)).as("outlier_sum"))
   }
+
+  /** Robust (median/MAD) outlier detection — the heavy-tail-safe
+    * complement of [[zscoreOutliers]]: mean/stddev are themselves
+    * dragged by the outliers they're meant to find; median and median
+    * absolute deviation have breakdown point 0.5 (Hampel's rule).
+    *
+    * Exactness trick: over the cents grid, every interpolated median
+    * lands on the half-integer grid (position frac is 0 or 0.5), so
+    * DOUBLED medians are exact int64 — `med2 = 2·median(v)`,
+    * `dev2 = |2v − med2|`, `mad4 = 2·median(dev2)` — and the Hampel
+    * predicate |v − med| > k·MAD becomes the all-integer
+    * `2·dev2 > k·mad4`. No float ever crosses an engine boundary.
+    *
+    * Scale shape: two group-grain aggregations (the exact-median
+    * buffers are value-grain — the cents grid bounds them; the GK
+    * sketch row is the 100 TB substitute) broadcast back over map-only
+    * flag passes; row-grain data is never shuffled.
+    *
+    * Output: (group, n_events, n_outliers, outlier_sum) — the
+    * [[zscoreOutliers]] contract, so consumers can swap gates.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val v100 = rint(col(valueCol) * 100).cast("long")
+    val vals = df.select(col(groupCol), v100.as("__v"))
+    val med = vals.groupBy(col(groupCol))
+      .agg((expr("percentile(__v, 0.5)") * 2).cast("long").as("__med2"),
+        count(lit(1)).as("__n"))
+    val withDev = vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev2", abs(lit(2L) * col("__v") - col("__med2")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg((expr("percentile(__dev2, 0.5)") * 2).cast("long").as("__mad4"))
+    val flag = col("__n") >= 2 &&
+      lit(2L) * col("__dev2") > lit(k.toLong) * col("__mad4")
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("__out", when(flag, 1L).otherwise(0L))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("__out")).as("n_outliers"),
+        (sum(when(col("__out") === 1L, col("__v")).otherwise(0L))
+          .cast("double") / lit(100.0)).as("outlier_sum"))
+  }
 }

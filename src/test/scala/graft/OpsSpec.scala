@@ -1629,6 +1629,19 @@ class OpsSpec extends SparkSpec {
       ("b", 2L, 1L, 0L, 0L)))
   }
 
+  test("MAD outliers: Hampel rule on the doubled-median grid; half-integer medians exact") {
+    import graft.ops.Outliers
+    val rows = Seq(
+      ("a", 0.01), ("a", 0.02), ("a", 0.03), ("a", 0.04), ("a", 1.00),
+      ("b", 0.01), ("b", 0.02)) // even count: median 1.5 cents
+    val df = rows.toDF("g", "v").repartition(3)
+    val got = Outliers.madOutliers(df, "g", "v", k = 5)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // a: med2=6, dev2=(4,2,0,2,194), mad4=4 -> only 194 flags (1.00).
+    // b: dev2=(1,1), mad4=2 -> 2*1 < 10, none flag.
+    assert(got == Seq(("a", 5L, 1L, 1.00), ("b", 2L, 0L, 0.0)))
+  }
+
   test("token budget cap keeps exactly the longest-first prefix within budget") {
     import graft.ops.BudgetCap
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
