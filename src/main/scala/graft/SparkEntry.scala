@@ -2133,6 +2133,40 @@ object SparkEntry {
       // q112's z-score; same output contract.
       graft.ops.Outliers.madOutliers(events(s, d), "event_type", "value", k = 5)
         .orderBy(col("event_type"))),
+    "q137_dq_report" -> ((s, d) => {
+      // §2.11 Deequ-style ingest gate: one row per constraint with the
+      // violation COUNT as metric (integer-exact). Orphans are
+      // anti-joins, uniqueness is key-grain aggregation, ranges are
+      // map-side conditional counts; the deliberately tight value<=100
+      // check exercises the red path.
+      import graft.ops.DataQuality._
+      val o = orders(s, d); val c = customer(s, d)
+      val l = lineitem(s, d); val e = events(s, d)
+      report(Seq(
+        orphanCount(o, "o_custkey", c, "c_custkey", "orders_customer_orphans"),
+        orphanCount(l, "l_orderkey", o, "o_orderkey", "lineitem_orders_orphans"),
+        duplicateKeyCount(o, Seq("o_orderkey"), "orders_pk_unique"),
+        duplicateKeyCount(l, Seq("l_orderkey", "l_linenumber"), "lineitem_pk_unique"),
+        nullCount(c, "c_name", "customer_name_complete"),
+        rangeViolations(l, "l_quantity", 1, 50, "lineitem_qty_range"),
+        rangeViolations(e, "value", 0, 500, "events_value_range"),
+        rangeViolations(e, "value", 0, 100, "events_value_le_100")))
+        .orderBy(col("check"))
+    }),
+    "q138_triangle_count" -> ((s, d) => {
+      // §2.11 triangle census of the support-2 co-purchase graph via
+      // degree-ordered orientation (Suri & Vassilvitskii): out-degree
+      // bounded O(sqrt(m)), wedge volume O(m^1.5) — the hub-skew
+      // discipline; each triangle counted exactly once.
+      val items = lineitem(s, d)
+        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
+      val l = items.select(col("b"), col("i").as("pa"))
+      val r = items.select(col("b"), col("i").as("pb"))
+      val pairs = l.join(r, Seq("b")).where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= 2)
+      graft.ops.Triangles.triangleCount(pairs, "pa", "pb")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3851,5 +3885,54 @@ Hosts: %s
            sum(CASE WHEN d.n >= 2 AND 2 * d.dev2 > 5 * mad.mad4
              THEN d.v ELSE 0 END) / 100.0 AS outlier_sum
          FROM d JOIN mad USING (grp) GROUP BY d.grp ORDER BY event_type""",
+    // q137: every metric is a plain integer count; NOT EXISTS for the
+    // orphan checks (null-safe), sum(n-1) for uniqueness.
+    "q137_dq_report" ->
+      """WITH checks AS (
+           SELECT 'orders_customer_orphans' AS chk, count(*) AS metric
+             FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+           UNION ALL
+           SELECT 'lineitem_orders_orphans', count(*)
+             FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+           UNION ALL
+           SELECT 'orders_pk_unique', COALESCE(sum(n - 1), 0) FROM
+             (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+           UNION ALL
+           SELECT 'lineitem_pk_unique', COALESCE(sum(n - 1), 0) FROM
+             (SELECT count(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+           UNION ALL
+           SELECT 'customer_name_complete',
+             count(*) FILTER (c_name IS NULL) FROM customer
+           UNION ALL
+           SELECT 'lineitem_qty_range', count(*) FILTER
+             (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+             FROM lineitem
+           UNION ALL
+           SELECT 'events_value_range', count(*) FILTER
+             (value IS NULL OR value < 0 OR value > 500) FROM events
+           UNION ALL
+           SELECT 'events_value_le_100', count(*) FILTER
+             (value IS NULL OR value < 0 OR value > 100) FROM events)
+         SELECT chk AS check, CAST(metric AS BIGINT) AS metric,
+           metric = 0 AS passed
+         FROM checks ORDER BY chk""",
+    // q138: brute 3-way join over the canonical a<b edge list — the
+    // all-wedges form the degree-ordered orientation exists to avoid.
+    "q138_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+             FROM lineitem),
+         pairs AS (SELECT a.i AS pa, bb.i AS pb
+           FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pairs),
+         vs AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM vs) AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM e e1
+              JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
   )
 }

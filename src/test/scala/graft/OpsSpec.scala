@@ -1642,6 +1642,45 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(("a", 5L, 1L, 1.00), ("b", 2L, 0L, 0.0)))
   }
 
+  test("data-quality report: planted violations counted, clean constraints pass") {
+    import graft.ops.DataQuality._
+    val parent = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val child = Seq((1L, 10.0), (1L, 60.0), (3L, -1.0), (2L, 20.0))
+      .toDF("pid", "qty")
+    val dup = Seq((1L, 1), (1L, 1), (2L, 1)).toDF("k1", "k2")
+    val got = report(Seq(
+        orphanCount(child, "pid", parent, "id", "orphans"),
+        duplicateKeyCount(dup, Seq("k1", "k2"), "dups"),
+        nullCount(parent, "name", "name_nulls"),
+        rangeViolations(child, "qty", 0, 50, "qty_range")))
+      .as[(String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("dups", 1L, false), ("name_nulls", 0L, true),
+      ("orphans", 1L, false), ("qty_range", 2L, false)))
+  }
+
+  test("triangle count via degree-ordered orientation == brute force on random graphs") {
+    import graft.ops.Triangles
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 25
+      val raw = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // Feed dirty input: self-loops, duplicates, both orientations.
+      val df = (raw ++ raw.map(_.swap)).toDF("a", "b").repartition(5)
+      val es = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val vs = es.flatMap(e => Seq(e._1, e._2))
+      val brute = (for {
+        Seq(x, y, z) <- vs.toSeq.sorted.combinations(3)
+        if es((x, y)) && es((x, z)) && es((y, z))
+      } yield 1).size
+      val got = Triangles.triangleCount(df, "a", "b")
+        .as[(Long, Long, Long)].collect().head
+      assert(got == ((vs.size.toLong, es.size.toLong, brute.toLong)),
+        s"trial $trial: got $got, expected (${vs.size}, ${es.size}, $brute)")
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("token budget cap keeps exactly the longest-first prefix within budget") {
     import graft.ops.BudgetCap
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
