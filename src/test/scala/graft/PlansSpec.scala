@@ -613,6 +613,30 @@ class PlansSpec extends SparkSpec {
       s"model application must not exchange:\n$plan")
   }
 
+  test("centroid drift: exchanges carry grid partials, never embedding vectors") {
+    val exchanges = exchangeOutputs(
+      SparkEntry.queries("q135_centroid_drift")(spark, "/root/testdata/sf0.001"))
+    assert(exchanges.nonEmpty)
+    exchanges.foreach { cols =>
+      assert(!cols.exists(_.contains("embedding")),
+        s"only (label, dim, partial sums) may shuffle — exchange carries $cols")
+    }
+  }
+
+  test("triangle count: no cartesian product; wedge closure is an equi-join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val plan = graft.ops.Triangles.triangleCount(e, "a", "b")
+      .queryExecution.sparkPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"no cartesian in the triangle plan:\n$plan")
+    // The only nested-loop joins allowed are the final three 1-row
+    // count combinations.
+    val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.size <= 2, s"only the 1-row stat combine may nest:\n$plan")
+    graft.core.Caches.releaseAll()
+  }
+
   test("bottom-k sample: TakeOrderedAndProject (per-partition heaps), no global sort") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     val ids = (1L to 100L).toDF("doc_id")

@@ -86,7 +86,10 @@ class RespellSpec extends SparkSpec {
     // percentile grid (q129), int32 doc ids through the native hash
     // expression / window cumsum / bottom-k draw (q127/q128/q130)
     "q126_markov_transitions", "q129_quantile_sketch",
-    "q127_hashed_classifier", "q128_token_budget", "q130_bottomk_sample")
+    "q127_hashed_classifier", "q128_token_budget", "q130_bottomk_sample",
+    // session-5 family: double[] embeddings through the drift grid
+    // (q135), events value grid through doubled medians (q136)
+    "q135_centroid_drift", "q136_mad_outliers")
 
   for (q <- queries)
     test(s"$q is invariant under the respelled parquet schema") {
