@@ -51,8 +51,13 @@ object Markov {
       .where(col("dst").isNotNull)
     val counts = trans.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
-    counts.join(broadcast(totals), "src")
+    // Row totals as a window over the |types|²-row matrix itself — a
+    // groupBy+join spelling re-executed the whole events scan + window
+    // subtree for the broadcast side (counts is referenced twice and
+    // aggregates are not common subexpressions across branches).
+    val bySrc = Window.partitionBy(col("src"))
+    counts
+      .withColumn("n_src", sum(col("n")).over(bySrc))
       .select(col("src"), col("dst"), col("n"), col("n_src"),
         intDiv(col("n") * lit(1000000L), col("n_src")).as("p_micro"))
   }

@@ -648,19 +648,20 @@ class PlansSpec extends SparkSpec {
       s"no global sort for a k-sample:\n$plan")
   }
 
-  test("markov matrix: one user-key shuffle for the sequence window; src totals broadcast") {
+  test("markov matrix: events scanned ONCE; totals are a matrix-grain window") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val df = graft.ops.Markov.transitionMatrix(
       ev, "user_id", "ts", "event_type", "event_id")
     val plan = df.queryExecution.sparkPlan
-    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
-      s"src-grain totals must broadcast back onto the matrix:\n$plan")
-    // Exactly two exchanges below the join: the user-key window sort and
-    // the (src,dst) aggregation — the totals side reuses the aggregated
-    // matrix, never a second fact-grain shuffle of the events.
+    // The groupBy+broadcast-join totals spelling re-executed the whole
+    // events scan + sequence window for the broadcast branch; the
+    // window-over-counts form reads events exactly once.
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, s"events must scan once, got ${scans.size}:\n$plan")
     val ex = plan.collect { case s: ShuffleExchangeExec => s }
-    assert(ex.size <= 3, s"expected <=3 exchanges (window, agg, agg):\n$plan")
+    assert(ex.size <= 3,
+      s"expected <=3 exchanges (user window, matrix agg, src window):\n$plan")
   }
 }
