@@ -2167,6 +2167,21 @@ object SparkEntry {
         .where(col("n_ab") >= 2)
       graft.ops.Triangles.triangleCount(pairs, "pa", "pb")
     }),
+    "q139_top_paths" -> ((s, d) => {
+      // §2.11 behavioral path mining: per-(user, day) event-type
+      // journey (deterministic (ts, event_id) order via the A4
+      // sorted-collect idiom — collect_list alone is
+      // partition-order-dependent), corpus-wide path frequencies,
+      // top-20 by (count, path) as TakeOrderedAndProject.
+      val e = events(s, d)
+      val paths = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          st => st.getField("event_type")), ">").as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3934,5 +3949,14 @@ Hosts: %s
            (SELECT CAST(count(*) AS BIGINT) FROM e e1
               JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
               JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""",
+    // q139: ordered string_agg inside (user, day), same UTC day
+    // boundary (CAST ts AS DATE == to_date under the UTC session),
+    // same (n DESC, path) top-20.
+    "q139_top_paths" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM events GROUP BY user_id, CAST(ts AS DATE))
+         SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+         ORDER BY n DESC, path LIMIT 20""",
   )
 }
