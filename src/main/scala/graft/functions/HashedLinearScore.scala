@@ -1,7 +1,6 @@
 package graft.functions
 
 import java.nio.charset.StandardCharsets
-import java.util.Locale
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -78,7 +77,11 @@ object HashedLinearOps {
 
   def score(text: UTF8String, buckets: Int, salt: String): ArrayData = {
     val w = weights(salt, buckets)
-    val s = text.toString.toLowerCase(Locale.ROOT)
+    // UTF8String.toLowerCase = the exact semantics of Spark's lower()
+    // (the HOF/oracle path) — Java's toLowerCase(Locale.ROOT) applies
+    // FULL Unicode case mapping and can diverge on e.g. U+0130, which
+    // would change tokenization vs the oracle on non-ASCII corpora.
+    val s = text.toLowerCase.toString
     var nTokens = 0L
     var total = 0L
     var i = 0

@@ -47,11 +47,12 @@ object MinHashOps {
   private val Seed = 42L
 
   def signature(text: UTF8String, shingleN: Int, numHashes: Int): ArrayData = {
-    // Locale.ROOT: the default-locale toLowerCase is locale-sensitive
-    // (tr-TR maps I to dotless i), which would make signatures differ
-    // across executor JVMs and diverge from Spark's locale-independent
-    // lower() used by the Jaccard-verify tokenization.
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+    // UTF8String.toLowerCase: the exact semantics of Spark's lower()
+    // used by the Jaccard-verify tokenization (WordShinglesExpr) —
+    // locale-independent across executor JVMs, and agreeing with the
+    // verify path even on non-ASCII full-vs-simple case-mapping edges
+    // (Java's Locale.ROOT full mapping diverges on e.g. U+0130).
+    val toks = text.toLowerCase.toString.trim.split("\\s+")
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val nShingles = toks.length - shingleN + 1
     var i = 0

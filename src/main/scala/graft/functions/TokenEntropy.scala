@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.util.Locale
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -41,7 +40,10 @@ object TokenEntropyOps {
     Math.rint(Math.log(k.toDouble) * 1000000.0).toLong
 
   def entropyMicro(text: UTF8String): Long = {
-    val s = text.toString.toLowerCase(Locale.ROOT)
+    // UTF8String.toLowerCase = the exact semantics of Spark's lower()
+    // (what the oracle mirrors); Java's full-Unicode case mapping can
+    // diverge on non-ASCII (e.g. U+0130) and change tokenization.
+    val s = text.toLowerCase.toString
     val counts = new java.util.HashMap[String, Array[Int]]()
     var n = 0L
     var i = 0

@@ -37,9 +37,16 @@ object Calibrate {
       buckets: Int = 20): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    val bounds = scored.agg(
-      expr(s"percentile($scoreCol, array(${ps.mkString(",")}))").as("bnds"))
-    scored.select(col(idCol).as("id"), col(scoreCol).as("score"))
+    // Both the boundary aggregation and the bucket projection consume
+    // the scored relation — persist the two-column slice once so the
+    // upstream scan + scoring subtree runs a single time (the repo's
+    // one-reference/persist discipline; the slice keeps the cache
+    // skinny regardless of how wide the caller's scoring plan is).
+    val slim = graft.core.Caches.persistTracked(
+      scored.select(col(idCol).as("id"), col(scoreCol).as("score")))
+    val bounds = slim.agg(
+      expr(s"percentile(score, array(${ps.mkString(",")}))").as("bnds"))
+    slim
       .crossJoin(broadcast(bounds))
       .select(col("id"), col("score"),
         (size(filter(col("bnds"), b => b < col("score"))) + 1)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality constraint report (§2.11 extension — the
@@ -21,17 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
-  private def one(spark: SparkSession, name: String, metric: DataFrame): DataFrame =
+  private def one(name: String, metric: DataFrame): DataFrame =
     metric.select(lit(name).as("check"), col("metric").cast("long").as("metric"))
 
   /** Rows where `colName` is null. */
   def nullCount(df: DataFrame, colName: String, name: String): DataFrame =
-    one(df.sparkSession, name,
+    one(name,
       df.agg(sum(when(col(colName).isNull, 1L).otherwise(0L)).as("metric")))
 
   /** Rows beyond the first per key tuple (0 = key is unique). */
   def duplicateKeyCount(df: DataFrame, keys: Seq[String], name: String): DataFrame =
-    one(df.sparkSession, name,
+    one(name,
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
         .agg(sum(col("__n") - 1L).as("metric")))
 
@@ -41,7 +41,7 @@ object DataQuality {
   def orphanCount(
       child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String, name: String): DataFrame =
-    one(child.sparkSession, name,
+    one(name,
       child.select(col(childKey))
         .join(parent.select(col(parentKey).as(childKey)).distinct(),
           Seq(childKey), "left_anti")
@@ -53,7 +53,7 @@ object DataQuality {
   def rangeViolations(
       df: DataFrame, colName: String, lo: Double, hi: Double,
       name: String): DataFrame =
-    one(df.sparkSession, name,
+    one(name,
       df.agg(sum(when(col(colName).isNull ||
           col(colName) < lo || col(colName) > hi, 1L).otherwise(0L))
         .as("metric")))

@@ -122,17 +122,28 @@ object Sketches {
         round(expr(s"percentile($valCol, 0.9)"), 4).as("p90_exact"),
         expr(s"approx_percentile($valCol, 0.5, $accuracy)").as("a50"),
         expr(s"approx_percentile($valCol, 0.9, $accuracy)").as("a90"))
+    // A sketched value that repeats in the data occupies a RANGE of
+    // ranks, [count(v < a) + 1, count(v <= a)]; the GK guarantee is
+    // satisfied if ANY rank in that range lies within the slack band,
+    // so the check is interval intersection — testing only the upper
+    // tie boundary would flip sketch_ok false on tie-heavy groups
+    // whose lower tie boundary still meets the guarantee.
     val ranks = df
       .join(broadcast(stats), col(grpCol) === col("grp"))
       .groupBy(col("grp"))
       .agg(sum(when(col(valCol) <= col("a50"), 1L).otherwise(0L)).as("r50"),
-        sum(when(col(valCol) <= col("a90"), 1L).otherwise(0L)).as("r90"))
-    def ok(r: Column, p: Double): Column = {
+        sum(when(col(valCol) <= col("a90"), 1L).otherwise(0L)).as("r90"),
+        sum(when(col(valCol) < col("a50"), 1L).otherwise(0L)).as("rlt50"),
+        sum(when(col(valCol) < col("a90"), 1L).otherwise(0L)).as("rlt90"))
+    def ok(rlt: Column, rle: Column, p: Double): Column = {
       val slack = ceil(col("n").cast("double") / lit(accuracy.toDouble)) + lit(1.0)
-      abs(r.cast("double") - lit(p) * col("n").cast("double")) <= slack
+      val target = lit(p) * col("n").cast("double")
+      (rlt.cast("double") + lit(1.0) <= target + slack) &&
+        (rle.cast("double") >= target - slack)
     }
     stats.join(ranks, "grp")
       .select(col("grp"), col("n"), col("p50_exact"), col("p90_exact"),
-        ok(col("r50"), 0.5).as("sketch_ok50"), ok(col("r90"), 0.9).as("sketch_ok90"))
+        ok(col("rlt50"), col("r50"), 0.5).as("sketch_ok50"),
+        ok(col("rlt90"), col("r90"), 0.9).as("sketch_ok90"))
   }
 }
