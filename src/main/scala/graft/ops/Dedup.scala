@@ -113,6 +113,43 @@ object Dedup {
         org.apache.spark.sql.graftbridge.Bridge.expression(aSh),
         org.apache.spark.sql.graftbridge.Bridge.expression(bSh)))
 
+  /** Top-K heavy-token rank table of a sets relation (column `sh`:
+    * `array<long>` of hashed shingles): one skinny token-grain
+    * df aggregation (map-side combinable longs) + TakeOrdered, then
+    * <= K rows collect to the driver — the bounded corpus statistic
+    * behind the frequency-ordered prefix (the `adaptivePlanes`
+    * precedent: a small eager stats job shaping a big lazy plan).
+    * df <= 1 tokens are excluded (they can never join a candidate
+    * pair); ties in df break on token value, so the table — and with
+    * it the global order — is deterministic.
+    *
+    * Returns (tokens sorted ascending for binary search, aligned rank
+    * indexes, rank -> token inverse); all empty when no token repeats.
+    */
+  private def heavyTable(sets: DataFrame, k: Int = 1 << 16)
+      : (Array[Long], Array[Int], Array[Long]) = {
+    val tokenOfRank = sets.select(explode(col("sh")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .where(col("df") > 1)
+      .orderBy(desc("df"), col("tok"))
+      .limit(k)
+      .select(col("tok")).collect().map(_.getLong(0))
+    val byToken = tokenOfRank.zipWithIndex.sortBy(_._1)
+    (byToken.map(_._1), byToken.map(_._2), tokenOfRank)
+  }
+
+  /** `sh` re-sorted under the frequency-aware order derived from
+    * `statsOf` (see [[graft.functions.FreqOrderExpr]]). Eager: builds
+    * the heavy table with one stats job at construction time.
+    */
+  private def freqOrder(statsOf: DataFrame, sh: Column): Column = {
+    val (heavySorted, rankOf, tokenOfRank) = heavyTable(statsOf)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.FreqOrderExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(sh),
+        heavySorted, rankOf, tokenOfRank))
+  }
+
   /** MinHash-LSH near-dup pairs verified by true n-gram Jaccard >=
     * `threshold`. Candidate generation via banding, verification via a
     * join back to the shingle sets (only candidates pay the set cost).
@@ -196,11 +233,37 @@ object Dedup {
     * (t*max <= min, since J <= min/max) prunes candidates before the
     * verify join recomputes true Jaccard on the full sets.
     *
-    * The default global order is the 64-bit shingle hash value itself
-    * (sort ascending — zero extra shuffles); `freqOrdered = true`
-    * switches to ascending corpus document-frequency (see the inline
-    * note), the standard candidate-count lever at corpus scale. Both
-    * orders are exact — OpsSpec pins each against brute force.
+    * The default global order is the 64-bit shingle hash value (sort
+    * ascending — zero extra work). `freqOrdered = true` switches to
+    * ascending corpus document-frequency (the standard AllPairs/PPJoin
+    * candidate-count lever — prefixes hold each document's RAREST
+    * tokens), realized CHEAPLY: one skinny token-df aggregation feeds
+    * a top-K heavy-token rank table collected to the driver (bounded:
+    * K <= 65536 rows) and [[graft.functions.FreqOrderExpr]] re-sorts
+    * each set map-side against that table — never a token-grain join
+    * or per-document re-aggregation (the exact-df relational spelling
+    * cost more in token shuffles than it saved: 45.6s vs 88s at 500k
+    * docs). Tokens outside the table order by hash below every table
+    * entry — any fixed total order keeps the prefix theorem EXACT, so
+    * the approximation affects candidate volume only. MEASURED
+    * (tools/JaccardProbe, 500k-doc organic corpus, t=0.8): frequency
+    * order removes only ~4% of token-join rows (8.56M -> 8.24M; the
+    * corpus has no corpus-wide stop-shingles) while the stats pass
+    * adds a full token-grain aggregation — hash order stays the
+    * default, and the lever is for corpora with real stop-shingle
+    * skew, where it is the difference between m²-per-heavy-token and
+    * linear. Both orders pass OpsSpec's brute-force equality.
+    *
+    * Candidates additionally pass the PPJoin POSITIONAL filter: for a
+    * prefix match at 0-based positions (pa, pb), the intersection is
+    * at most min(|A|-pa, |B|-pb) (every common token sorts at-or-after
+    * the first common token), while J >= t forces the intersection to
+    * at least t/(1+t)·(|A|+|B|); rows violating that bound drop before
+    * the candidate distinct. Completeness: at the FIRST common token's
+    * row the bound holds whenever the pair truly qualifies, so every
+    * qualifying pair survives on at least that row. MEASURED: 2.7x
+    * fewer join rows reaching the candidate distinct (8.56M -> 3.13M
+    * at 500k docs), q134 22s -> 14s warm.
     */
   def jaccardJoinExact(
       df: DataFrame,
@@ -215,35 +278,9 @@ object Dedup {
     val rawSets = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-    // The prefix theorem holds under ANY global total order. Hash
-    // order (sort the hashes) costs nothing extra; `freqOrdered` sorts
-    // each document's tokens by ascending corpus document-frequency
-    // (ties by hash) instead — prefixes then hold each document's
-    // RAREST tokens, which is the standard AllPairs candidate-count
-    // lever: a stop-shingle shared by half the corpus can land in
-    // hash-order prefixes and join n^2/4 candidate pairs, but under
-    // frequency order it sorts last and never enters a prefix. Costs
-    // two extra token-grain shuffles (df aggregation + re-sort).
-    // MEASURED: on this corpus the token shuffles cost MORE than the
-    // candidates they save (q30 hash-order 7.2s vs freq-order 9.7s at
-    // 50k docs; 45.6s vs 88s at 500k) — the lever pays off only when
-    // candidate-pair volume, not token volume, dominates (heavy
-    // stop-shingle skew or higher thresholds); hence opt-in.
     val sets =
       if (!freqOrdered) rawSets.select(col("id"), array_sort(col("sh")).as("sh"))
-      else {
-        val toks = rawSets.select(col("id"), explode(col("sh")).as("tok"))
-        val tokDf = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        // Persisted (tracked): `sets` is referenced by the prefix
-        // explode AND both verify joins — unpersisted, each reference
-        // re-runs the token explode + df join + re-aggregation.
-        graft.core.Caches.persistTracked(
-          toks.join(tokDf, "tok")
-            .groupBy(col("id"))
-            .agg(transform(
-              array_sort(collect_list(struct(col("df"), col("tok")))),
-              s => s.getField("tok")).as("sh")))
-      }
+      else rawSets.select(col("id"), freqOrder(rawSets, col("sh")).as("sh"))
     // Candidate-generation bounds carry a small epsilon so double
     // rounding can only OVER-generate, never drop a qualifying pair:
     // e.g. t=0.55, |B|=20 -> 0.55*20 = 11.000000000000002 in doubles,
@@ -255,13 +292,17 @@ object Dedup {
     val prefLen =
       (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - lit(eps)) + 1).cast("int")
     val tokens = sets.select(col("id"), size(col("sh")).as("sz"),
-      explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
-    val a = tokens.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = tokens.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+      posexplode(slice(col("sh"), lit(1), prefLen)).as(Seq("pos", "tok")))
+    val a = tokens.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"),
+      col("pos").as("pos_a"))
+    val b = tokens.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"),
+      col("pos").as("pos_b"))
     val cands = a.join(b, Seq("tok"))
       .where(col("id_a") < col("id_b"))
       .where(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")) - lit(eps))
+      .where(least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - lit(eps))
       .select("id_a", "id_b")
       .distinct()
     cands
@@ -296,29 +337,46 @@ object Dedup {
       textCol: String,
       idCol: String,
       threshold: Double,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      freqOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     val eps = 1e-9
-    def sortedSets(df: DataFrame): DataFrame =
+    def rawSets(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
         .where(size(col("sh")) > 0)
-        .select(col("id"), array_sort(col("sh")).as("sh"))
+    // BOTH sides must sort under ONE global order for the prefix
+    // theorem to hold across relations; the heavy-token stats come
+    // from the CORPUS side (the side whose stop-shingles dominate
+    // candidate volume — the batch is small by contract). See
+    // jaccardJoinExact for the order/table mechanics.
+    val corpusRaw = rawSets(corpus)
+    val order: DataFrame => DataFrame =
+      if (!freqOrdered) df => df.select(col("id"), array_sort(col("sh")).as("sh"))
+      else {
+        val ord = freqOrder(corpusRaw, col("sh"))
+        df => df.select(col("id"), ord.as("sh"))
+      }
     def prefixTokens(sets: DataFrame): DataFrame = {
       val prefLen =
         (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - lit(eps)) + 1).cast("int")
       sets.select(col("id"), size(col("sh")).as("sz"),
-        explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+        posexplode(slice(col("sh"), lit(1), prefLen)).as(Seq("pos", "tok")))
     }
     // Each side's sets feed its prefix explode AND its verify re-join.
-    val inSets = graft.core.Caches.persistTracked(sortedSets(incoming))
-    val coSets = graft.core.Caches.persistTracked(sortedSets(corpus))
+    val inSets = graft.core.Caches.persistTracked(order(rawSets(incoming)))
+    val coSets = graft.core.Caches.persistTracked(order(corpusRaw))
     val a = prefixTokens(inSets)
-      .select(col("tok"), col("id").as("id_in"), col("sz").as("sz_in"))
+      .select(col("tok"), col("id").as("id_in"), col("sz").as("sz_in"),
+        col("pos").as("pos_in"))
     val b = prefixTokens(coSets)
-      .select(col("tok"), col("id").as("id_corpus"), col("sz").as("sz_co"))
+      .select(col("tok"), col("id").as("id_corpus"), col("sz").as("sz_co"),
+        col("pos").as("pos_co"))
     val cands = a.join(b, Seq("tok"))
       .where(least(col("sz_in"), col("sz_co")) >=
         lit(threshold) * greatest(col("sz_in"), col("sz_co")) - lit(eps))
+      // PPJoin positional filter — see jaccardJoinExact.
+      .where(least(col("sz_in") - col("pos_in"), col("sz_co") - col("pos_co")) >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_in") + col("sz_co")) - lit(eps))
       .select("id_in", "id_corpus")
       .distinct()
     // Verify join order matters: attach the corpus arrays FIRST (one
