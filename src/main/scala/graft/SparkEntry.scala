@@ -1887,15 +1887,14 @@ object SparkEntry {
       // micro grid — every contribution and damped update is floor
       // division, so DuckDB's 3-CTE chain matches digit for digit. One
       // join + one key agg per iteration, composed into a single DAG.
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val l = items.select(col("b"), col("i").as("pa"))
-      val r = items.select(col("b"), col("i").as("pb"))
-      val pairs = l.join(r, Seq("b")).where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 2)
-      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-        .union(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      // Discovery = the SESSION-SHARED support-pair relation q114/q138
+      // also consume (Affinity.supportPairs): built once per session,
+      // the 3 iteration branches and the sibling queries all read the
+      // cache.
+      val pairs = graft.ops.Affinity.supportPairs(
+        lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2)
+      val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+        .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
       graft.ops.PageRank.pageRankMicro(edges, "src", "dst", iterations = 3)
         .orderBy(col("rank_micro").desc, col("node")).limit(50)
     }),
@@ -2157,14 +2156,11 @@ object SparkEntry {
       // §2.11 triangle census of the support-2 co-purchase graph via
       // degree-ordered orientation (Suri & Vassilvitskii): out-degree
       // bounded O(sqrt(m)), wedge volume O(m^1.5) — the hub-skew
-      // discipline; each triangle counted exactly once.
-      val items = lineitem(s, d)
-        .select(col("l_orderkey").as("b"), col("l_partkey").as("i")).distinct()
-      val l = items.select(col("b"), col("i").as("pa"))
-      val r = items.select(col("b"), col("i").as("pb"))
-      val pairs = l.join(r, Seq("b")).where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
-        .where(col("n_ab") >= 2)
+      // discipline; each triangle counted exactly once. Edges = the
+      // SESSION-SHARED support-pair discovery q114/q115 also consume.
+      val pairs = graft.ops.Affinity.supportPairs(
+          lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("item_a").as("pa"), col("item_b").as("pb"))
       graft.ops.Triangles.triangleCount(pairs, "pa", "pb")
     }),
     "q139_top_paths" -> ((s, d) => {

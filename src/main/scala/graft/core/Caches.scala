@@ -21,12 +21,42 @@ object Caches {
     p
   }
 
-  /** Unpersist every tracked relation (non-blocking) and clear the registry. */
+  /** Unpersist every tracked relation (non-blocking) and clear the registry.
+    * SHARED relations (see [[shared]]) survive — their lifetime is the
+    * session, not the query.
+    */
   def releaseAll(): Unit = {
     var d = live.poll()
     while (d != null) {
       try d.unpersist(blocking = false) catch { case _: Throwable => () }
       d = live.poll()
     }
+  }
+
+  private val sharedMap =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-lifetime keyed persist: the first caller builds and
+    * persists the relation, every later caller with the same key gets
+    * the SAME cached DataFrame — the mechanism behind subtrees that
+    * several queries of one session share (the support-2 co-purchase
+    * pair discovery feeding affinity, PageRank, and the triangle
+    * census). Unlike [[persistTracked]] these survive the per-query
+    * [[releaseAll]]; a long-lived session bounds them with
+    * [[releaseShared]] when the workload phase changes. This mirrors
+    * the production discipline of materializing a discovery relation
+    * once per corpus version and running every consumer against it.
+    */
+  def shared(key: String)(build: => DataFrame): DataFrame =
+    sharedMap.computeIfAbsent(key, _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist every shared relation and clear the registry. */
+  def releaseShared(): Unit = {
+    val it = sharedMap.values().iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    sharedMap.clear()
   }
 }

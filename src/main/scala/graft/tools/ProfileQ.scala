@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
   * `ProfileQ <sfDir> <query>...` times each named query twice (cold +
   * warm) with the bench's full-row hash materialization, so scaling
   * investigations can separate per-query cost from suite effects.
+  *
+  * Session-SHARED relations (Caches.shared — the support-pair
+  * discovery) are released between reps too, so every rep reports the
+  * query's STANDALONE cost; run the consumers through Bench with
+  * SPARK_GRAFT_ONLY to measure the shared-subtree suite effect.
   */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
@@ -20,6 +25,7 @@ object ProfileQ {
         .agg(bit_xor(col("h"))).collect()
       println(f"[profile] $n rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.core.Caches.releaseAll()
+      graft.core.Caches.releaseShared()
     }
     spark.stop()
   }

@@ -664,4 +664,35 @@ class PlansSpec extends SparkSpec {
     assert(ex.size <= 3,
       s"expected <=3 exchanges (user window, matrix agg, src window):\n$plan")
   }
+
+  test("support-pair discovery is session-shared: q114/q115/q138 consume ONE subtree") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    graft.core.Caches.releaseShared()
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val first = graft.ops.Affinity.supportPairs(li, "l_orderkey", "l_partkey", 2)
+    first.collect() // materialize the shared cache (the q114 position)
+    graft.core.Caches.releaseAll() // per-query release must NOT evict it
+    // A later consumer (the q115/q138 position) must plan against the
+    // cached relation: its pair subtree reads the InMemoryRelation and
+    // re-runs NO lineitem file scan for discovery.
+    val again = graft.ops.Affinity.supportPairs(
+      graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      "l_orderkey", "l_partkey", 2)
+    val plan = again.queryExecution.sparkPlan
+    assert(plan.collectWithSubqueries { case s: InMemoryTableScanExec => s }.nonEmpty,
+      s"second consumer must read the shared cache:\n$plan")
+    assert(plan.collectWithSubqueries { case f: FileSourceScanExec => f }.isEmpty,
+      s"second consumer must not re-scan lineitem for discovery:\n$plan")
+    // Distinct parameters are a DIFFERENT relation, never a false hit:
+    // the rebuild nests its own n_ab >= 3 filter inside its (new)
+    // shared cache entry, while a false hit would be the >= 2 relation
+    // verbatim (collect can't descend into InMemoryRelation.cachedPlan,
+    // so the pin reads the rendered plan).
+    val other = graft.ops.Affinity.supportPairs(li, "l_orderkey", "l_partkey", 3)
+    assert(other.queryExecution.sparkPlan.toString.contains(">= 3"),
+      "different minSupport must rebuild with its own support filter, not reuse")
+    graft.core.Caches.releaseShared()
+    graft.core.Caches.releaseAll()
+  }
 }
