@@ -1645,16 +1645,15 @@ object SparkEntry {
     "q100_interval_join_rule" -> ((s, d) => {
       // The DECLARATIVE point-in-interval join: q97's predicate written
       // as a plain theta join, which would plan as a
-      // BroadcastNestedLoopJoin; with the opt-in session knob,
-      // IntervalBinJoinRule re-plans it as the binned equi-join
-      // (RangeJoin's shape, derived automatically). The rewrite is
+      // BroadcastNestedLoopJoin; the always-on IntervalBinJoinRule
+      // re-plans it as the binned equi-join (RangeJoin's shape), with
+      // the bin width DERIVED from the interval relation's
+      // max(end−start) — no session knobs at all. The rewrite is
       // EXACT, so this is a FULL-VALUE oracle row — same oracle SQL as
-      // q97. Child session so the knob cannot leak into other queries;
-      // the builder hard-asserts the nested loop is gone.
+      // q97. Child session keeps the rule registration explicit; the
+      // builder hard-asserts the nested loop is gone.
       val s2 = s.newSession()
       GraftFunctions.registerOptimizations(s2)
-      s2.conf.set(graft.plans.IntervalBinJoinRule.EnabledKey, "true")
-      s2.conf.set(graft.plans.IntervalBinJoinRule.BinKey, "600")
       val ev = events(s2, d)
       val wins = ev
         .where(col("event_type") === "error" && col("event_id") % 97 === 0)

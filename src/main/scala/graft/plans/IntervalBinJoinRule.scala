@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, Logi
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.TimestampType
 
-/** OPT-IN Catalyst optimizer rule: plans a point-in-interval range join
-  * as a time-binned equi-join — the declarative twin of
+/** ALWAYS-ON Catalyst optimizer rule: plans a point-in-interval range
+  * join as a time-binned equi-join — the declarative twin of
   * [[graft.ops.RangeJoin.pointInIntervalJoin]].
   *
   * A user writing the natural form
@@ -24,16 +24,24 @@ import org.apache.spark.sql.types.TimestampType
   * between the bounds always carries a bin inside the interval's bin
   * span (completeness), the point's single bin means each pair meets at
   * most once (multiplicity-preserving, no dedup), and the re-check
-  * drops same-bin non-matches (soundness). It is still gated behind a
-  * knob because the bin WIDTH is workload knowledge the optimizer does
-  * not have: each interval explodes to `len/binSeconds + 1` rows, so a
-  * bin much narrower than the typical interval inflates the build side,
-  * while a much wider one degrades toward all-pairs within a bin. Size
-  * it near the typical interval length:
+  * drops same-bin non-matches (soundness).
+  *
+  * Bin WIDTH: by default the rule DERIVES it from the interval
+  * relation as ceil(max(end − start)) seconds — a memoized 1-row
+  * aggregate over the interval subtree (the `adaptivePlanes`
+  * precedent: a bounded eager stats job shaping a big lazy plan). At
+  * that width every interval explodes to at most TWO bin rows, so the
+  * build side can never inflate; the cost of an over-wide bin (one
+  * outlier interval stretching the max on a skew-heavy workload —
+  * more intervals sharing each bin with the candidate re-check
+  * filtering harder) is bounded by match-volume + same-bin collisions
+  * and is the safe direction, never all-pairs on the build side. An
+  * explicit width overrides the derivation when the workload knows
+  * better; the whole rewrite can be disabled per session:
   *
   * {{{
-  *   spark.conf.set("spark.graft.intervalJoin.rewrite", "true")
   *   spark.conf.set("spark.graft.intervalJoin.binSeconds", "600")
+  *   spark.conf.set("spark.graft.intervalJoin.rewrite", "false")
   * }}}
   *
   * Matches inner joins whose condition carries BOTH a lower-bound
@@ -43,6 +51,9 @@ import org.apache.spark.sql.types.TimestampType
   * side and both bounds on the other, and no cross-side equi conjunct
   * (an equi key means the join already hash-plans; the guard also makes
   * the rule converge, since its own output carries the bin equality).
+  * Streaming plans never match (the derivation cannot run a batch job
+  * over an unbounded side, and stream-stream range joins belong to the
+  * watermark machinery).
   */
 object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -53,15 +64,62 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private type Bound = (Expression, Expression, Expression)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString(EnabledKey, "false").toBoolean) return plan
-    val binSeconds = conf.getConfString(BinKey, "3600").toLong
-    require(binSeconds > 0, s"$BinKey must be positive, got $binSeconds")
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    // Explicit width wins; otherwise derive per interval subtree.
+    val explicit = Option(conf.getConfString(BinKey, null)).map(_.toLong)
+    explicit.foreach(w => require(w > 0, s"$BinKey must be positive, got $w"))
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
-          if cond.deterministic &&
+          if cond.deterministic && !left.isStreaming && !right.isStreaming &&
             !BandJoinGuards.hasCrossSideEquiConjunct(cond, left, right) =>
-        extract(j, cond).map(m => rewrite(j, cond, m, binSeconds)).getOrElse(j)
+        extract(j, cond).flatMap { m =>
+          val (_, start, end, pointOnLeft) = m
+          val intervalPlan = if (pointOnLeft) j.right else j.left
+          explicit.orElse(derivedBinSeconds(intervalPlan, start, end))
+            .map(w => rewrite(j, cond, m, w))
+        }.getOrElse(j)
     }
+  }
+
+  /** Memoized max(end − start) of the interval subtree, in whole
+    * seconds (ceil, floored at 1s). One 1-row aggregate job per
+    * distinct (subtree, bounds) per JVM; None when the relation is
+    * empty (nothing can match — leave the join alone) or the stats job
+    * cannot run here (re-entrant optimization of the stats query
+    * itself).
+    */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val deriving = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  private def derivedBinSeconds(
+      intervalPlan: LogicalPlan,
+      start: Expression,
+      end: Expression): Option[Long] = {
+    if (deriving.get()) return None
+    val key = intervalPlan.canonicalized.semanticHash() + ":" +
+      start.canonicalized.semanticHash() + ":" + end.canonicalized.semanticHash()
+    val w = widthCache.computeIfAbsent(key, { _ =>
+      deriving.set(true)
+      try {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val agg = org.apache.spark.sql.catalyst.plans.logical.Aggregate(Nil,
+          Seq(Alias(org.apache.spark.sql.catalyst.expressions.aggregate.Max(
+            Subtract(UnixMicros(end), UnixMicros(start))).toAggregateExpression(),
+            "__graft_maxw")()),
+          intervalPlan)
+        val row = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, agg).head()
+        if (row.isNullAt(0)) -1L // empty/all-null interval relation
+        else math.max(1L, math.ceil(row.getLong(0).toDouble / 1e6).toLong)
+      } catch {
+        // A stats failure must never fail the user's query — fall back
+        // to not rewriting (the original join is always correct).
+        case _: Throwable => -1L
+      } finally deriving.set(false)
+    })
+    if (w == -1L) None else Some(w.longValue())
   }
 
   /** (point, start, end, pointOnLeft) from a consistent lower+upper

@@ -39,6 +39,15 @@ case class SessionUpdate(
     duration_sec: Long,
     closed: Boolean)
 
+/** Per-key funnel cursor: epoch-millis of each matched step so far. */
+case class FunnelState(matchedMs: List[Long])
+
+/** One FINAL funnel outcome from [[StreamingOps.funnelStream]]. */
+case class FunnelResult(key: Long, steps_completed: Int, ts_ms: Seq[Long])
+
+/** Per-user Markov cursor: the last seen event (its order key + type). */
+case class LastEvent(tsMs: Long, tie: Long, typ: String)
+
 object StreamingOps {
 
   /** File-source stream over a document/event directory with an
@@ -234,6 +243,136 @@ object StreamingOps {
       col("r_ts") < col("l_ts") + expr(s"INTERVAL $windowSeconds SECONDS"))
       .select(col("l_key").as("key"), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"), col("value"))
+  }
+
+  /** Streaming twin of [[graft.ops.Funnel.funnelMatch]]: per-key
+    * greedy-earliest step matching as keyed state with DETERMINISTIC
+    * eviction. State per key = the matched-step timestamp list (at most
+    * `steps.size` longs); a key is emitted and evicted the moment its
+    * funnel COMPLETES, or when the watermark passes
+    * `last matched + maxGap` — after which no in-watermark event can
+    * extend the chain, so the emitted row is FINAL (append mode, one
+    * row per key that matched step 1, exactly the batch operator's row
+    * domain).
+    *
+    * Parity: with arrivals in event-time order (any batching), the
+    * greedy fold computes exactly the batch semantics — each step binds
+    * its earliest qualifying occurrence (micro-batch contents sort on
+    * (ts, event_id) first). An event arriving out of order WITHIN the
+    * watermark may bind a later occurrence than the batch run would
+    * (still a valid chain; the standard streaming-funnel trade);
+    * events later than the watermark drop entirely.
+    */
+  def funnelStream(
+      events: Dataset[Event],
+      steps: Seq[String],
+      maxGapSeconds: Long,
+      watermark: String = "1 hour"): Dataset[FunnelResult] = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"steps must be non-empty and distinct, got $steps")
+    import events.sparkSession.implicits._
+    val gapMs = maxGapSeconds * 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed last match + gap: the chain can no
+            // longer extend — the outcome is final.
+            val m = state.get.matchedMs
+            state.remove()
+            Iterator.single(FunnelResult(key, m.size, m.reverse))
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Event]
+            it.foreach(buf += _)
+            val sorted = buf.sortInPlaceBy(e => (e.ts.getTime, e.event_id))
+            // matchedMs is kept NEWEST-FIRST so the fold appends in O(1).
+            var matched = state.getOption.map(_.matchedMs).getOrElse(Nil)
+            for (e <- sorted if matched.size < steps.size) {
+              val ms = e.ts.getTime
+              if (e.event_type == steps(matched.size) &&
+                (matched.isEmpty ||
+                  (ms > matched.head && ms <= matched.head + gapMs)))
+                matched = ms :: matched
+            }
+            if (matched.size == steps.size) {
+              // Completed: final by construction, evict immediately.
+              state.remove()
+              Iterator.single(FunnelResult(key, matched.size, matched.reverse))
+            } else if (matched.nonEmpty) {
+              state.update(FunnelState(matched))
+              state.setTimeoutTimestamp(math.max(matched.head + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            } else Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.Markov.transitionMatrix]]'s count
+    * core: per-user keyed state holds ONLY the last event (order key +
+    * type); each arrival emits the (src, dst) transition it completes,
+    * and a downstream streaming aggregation keeps the running
+    * (src, dst, n) matrix — |types|² rows of state, constant in stream
+    * length. Micro-batch contents fold in (ts, event_id) order, so an
+    * in-order stream reproduces the batch matrix exactly (the parity
+    * pin); out-of-order arrivals within the watermark count the
+    * transitions their arrival order implies (the streaming trade —
+    * the batch operator re-sorts history, a stream cannot).
+    *
+    * State eviction: a user idle past `idleEvictSeconds` (event time)
+    * is dropped; a transition spanning a longer silence goes uncounted
+    * (bounded state on unbounded users — same trade as
+    * [[dedupStream]]'s watermark window).
+    *
+    * NOTE: chaining keyed state into an aggregation trips Spark's
+    * GLOBAL-WATERMARK correctness guard (stateful-after-stateful), a
+    * conservative check aimed at downstream operators that DISCARD
+    * late rows on watermark. The matrix aggregation here is
+    * UNWINDOWED update-mode — it evicts nothing and counts every
+    * transition whenever it arrives — so the flagged risk cannot
+    * occur; run the query with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * (Spark's documented acknowledgement knob for exactly this
+    * pattern).
+    */
+  def markovStream(
+      events: Dataset[Event],
+      watermark: String = "1 hour",
+      idleEvictSeconds: Long = 86400L): DataFrame = {
+    import events.sparkSession.implicits._
+    val transitions = events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, (String, String, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Event]
+            it.foreach(buf += _)
+            val sorted = buf.sortInPlaceBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String, java.sql.Timestamp)]
+            for (e <- sorted) {
+              if (last != null) out += ((last.typ, e.event_type, e.ts))
+              last = LastEvent(e.ts.getTime, e.event_id, e.event_type)
+            }
+            if (last != null) {
+              state.update(last)
+              state.setTimeoutTimestamp(math.max(last.tsMs + idleEvictSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+      .toDF("src", "dst", "ts")
+    transitions.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
   }
 
   /** Incremental store sink: each micro-batch anti-joins against what

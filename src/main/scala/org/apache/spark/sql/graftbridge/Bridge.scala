@@ -28,6 +28,18 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Execute an already-analyzed logical plan as a DataFrame
+    * (Dataset.ofRows is private[sql]) — the hook optimizer rules use
+    * for bounded eager statistics jobs (a 1-row aggregate shaping a
+    * big lazy plan).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a function builder in the session's function registry
     * (sessionState is private[sql]; this is the imperative counterpart
     * of a `spark.sql.extensions` injectFunction).

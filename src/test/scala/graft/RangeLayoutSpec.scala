@@ -50,9 +50,13 @@ class RangeLayoutSpec extends SparkSpec {
   }
 
   test("binned interval join plans as an equi hash join, not a nested loop") {
+    // The always-on rule (if a prior test registered it on this
+    // session) must not silently fix the naive plan under the assert.
+    spark.conf.set(graft.plans.IntervalBinJoinRule.EnabledKey, "false")
     val naivePlan = pointsDf.join(intervalsDf,
         col("ts") >= col("w_start") && col("ts") < col("w_end"))
       .queryExecution.executedPlan.toString
+    spark.conf.unset(graft.plans.IntervalBinJoinRule.EnabledKey)
     assert(naivePlan.contains("BroadcastNestedLoopJoin"),
       s"expected the naive theta join to nested-loop:\n$naivePlan")
     val plan = RangeJoin
@@ -63,9 +67,12 @@ class RangeLayoutSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"expected the interval bin explosion in:\n$plan")
   }
 
-  test("interval join rule: opt-in, binned plan, exact incl. multiplicities") {
+  test("interval join rule: always-on w/ derived width, binned plan, exact incl. multiplicities") {
     GraftFunctions.registerOptimizations(spark)
     // Duplicate one interval so multiplicity preservation is observable.
+    // The fixture's widths are MIXED (60s, 1200s, 60s, degenerate), so
+    // the derived bin = ceil(max(end−start)) = 1200s exercises the
+    // stats path on exactly the skew shape the Scaladoc documents.
     val ivs = intervalsDf.union(intervalsDf.where(col("wid") === 30L))
     def query() = pointsDf.join(ivs,
       col("ts") >= col("w_start") && col("ts") < col("w_end"))
@@ -75,21 +82,26 @@ class RangeLayoutSpec extends SparkSpec {
       val naiveDf = query()
       assert(naiveDf.queryExecution.executedPlan.toString
         .contains("BroadcastNestedLoopJoin"),
-        "expected the naive plan while the knob is off")
+        "expected the naive plan while the rule is disabled")
       val naive = naiveDf.as[(Long, Long)].collect().toSeq.sorted
 
-      spark.conf.set(graft.plans.IntervalBinJoinRule.EnabledKey, "true")
-      spark.conf.set(graft.plans.IntervalBinJoinRule.BinKey, "60")
+      // Default state: rule ON, NO explicit width — derivation runs.
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.EnabledKey)
       val rewrittenDf = query()
       val plan = rewrittenDf.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin") &&
         !plan.contains("CartesianProduct"),
-        s"expected a binned equi-join, got:\n$plan")
+        s"expected a binned equi-join with no knobs set, got:\n$plan")
       assert(plan.contains("Generate"),
         s"expected the interval bin explosion in:\n$plan")
       val got = rewrittenDf.as[(Long, Long)].collect().toSeq.sorted
       assert(got == naive, s"$got != $naive")
       assert(got.count(_ == (2L, 30L)) == 2, "duplicated interval lost")
+
+      // An explicit width still overrides (same answer, narrower bins).
+      spark.conf.set(graft.plans.IntervalBinJoinRule.BinKey, "60")
+      val explicitDf = query()
+      assert(explicitDf.as[(Long, Long)].collect().toSeq.sorted == naive)
     } finally {
       spark.conf.unset(graft.plans.IntervalBinJoinRule.EnabledKey)
       spark.conf.unset(graft.plans.IntervalBinJoinRule.BinKey)

@@ -291,4 +291,101 @@ class StreamingSpec extends SparkSpec {
         (2L, "changed") -> 1, (3L, "added") -> 1))
     } finally q.stop()
   }
+
+  test("funnelStream: final outcomes equal batch funnelMatch, incl. cross-batch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val fixture = Seq(
+      // user 1: completes — view(0) -> click(4) -> purchase(9); the
+      // decoy click at 2 before the view must not bind, the second
+      // click at 6 must not rebind (earliest-occurrence convention).
+      Event(10, ts(2), 1, "click", 0.0),
+      Event(11, ts(0), 1, "view", 0.0),
+      Event(12, ts(4), 1, "click", 0.0),
+      Event(13, ts(6), 1, "click", 0.0),
+      Event(14, ts(9), 1, "purchase", 0.0),
+      // user 2: breaks at the gap — view(0), click at 20 min > 10-min
+      // gap, so steps_completed stays 1.
+      Event(20, ts(0), 2, "view", 0.0),
+      Event(21, ts(20), 2, "click", 0.0),
+      // user 3: never does step 1 -> no row in either path.
+      Event(30, ts(1), 3, "click", 0.0),
+      // user 4: view(0) -> click(8), purchase never comes.
+      Event(40, ts(0), 4, "view", 0.0),
+      Event(41, ts(8), 4, "click", 0.0))
+    val batch = graft.ops.Funnel.funnelMatch(
+        fixture.toDF(), "user_id", "ts", "event_type", steps, maxGapSeconds = 600)
+      .collect().map { r =>
+        val tss = (0 until steps.size).map(i => Option(r.getTimestamp(2 + i)))
+        (r.getLong(0), r.getInt(1), tss.flatten.map(_.getTime))
+      }.toSet
+    val input = MemoryStream[Event]
+    val q = StreamingOps.funnelStream(input.toDS(), steps, maxGapSeconds = 600,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnelp").outputMode("append").start()
+    try {
+      // Split mid-funnel so user 1/4's cursors cross a batch boundary.
+      val (b1, b2) = fixture.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(5)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // Sentinel advances the watermark past every gap deadline so
+      // EventTimeTimeout finalizes the broken funnels.
+      input.addData(Event(99, ts(10000), 999, "flush", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("funnelp")
+        .where(col("key") =!= 999)
+        .as[FunnelResult].collect()
+        .map(r => (r.key, r.steps_completed, r.ts_ms)).toSet
+      assert(streamed == batch, s"streaming $streamed != batch $batch")
+      // The fixture exercises all three shapes: complete, gap-break,
+      // mid-funnel stall; the never-started key appears in neither.
+      assert(batch.map(_._1) == Set(1L, 2L, 4L))
+      assert(batch.find(_._1 == 1L).get._2 == 3)
+    } finally q.stop()
+  }
+
+  test("markovStream: running (src,dst) counts equal batch transitionMatrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val fixture = Seq(
+      Event(1, ts(0), 1, "view", 0.0),
+      Event(2, ts(1), 1, "click", 0.0),
+      Event(3, ts(2), 1, "view", 0.0),
+      Event(4, ts(3), 1, "click", 0.0),
+      Event(5, ts(0), 2, "view", 0.0),
+      Event(6, ts(2), 2, "purchase", 0.0),
+      Event(7, ts(9), 3, "click", 0.0)) // single event: no transition
+    val batch = graft.ops.Markov.transitionMatrix(
+        fixture.toDF(), "user_id", "ts", "event_type", "event_id")
+      .select("src", "dst", "n")
+      .as[(String, String, Long)].collect().toSet
+    val input = MemoryStream[Event]
+    // The unwindowed update-mode matrix agg discards nothing, so the
+    // global-watermark guard's flagged risk cannot occur (see the
+    // markovStream Scaladoc); acknowledge it the documented way.
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = StreamingOps.markovStream(input.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("markovp").outputMode("update").start()
+    try {
+      // In-order chunks split ACROSS user 1's sequence: the ts(2)
+      // transition spans the batch boundary through the keyed cursor.
+      val sorted = fixture.sortBy(e => (e.ts.getTime, e.event_id))
+      val (b1, b2) = sorted.splitAt(4)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // Update-mode memory sink appends each revision; the final count
+      // per (src, dst) is the max (counts only grow).
+      val streamed = spark.table("markovp")
+        .groupBy(col("src"), col("dst")).agg(max(col("n")).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch, s"streaming $streamed != batch $batch")
+      assert(batch.exists(t => t._1 == "view" && t._2 == "click"))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
+  }
 }

@@ -21,6 +21,7 @@ Run before every snapshot commit:
 """
 import json
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -63,12 +64,14 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: spark result missing: {e}")
             failures += 1
             continue
+        t0 = time.time()
         try:
             odf = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
+        osec = time.time() - t0
         bad = unsortable_cols(sdf) + unsortable_cols(odf)
         if bad:
             print(f"FAIL {name}: unsortable array/object columns {sorted(set(bad))}")
@@ -107,7 +110,7 @@ def main(sf_dir, out_dir):
                   f"  oracle: {o.iloc[idx].to_dict()}")
             failures += 1
             continue
-        print(f"OK   {name} ({len(s)} rows)")
+        print(f"OK   {name} ({len(s)} rows, oracle {osec:.1f}s)", flush=True)
     n = len(oracle)
     print(f"\n{n - failures}/{n} strict-green")
     sys.exit(1 if failures else 0)
