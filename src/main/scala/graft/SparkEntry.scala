@@ -128,6 +128,64 @@ object SparkEntry {
           FROM sc WHERE term IN ('join','hash','filter','scan','merge')
           GROUP BY doc_id)"""
 
+  /** Prefix-filtered EXACT Jaccard pair CTE chain for oracle SQL —
+    * the AllPairs/PPJoin theorem applied inside DuckDB so the oracle's
+    * own cost is candidates, not all-pairs (the naive self-join form
+    * was ~n² list intersections: 131s for one sf0.1 query, unbounded
+    * at larger replays). EXACTNESS is unchanged: candidates are
+    * complete under DuckDB's OWN lexicographic list_sort order (any
+    * fixed total order satisfies the published prefix theorem — the
+    * engine under test uses a different order and a different engine),
+    * and every emitted pair still carries the fully recomputed
+    * Jaccard; the final `jac >= t` filter is identical to the naive
+    * form's. Empty shingle sets drop (their pairs have J = 0 < t).
+    *
+    * Expects a prior CTE `src`(id, text); yields `pv`(id_a, id_b, jac)
+    * with id_a < id_b covering every pair that can reach `t`.
+    * Internal CTE names are `pfx`-prefixed to stay collision-free.
+    */
+  private def jaccardPrefixSelfCtes(src: String, t: Double): String =
+    s"""pfxtoks AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src),
+         pfxsh AS (SELECT id,
+           list_sort(list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS sh FROM pfxtoks),
+         pfxsz AS (SELECT id, sh, len(sh) AS sz FROM pfxsh WHERE len(sh) > 0),
+         pfxpref AS (SELECT id, sz,
+           unnest(sh[1 : CAST(sz - ceil($t*sz - 1e-9) + 1 AS INT)]) AS tok FROM pfxsz),
+         pfxcand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM pfxpref a JOIN pfxpref b ON a.tok = b.tok AND a.id < b.id
+           WHERE least(a.sz, b.sz) >= $t*greatest(a.sz, b.sz) - 1e-9),
+         pv AS (SELECT id_a, id_b,
+           len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           FROM pfxcand JOIN pfxsz a ON a.id = id_a JOIN pfxsz b ON b.id = id_b)"""
+
+  /** Cross-relation (R-S) variant of [[jaccardPrefixSelfCtes]]:
+    * expects CTEs `lsrc`(id, text) and `rsrc`(id, text); yields
+    * `pv`(id_l, id_r, jac) covering every cross pair that can reach
+    * `t` (the prefix theorem holds for any pair under one global
+    * order regardless of which relation each side comes from).
+    */
+  private def jaccardPrefixRsCtes(lsrc: String, rsrc: String, t: Double): String = {
+    def side(tag: String, src: String): String =
+      s"""pfx${tag}toks AS (SELECT id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM $src),
+         pfx${tag}sh AS (SELECT id,
+           list_sort(list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+             i -> array_to_string(t[i:i+2], ' ')))) AS sh FROM pfx${tag}toks),
+         pfx${tag}sz AS (SELECT id, sh, len(sh) AS sz FROM pfx${tag}sh WHERE len(sh) > 0),
+         pfx${tag}pref AS (SELECT id, sz,
+           unnest(sh[1 : CAST(sz - ceil($t*sz - 1e-9) + 1 AS INT)]) AS tok FROM pfx${tag}sz)"""
+    s"""${side("l", lsrc)},
+         ${side("r", rsrc)},
+         pfxcand AS (SELECT DISTINCT l.id AS id_l, r.id AS id_r
+           FROM pfxlpref l JOIN pfxrpref r ON l.tok = r.tok
+           WHERE least(l.sz, r.sz) >= $t*greatest(l.sz, r.sz) - 1e-9),
+         pv AS (SELECT id_l, id_r,
+           len(list_intersect(a.sh, b.sh)) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           FROM pfxcand JOIN pfxlsz a ON a.id = id_l JOIN pfxrsz b ON b.id = id_r)"""
+  }
+
   private def pairSoundnessEnvelope(
       emb: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
     val ver = pairs
@@ -380,9 +438,15 @@ object SparkEntry {
         .orderBy(col("event_id"))),
     "q20_chunk_explode" -> ((s, d) =>
       // S6/F18: duration -> per-chunk rows (explode(sequence)).
+      // n_chunks >= 1 guard: a non-positive duration has ZERO chunks,
+      // but sequence(0, -1) steps BACKWARD and emits [0, -1] — two
+      // phantom rows per such event (DuckDB's generate_series(0,-1) is
+      // empty). Invisible at sf0.01 (no non-positive values there);
+      // caught by the sf0.1 strict replay.
       events(s, d)
         .withColumn("n_chunks",
           TimeFunctions.chunkCount(col("value") * 100, 7200))
+        .where(col("n_chunks") >= 1)
         .select(col("event_id"),
           explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
         .withColumn("chunk_start", col("chunk_idx") * 7200)
@@ -2391,16 +2455,9 @@ object SparkEntry {
            FROM embeddings e, embeddings q WHERE q.vec_id < 10) t
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "q23_near_dedup" ->
-      """WITH toks AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks)
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-           ELSE len(list_intersect(a.sh, b.sh)) * 1.0
-                / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8
+      s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)}
+         SELECT id_a, id_b FROM pv WHERE jac >= 0.8
          ORDER BY id_a, id_b""",
     "q25_iso_duration" ->
       """WITH b AS (SELECT event_id,
@@ -2679,18 +2736,10 @@ Hosts: %s
     // DuckDB-recomputable; `covered` (MinHash candidate generator
     // produced the pair too) is pinned TRUE.
     "q30_minhash_pairs" ->
-      """WITH toks AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)}
          SELECT id_a, id_b, round(jac, 4) AS jaccard, TRUE AS covered
-         FROM p WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+         FROM pv WHERE jac >= 0.8 ORDER BY id_a, id_b""",
     // ANN envelopes (q51/q60): self is the unique cosine-1.0 maximum
     // and is guaranteed a candidate, so top-1 is pinned exactly; the
     // invariant booleans are engine-computed and pinned TRUE.
@@ -2755,18 +2804,10 @@ Hosts: %s
            TRUE AS hll_within_5pct
          FROM toks GROUP BY lang ORDER BY lang""",
     "q69_jaccard_join_rule" ->
-      """WITH toks AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)}
          SELECT id_a, id_b, round(jac, 4) AS jaccard
-         FROM p WHERE jac >= 0.8 ORDER BY id_a, id_b""",
+         FROM pv WHERE jac >= 0.8 ORDER BY id_a, id_b""",
     "q68_cosine_join_rule" ->
       """SELECT DISTINCT label,
            TRUE AS pairs_ordered, TRUE AS pairs_distinct, TRUE AS threshold_ok,
@@ -2867,18 +2908,11 @@ Hosts: %s
          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
          WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""",
     "q80_incremental_dedup" ->
-      """WITH toks AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
-         p AS (SELECT a.doc_id AS id_in, b.doc_id AS id_co,
-           CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
-             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
-           FROM sh a JOIN sh b ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
-         m AS (SELECT id_in, round(max(jac), 4) AS bj
-           FROM p WHERE jac >= 0.8 GROUP BY id_in)
+      s"""WITH bsrc AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 7),
+         csrc AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 <> 7),
+         ${jaccardPrefixRsCtes("bsrc", "csrc", 0.8)},
+         m AS (SELECT id_l AS id_in, round(max(jac), 4) AS bj
+           FROM pv WHERE jac >= 0.8 GROUP BY id_in)
          SELECT d.doc_id, COALESCE(m.bj, 0) AS best_jaccard,
            COALESCE(m.bj, 0) >= 0.8 AS is_dup
          FROM documents d LEFT JOIN m ON d.doc_id = m.id_in
@@ -2950,17 +2984,9 @@ Hosts: %s
            COALESCE(samp.n_sampled, 0) AS n_sampled
          FROM cuts LEFT JOIN samp USING (lang) ORDER BY lang""",
     "q84_dup_components" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-               THEN 0.0
-             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8),
+      s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         p AS (SELECT id_a, id_b FROM pv WHERE jac >= 0.8),
          e AS (SELECT id_a AS u, id_b AS v FROM p
                UNION SELECT id_b AS u, id_a AS v FROM p),
          reach(v, r) AS (
@@ -3024,17 +3050,9 @@ Hosts: %s
          SELECT doc_id, n AS n_words, verdict, verdict = 'pass' AS passed
          FROM v ORDER BY doc_id""",
     "q87_leakage_safe_split" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
-         sh AS (SELECT doc_id,
-           list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-             i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
-               THEN 0.0
-             ELSE len(list_intersect(a.sh, b.sh)) * 1.0
-                  / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8),
+      s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         p AS (SELECT id_a, id_b FROM pv WHERE jac >= 0.8),
          e AS (SELECT id_a AS u, id_b AS v FROM p
                UNION SELECT id_b AS u, id_a AS v FROM p),
          reach(v, r) AS (
@@ -3772,24 +3790,17 @@ Hosts: %s
          FROM sc ORDER BY id_a, id_b""",
     // q132: same replica derivation, same pair-dominance removal rule
     // (min id per text; then lower-id Jaccard >= 0.8 partner among
-    // exact survivors — the q84 trigram spelling, empty sets excluded
-    // via the NULLIF guard).
+    // exact survivors). The pair arm uses the prefix-filtered CTEs —
+    // empty sets drop there, equivalent to the old NULLIF guard.
     "q132_dedup_cascade" ->
-      """WITH base AS (SELECT doc_id AS id, text FROM documents
+      s"""WITH base AS (SELECT doc_id AS id, text FROM documents
            UNION ALL
            SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0),
          ex AS (SELECT id, text,
              min(id) OVER (PARTITION BY text) AS keep_id FROM base),
          surv AS (SELECT id, text FROM ex WHERE id = keep_id),
-         toks AS (SELECT id,
-             regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM surv),
-         sh AS (SELECT id,
-             list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-               i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toks),
-         p AS (SELECT DISTINCT b.id AS id
-           FROM sh a JOIN sh b ON a.id < b.id
-           WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-             / NULLIF(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.8)
+         ${jaccardPrefixSelfCtes("surv", 0.8)},
+         p AS (SELECT DISTINCT id_b AS id FROM pv WHERE jac >= 0.8)
          SELECT e.id, CASE WHEN e.id <> e.keep_id THEN 'exact'
            WHEN p.id IS NOT NULL THEN 'near' ELSE 'kept' END AS stage
          FROM ex e LEFT JOIN p ON e.id = p.id ORDER BY e.id""",
@@ -3820,7 +3831,7 @@ Hosts: %s
     // Jaccard (the form the prefix-filtered operator avoids), same
     // trigram spelling and NULLIF empty-set guard as q132.
     "q134_incremental_cascade" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
              WHERE doc_id % 5 <> 0),
          batch AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -3831,21 +3842,11 @@ Hosts: %s
              WHERE doc_id % 13 = 0),
          ex AS (SELECT doc_id FROM batch
            WHERE text IN (SELECT text FROM corpus)),
-         bs AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-               i -> array_to_string(t[i:i+2], ' '))) AS sh
-           FROM (SELECT doc_id,
-               regexp_split_to_array(lower(trim(text)), '\s+') AS t
-             FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM ex))),
-         cs AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
-               i -> array_to_string(t[i:i+2], ' '))) AS sh
-           FROM (SELECT doc_id,
-               regexp_split_to_array(lower(trim(text)), '\s+') AS t
-             FROM corpus)),
-         nr AS (SELECT DISTINCT b.doc_id FROM bs b JOIN cs c
-           ON len(list_intersect(b.sh, c.sh)) * 1.0
-             / NULLIF(len(list_distinct(list_concat(b.sh, c.sh))), 0) >= 0.8)
+         bsrc AS (SELECT doc_id AS id, text FROM batch
+           WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+         csrc AS (SELECT doc_id AS id, text FROM corpus),
+         ${jaccardPrefixRsCtes("bsrc", "csrc", 0.8)},
+         nr AS (SELECT DISTINCT id_l AS doc_id FROM pv WHERE jac >= 0.8)
          SELECT b.doc_id AS id,
            CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_corpus'
                 WHEN nr.doc_id IS NOT NULL THEN 'near_corpus'
