@@ -53,6 +53,16 @@ object IvfPqLayoutDemo {
     ZOrder.zorderLayout(rel, ZOrder.mortonKey(col("list_idx"), col("code0"), bits = 8),
         numFiles)
       .write.mode("overwrite").parquet(s"$out/ivfz")
+    // The natural 2-LEVEL layout: primary order the coarse list,
+    // secondary the ADC byte — every file spans a contiguous
+    // (list, code0) range, so a probe's footprint is nprobe/nlist of
+    // the files by construction. Z-order trades that for symmetric
+    // 2D skipping, which probe-first access never needs — and under
+    // skewed list sizes the row-count-balanced range boundaries cut
+    // z-tiles into wide-box files (measured: see COVERAGE).
+    rel.repartitionByRange(numFiles, col("list_idx"), col("code0"))
+      .sortWithinPartitions(col("list_idx"), col("code0"))
+      .write.mode("overwrite").parquet(s"$out/hier")
     rel.repartition(numFiles, col("id"))
       .write.mode("overwrite").parquet(s"$out/scatter")
 
@@ -68,7 +78,8 @@ object IvfPqLayoutDemo {
 
     // One query's nprobe=4 probed lists + an ADC-byte refinement.
     val probed = Seq(3L, 9L, 17L, 25L)
-    for ((name, path) <- Seq("ivf-z" -> s"$out/ivfz", "scatter" -> s"$out/scatter")) {
+    for ((name, path) <- Seq("hier" -> s"$out/hier", "ivf-z" -> s"$out/ivfz",
+        "scatter" -> s"$out/scatter")) {
       val b = boxes(path)
       val probeTouch = b.count { case (l0, l1, _, _) =>
         probed.exists(p => l0 <= p && p <= l1) }
