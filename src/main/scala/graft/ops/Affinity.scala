@@ -54,7 +54,8 @@ object Affinity {
       df: DataFrame,
       basketCol: String,
       itemCol: String,
-      minSupport: Long): DataFrame = {
+      minSupport: Long,
+      itemsOpt: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     val key = s"affinity-support-pairs:$basketCol:$itemCol:$minSupport:" +
       df.queryExecution.analyzed.semanticHash()
@@ -62,7 +63,12 @@ object Affinity {
       // The self-join reads the deduped items relation twice; tracked
       // persist bounds that to one scan while the pairs themselves
       // materialize (released per query — the SHARED pairs carry on).
-      val items = graft.core.Caches.persistTracked(basketItems(df, basketCol, itemCol))
+      // A caller that already holds the persisted items relation
+      // passes it in (basketLift needs items for its frequency
+      // aggregates anyway — without the handoff the lift paid TWO
+      // full input distincts when it was the build-triggering query).
+      val items = itemsOpt.getOrElse(
+        graft.core.Caches.persistTracked(basketItems(df, basketCol, itemCol)))
       val l = items.select(col("__b"), col("__i").as("item_a"))
       val r = items.select(col("__b"), col("__i").as("item_b"))
       l.join(r, Seq("__b"))
@@ -82,12 +88,12 @@ object Affinity {
       basketCol: String,
       itemCol: String,
       minSupport: Long): DataFrame = {
-    val pairs = supportPairs(df, basketCol, itemCol, minSupport)
-    // Frequencies/total re-derive items rather than holding the fat
-    // (basket, item) relation in session-shared memory: one extra
-    // input scan per lift call vs keeping only the SKINNY pair
-    // relation cached for the session.
+    // One persisted items relation serves the pair discovery (when
+    // this call triggers the shared build) AND the frequency/total
+    // aggregates below; the skinny pair relation alone stays cached
+    // for the session.
     val items = graft.core.Caches.persistTracked(basketItems(df, basketCol, itemCol))
+    val pairs = supportPairs(df, basketCol, itemCol, minSupport, Some(items))
     val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
     val total = items.select(col("__b")).distinct()
       .agg(count(lit(1)).as("__N"))
