@@ -398,4 +398,58 @@ object StreamingOps {
         fresh.write.mode("append").parquet(storePath)
       }
       .start()
+
+  /** Streaming NEAR-dedup corpus sink — the daily-append discipline as
+    * a stream: each micro-batch is staged against the STANDING corpus
+    * with [[graft.ops.DedupCascade.cascadeAgainst]] (semi-join exact
+    * stage, prefix-filtered R-S Jaccard near stage — never a corpus
+    * self-join, never batch×corpus all-pairs), and only 'kept'
+    * documents append to the store. This is precisely what a corpus
+    * ingest pipeline runs on every increment; the batch operator's
+    * oracle row (q134) pins the per-batch semantics, so the streaming
+    * wrapper needs only delivery/idempotency properties:
+    * exactly-once-per-content via the exact stage (a replayed doc's
+    * text already sits in the store and leaves as 'exact_corpus'), and
+    * state living in the STORE, not the stream — restarts resume from
+    * the parquet corpus, nothing is lost with the checkpoint.
+    *
+    * In-batch duplicates: the batch self-cascades first
+    * ([[graft.ops.DedupCascade.cascade]]), so two near-dup documents
+    * arriving in ONE micro-batch collapse exactly as they would
+    * arriving in two.
+    *
+    * Expects columns (`idCol`, `textCol`); the store holds the same.
+    */
+  def nearDedupStoreSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      checkpoint: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val selfKept = graft.ops.DedupCascade
+          .cascade(batch, textCol, idCol, threshold, shingleN)
+          .where(col("stage") === "kept")
+          .select(col("id").as(idCol))
+          .join(batch, Seq(idCol))
+        val kept =
+          if (graft.core.FsUtil.exists(spark, storePath)) {
+            val corpus = spark.read.parquet(storePath)
+            graft.ops.DedupCascade
+              .cascadeAgainst(selfKept, corpus, textCol, idCol, threshold, shingleN)
+              .where(col("stage") === "kept")
+              .select(col("id").as(idCol))
+              .join(selfKept, Seq(idCol))
+          } else selfKept
+        kept.write.mode("append").parquet(storePath)
+        graft.core.Caches.releaseAll()
+      }
+      .start()
 }

@@ -388,4 +388,38 @@ class StreamingSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
     }
   }
+
+  test("nearDedupStoreSink: exact + near dups dropped across batches; replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardedup").toString
+    val store = s"$dir/store"
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val nearA = base + " extra"        // trigram J vs base well above 0.8
+    val distinctC = (0 until 30).map(i => s"z$i").mkString(" ")
+    val nearC = distinctC + " tail"
+
+    def runBatch(n: Int, rows: (Long, String)*): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      val q = StreamingOps.nearDedupStoreSink(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        store, s"$dir/ckpt$n")
+      q.awaitTermination() // AvailableNow: drains and stops
+    }
+    def storedIds(): Set[Long] =
+      spark.read.parquet(store).select("doc_id")
+        .as[Long].collect().toSet
+
+    // Batch 1: B is an in-batch near-dup of A (higher id loses).
+    runBatch(1, (1L, base), (2L, nearA), (3L, distinctC))
+    assert(storedIds() == Set(1L, 3L), s"in-batch near-dup must drop: ${storedIds()}")
+    // Batch 2: exact replay of A's text, a near-dup of C, one new doc.
+    runBatch(2, (10L, base), (11L, nearC), (12L, "completely different content here"))
+    assert(storedIds() == Set(1L, 3L, 12L),
+      s"exact replay + near-dup vs store must drop: ${storedIds()}")
+    // Batch 3: replay batch 2's surviving content under new ids — all
+    // text already stands in the corpus, nothing appends.
+    runBatch(3, (20L, "completely different content here"), (21L, base))
+    assert(storedIds() == Set(1L, 3L, 12L), s"replay must be idempotent: ${storedIds()}")
+  }
 }
