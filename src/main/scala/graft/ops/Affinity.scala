@@ -49,6 +49,20 @@ object Affinity {
     * reuses the cache instead of re-running discovery — the
     * materialize-once-per-corpus-version discipline a production
     * deployment applies to exactly this relation.
+    *
+    * Cost anatomy (tools/PairStats, sf10m organic input): 120.0M pair
+    * rows reach the (item_a, item_b) aggregation, 119.6M distinct,
+    * only 357k survive support >= 2 — the shuffle is 99.7% singleton
+    * pairs. Pre-shuffle pruning was MEASURED-OUT, not overlooked: a
+    * count-min sketch cannot discriminate count 1 vs 2 here (at
+    * broadcastable widths the expected overcount is ~30 per cell, so
+    * everything passes), and the exact two-pass alternative (shuffle
+    * 8-byte pair hashes first, broadcast the ~357k qualifying hashes,
+    * regenerate + filter map-side) pays a second full pair-generation
+    * pass for ~half the shuffle bytes — a wash on this profile. The
+    * one-pass aggregation with map-side partial combine stands; at
+    * true cluster scale the shuffle is embarrassingly parallel and
+    * bounded by sum(basket²), the market-basket bound.
     */
   def supportPairs(
       df: DataFrame,
