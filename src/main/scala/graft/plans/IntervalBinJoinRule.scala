@@ -99,6 +99,10 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       start: Expression,
       end: Expression): Option[Long] = {
     if (deriving.get()) return None
+    // Bounded memo: a long-lived session planning many distinct
+    // interval relations must not grow the cache without limit — a
+    // reset only costs re-running the 1-row stats job.
+    if (widthCache.size() > 1024) widthCache.clear()
     val key = intervalPlan.canonicalized.semanticHash() + ":" +
       start.canonicalized.semanticHash() + ":" + end.canonicalized.semanticHash()
     val w = widthCache.computeIfAbsent(key, { _ =>

@@ -65,6 +65,17 @@ import org.apache.spark.sql.types._
   * to just the key column, and the re-scan trade beats carrying arrays
   * through the token shuffle (measured on the hand-tuned op, which has
   * recomputed its set relation per reference since round 3).
+  *
+  * Token order: the sorted hash/string value itself (SortArray). The
+  * frequency-ordered prefix variant (rarest tokens first — see
+  * `Dedup.jaccardJoinExact`'s `freqOrdered`) deliberately does NOT
+  * apply here: it would run a token-df stats job inside the optimizer
+  * (re-executed on every AQE re-optimization of every matched query),
+  * and the measured candidate saving on organic corpora is ~4%
+  * (tools/JaccardProbe) — the POSITIONAL filter below delivers the
+  * 2.7x join-row cut with zero stats. A workload with true
+  * stop-shingle skew should call the operator form with
+  * `freqOrdered = true` rather than the declarative join.
   */
 object JaccardPrefixJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
