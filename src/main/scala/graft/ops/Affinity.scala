@@ -71,8 +71,20 @@ object Affinity {
       minSupport: Long,
       itemsOpt: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val key = s"affinity-support-pairs:$basketCol:$itemCol:$minSupport:" +
-      df.queryExecution.analyzed.semanticHash()
+    // The shared-cache key must identify the input RELATION, not just
+    // a 32-bit plan hash: a semanticHash collision between two
+    // different basket relations would silently serve wrong pairs to
+    // every consumer. A SHA-256 of the full canonicalized plan string
+    // makes collisions cryptographically implausible. NOTE the key
+    // still identifies the PLAN, not the data underneath it — a caller
+    // whose source files change mid-session (a new corpus batch under
+    // the same path) must call [[graft.core.Caches.releaseShared]] to
+    // drop the stale relation.
+    val planDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(df.queryExecution.analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val key = s"affinity-support-pairs:$basketCol:$itemCol:$minSupport:$planDigest"
     graft.core.Caches.shared(key) {
       // The self-join reads the deduped items relation twice; tracked
       // persist bounds that to one scan while the pairs themselves

@@ -29,7 +29,14 @@ import org.apache.spark.sql.types.TimestampType
   * Bin WIDTH: by default the rule DERIVES it from the interval
   * relation as ceil(max(end − start)) seconds — a memoized 1-row
   * aggregate over the interval subtree (the `adaptivePlanes`
-  * precedent: a bounded eager stats job shaping a big lazy plan). At
+  * precedent: a bounded eager stats job shaping a big lazy plan).
+  * NOTE the derivation is a PLANNING-TIME Spark job: the first
+  * optimization of a matching join — including planning-only paths
+  * like `df.explain()` — eagerly scans the interval side once per
+  * distinct (subtree, bounds) per JVM. Sessions that must not run
+  * jobs at plan time should set an explicit
+  * `spark.graft.intervalJoin.binSeconds` (no derivation happens when
+  * the width is explicit) or disable the rewrite. At
   * that width every interval explodes to at most TWO bin rows, so the
   * build side can never inflate; the cost of an over-wide bin (one
   * outlier interval stretching the max on a skew-heavy workload —
@@ -105,7 +112,16 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (widthCache.size() > 1024) widthCache.clear()
     val key = intervalPlan.canonicalized.semanticHash() + ":" +
       start.canonicalized.semanticHash() + ":" + end.canonicalized.semanticHash()
-    val w = widthCache.computeIfAbsent(key, { _ =>
+    val cached = widthCache.get(key)
+    if (cached != null) {
+      return if (cached == -1L) None else Some(cached.longValue())
+    }
+    // The stats job runs OUTSIDE any map lock: two planner threads
+    // racing on the same key may duplicate the 1-row aggregate
+    // (harmless — both compute the same value, putIfAbsent keeps one),
+    // but a slow full scan here can never stall unrelated planning
+    // threads the way a computeIfAbsent-held bin lock would.
+    val w: java.lang.Long = {
       deriving.set(true)
       try {
         val spark = org.apache.spark.sql.SparkSession.active
@@ -115,15 +131,23 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             "__graft_maxw")()),
           intervalPlan)
         val row = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, agg).head()
-        if (row.isNullAt(0)) -1L // empty/all-null interval relation
+        if (row.isNullAt(0)) -1L // empty/all-null interval relation (cacheable)
         else math.max(1L, math.ceil(row.getLong(0).toDouble / 1e6).toLong)
       } catch {
         // A stats failure must never fail the user's query — fall back
-        // to not rewriting (the original join is always correct).
-        case _: Throwable => -1L
+        // to not rewriting (the original join is always correct). The
+        // failure is NOT cached: a transient error (e.g. an executor
+        // hiccup) would otherwise silently disable the rewrite for this
+        // plan shape for the JVM's lifetime; the next planning pass
+        // simply retries.
+        case _: Throwable => null
       } finally deriving.set(false)
-    })
-    if (w == -1L) None else Some(w.longValue())
+    }
+    if (w == null) None
+    else {
+      widthCache.putIfAbsent(key, w)
+      if (w == -1L) None else Some(w.longValue())
+    }
   }
 
   /** (point, start, end, pointOnLeft) from a consistent lower+upper

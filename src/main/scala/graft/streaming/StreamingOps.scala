@@ -336,7 +336,12 @@ object StreamingOps {
     * occur; run the query with
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
     * (Spark's documented acknowledgement knob for exactly this
-    * pattern).
+    * pattern). The knob is SESSION-GLOBAL: it also silences the guard
+    * for every OTHER streaming query on the same session, where it may
+    * be flagging a real late-data bug — so run the markov query on a
+    * DEDICATED session (`spark.newSession()` shares the state store and
+    * costs nothing), or set/reset the conf tightly around this query's
+    * start; do not leave it disabled on a shared session.
     */
   def markovStream(
       events: Dataset[Event],
