@@ -2241,6 +2241,57 @@ object SparkEntry {
       paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(20)
     }),
+    "q140_image_dhash_dedup" -> ((s, d) => {
+      // Multimodal near-dedup: per-asset 64-bit perceptual dHash
+      // (decode -> gray -> difference hash) fed into the SAME generic
+      // two-level Hamming band join the text SimHash family uses —
+      // image dedup as a first-class banded-join member, zero new join
+      // code. Verified q62-style: banded == brute force over the SAME
+      // engine-computed hashes on a bounded deterministic sub-corpus,
+      // exactly-once emission pinned separately. Assets are documents'
+      // bytes through the locality-preserving ByteGrayDecoder; 50
+      // payload-identical clones (asset_id + 10M) plant distance-0
+      // pairs at every SF, near-dup document texts plant the
+      // small-Hamming tail. The brute predicate is written
+      // bit_count(~(a^b)) >= 61 so HammingBandJoinRule cannot re-plan
+      // the reference into the banding it verifies.
+      import s.implicits._
+      val cap = 5000L
+      val docs = documents(s, d)
+      val base = docs.select(col("doc_id"), col("text"))
+      val clones = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val assets = base.unionByName(clones)
+        .select(col("doc_id").as("asset_id"), lit("image").as("kind"),
+          col("text").cast("binary").as("payload"),
+          lit(0.0).as("duration_sec"))
+        .as[graft.multimodal.MediaAsset]
+      val dec = new graft.multimodal.ByteGrayDecoder(16, 16)
+      val dh = graft.core.Caches.persistTracked(
+        graft.multimodal.MultiModal.imageDHash(assets, dec))
+      def inS(c: org.apache.spark.sql.Column) = c < cap || c >= 10000000L
+      val bandedAll = Dedup.hammingNearDuplicates(dh, "dhash", "asset_id", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+      val banded = bandedAll.where(inS(col("id_a")) && inS(col("id_b")))
+      val sub = dh.where(inS(col("asset_id")))
+      val a = sub.select(col("asset_id").as("id_a"), col("dhash").as("h_a"))
+      val b = sub.select(col("asset_id").as("id_b"), col("dhash").as("h_b"))
+      val brute = a.join(b,
+          bit_count(bitwise_not(col("h_a").bitwiseXOR(col("h_b")))) >= lit(61) &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val cmp = banded.withColumn("in_banded", lit(1))
+        .join(brute.withColumn("in_brute", lit(1)), Seq("id_a", "id_b"), "full")
+        .agg(
+          coalesce(every(col("in_banded").isNotNull && col("in_brute").isNotNull),
+            lit(true)).as("banded_equals_brute"),
+          (count(lit(1)) > 0).as("has_pairs"))
+      val dup = bandedAll.agg(
+        (count_distinct(struct(col("id_a"), col("id_b"))) === count(lit(1)))
+          .as("banded_distinct"))
+      assets.toDF().agg(count(lit(1)).as("n_assets"))
+        .crossJoin(broadcast(cmp)).crossJoin(broadcast(dup))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3954,5 +4005,12 @@ Hosts: %s
            FROM events GROUP BY user_id, CAST(ts AS DATE))
          SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
          ORDER BY n DESC, path LIMIT 20""",
+    // q140: the dHash values have no DuckDB mirror (engine-computed
+    // perceptual hashes), so the envelope pins the agreement booleans
+    // TRUE and the recomputable asset count (docs + doc_id<50 clones).
+    "q140_image_dhash_dedup" ->
+      """SELECT (SELECT count(*) FROM documents) +
+                (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_assets,
+         TRUE AS banded_equals_brute, TRUE AS has_pairs, TRUE AS banded_distinct""",
   )
 }

@@ -43,6 +43,25 @@ trait ImageDecoder extends Serializable {
   * The PLUMBING (batching, schema, partition behavior) is identical to
   * what a real decoder would see.
   */
+/** Codec-free decoder reading the payload's raw bytes as a `w` x `h`
+  * grayscale image (row-major, truncate/zero-pad). Unlike
+  * [[StubImageDecoder]]'s payload-hash fake (avalanche: any byte change
+  * flips everything), this preserves LOCALITY — payloads differing in a
+  * few bytes decode to images differing in a few pixels — so it
+  * exercises the perceptual-hash property ([[MultiModal.dHash64]]
+  * moving few bits under small edits) end to end without any codec.
+  */
+class ByteGrayDecoder(w: Int = 16, h: Int = 16) extends ImageDecoder {
+  require(w >= 1 && h >= 1, s"bad dims ${w}x$h")
+  override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val g = new Array[Float](w * h)
+    var i = 0
+    val n = math.min(payload.length, g.length)
+    while (i < n) { g(i) = (payload(i) & 0xFF) / 255f; i += 1 }
+    (w, h, 1, g)
+  }
+}
+
 class StubImageDecoder extends ImageDecoder {
   override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(payload)
@@ -96,6 +115,108 @@ object MultiModal {
       }
     }
   }
+
+  /** 64-bit difference hash (dHash) of a grayscale image: area-average
+    * resample to a 9x8 grid, then bit r*8+c = 1 iff g(r,c) > g(r,c+1)
+    * (the classic perceptual-hash construction — small crops, rescales,
+    * and brightness shifts move few bits, so near-duplicate images land
+    * within a small Hamming distance of each other).
+    *
+    * The downscale is exact fractional-coverage AREA POOLING (every
+    * source pixel contributes to the cell(s) it overlaps, weighted by
+    * overlap) rather than point sampling — a local edit anywhere in the
+    * image perturbs its cell, and a rescale of the same image averages
+    * the same regions. `gray` is row-major `w` x `h`; any size >= 1x1
+    * resamples, so the function is total over non-empty images.
+    */
+  def dHash64(gray: Array[Float], w: Int, h: Int): Long = {
+    require(w >= 1 && h >= 1 && gray.length >= w * h,
+      s"need a row-major w*h gray image, got len=${gray.length} w=$w h=$h")
+    // cell(r,c) = mean of gray over the rect [c*w/9,(c+1)*w/9) x
+    // [r*h/8,(r+1)*h/8), each source pixel weighted by its overlap.
+    def cell(r: Int, c: Int): Double = {
+      val x0 = c * w / 9.0; val x1 = (c + 1) * w / 9.0
+      val y0 = r * h / 8.0; val y1 = (r + 1) * h / 8.0
+      var sum = 0.0
+      var py = math.floor(y0).toInt
+      while (py < y1 && py < h) {
+        val wy = math.min(y1, py + 1.0) - math.max(y0, py.toDouble)
+        var px = math.floor(x0).toInt
+        while (px < x1 && px < w) {
+          val wx = math.min(x1, px + 1.0) - math.max(x0, px.toDouble)
+          sum += gray(py * w + px) * wx * wy
+          px += 1
+        }
+        py += 1
+      }
+      sum / ((x1 - x0) * (y1 - y0))
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      var prev = cell(r, 0)
+      while (c < 8) {
+        val cur = cell(r, c + 1)
+        if (prev > cur) bits |= 1L << (r * 8 + c)
+        prev = cur
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Per-asset 64-bit perceptual hash: decode -> grayscale -> dHash,
+    * in the same bounded-batch `mapPartitions` shape as
+    * [[decodeImages]] (no shuffle; peak memory = batch * asset size).
+    * A decoder emitting `w*h*c` interleaved floats is averaged to gray;
+    * a stub emitting a flat feature array is read as a 1-row image —
+    * the resample makes either shape total.
+    */
+  def imageDHash(
+      assets: Dataset[MediaAsset],
+      decoder: ImageDecoder,
+      batchSize: Int = 32): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { a =>
+          val (w, h, c, pixels) = decoder.decode(a.payload)
+          val (gray, gw, gh) =
+            if (pixels.length == w * h * c && c >= 1) {
+              val g = new Array[Float](w * h)
+              var i = 0
+              while (i < w * h) {
+                var s = 0f
+                var j = 0
+                while (j < c) { s += pixels(i * c + j); j += 1 }
+                g(i) = s / c
+                i += 1
+              }
+              (g, w, h)
+            } else (pixels, pixels.length, 1)
+          (a.asset_id, dHash64(gray, gw, gh))
+        }
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: perceptual dHash fed straight into the
+    * generic two-level Hamming band join
+    * ([[graft.ops.Dedup.hammingNearDuplicates]]) — image dedup is a
+    * first-class member of the banded-join family with ZERO new join
+    * code: candidates come from 28-bit band-key equality (no all-pairs
+    * scan), `bit_count(xor) <= maxHamming` verifies, first-agreeing-
+    * entry emits each pair exactly once.
+    */
+  def imageNearDuplicates(
+      assets: Dataset[MediaAsset],
+      decoder: ImageDecoder,
+      maxHamming: Int = 3,
+      batchSize: Int = 32): DataFrame =
+    graft.ops.Dedup.hammingNearDuplicates(
+      imageDHash(assets, decoder, batchSize), "dhash", "asset_id", maxHamming)
 
   /** Video frame sampling: one row per sampled frame timestamp —
     * per-row `explode(sequence)`, no shuffle (the decode of each frame

@@ -425,6 +425,21 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingNearDuplicates(
+      df.select(col(idCol), simhash64(col(textCol)).as("__h64")),
+      "__h64", idCol, maxHamming)
+
+  /** Generic two-level-banded Hamming near-dup join over ANY
+    * precomputed 64-bit hash column (SimHash for text, dHash/pHash for
+    * images — [[graft.multimodal.MultiModal.imageNearDuplicates]] rides
+    * this verbatim). Same recall proof, same first-agreeing-entry
+    * exactly-once emission, zero modality-specific join code.
+    */
+  def hammingNearDuplicates(
+      hashes: DataFrame,
+      hashCol: String,
+      idCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding guarantees recall only to Hamming 3")
     def band(sh: Column, b: Int): Column =
@@ -441,7 +456,8 @@ object Dedup {
     // Combined 28-bit equi-key for entry m = b*4 + j.
     def entryKey(sh: Column, m: Int): Column =
       shiftleft(band(sh, m / 4), 12).bitwiseOR(sub(sh, m / 4, m % 4))
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val sh = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("sh"))
+      .where(col("sh").isNotNull)
     // Persisted (tracked): both self-join sides reference the banded
     // relation, and its input is the full-corpus tokenize+hash scan.
     val banded = graft.core.Caches.persistTracked(

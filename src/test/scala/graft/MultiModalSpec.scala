@@ -63,4 +63,68 @@ class MultiModalSpec extends SparkSpec {
     // audio 125s -> ceil(125/60)=3 frames; video 30s -> 1 frame
     assert(frames == Seq((3L, 0L, 0.0), (3L, 1L, 60.0), (3L, 2L, 120.0), (4L, 0L, 0.0)))
   }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash64: scale-invariant on a smooth image, brightness-invariant, edit-local") {
+    def img(w: Int, h: Int): Array[Float] = Array.tabulate(w * h) { i =>
+      val x = (i % w).toDouble / w; val y = (i / w).toDouble / h
+      (0.5 + 0.4 * math.sin(6.0 * x) * math.cos(4.0 * y)).toFloat
+    }
+    val small = MultiModal.dHash64(img(18, 16), 18, 16)
+    val large = MultiModal.dHash64(img(72, 64), 72, 64)
+    assert(hamming(small, large) <= 4,
+      s"2x/4x rescale of the same image moved ${hamming(small, large)} bits")
+    // Brightness shift never changes any comparison outcome.
+    val bright = MultiModal.dHash64(img(18, 16).map(_ + 0.07f), 18, 16)
+    assert(bright == small)
+    // A single-pixel edit is absorbed by area pooling (robustness)...
+    val onePix = img(18, 16); onePix(40) = 1.0f
+    assert(hamming(small, MultiModal.dHash64(onePix, 18, 16)) <= 2)
+    // ...while a local 6x6 block edit moves a few bits in its cells
+    // only (locality, not avalanche).
+    val edited = img(18, 16)
+    for (y <- 2 until 8; x <- 4 until 10) edited(y * 18 + x) = 0.0f
+    val editHash = MultiModal.dHash64(edited, 18, 16)
+    assert(hamming(small, editHash) >= 1 && hamming(small, editHash) <= 16,
+      s"block edit moved ${hamming(small, editHash)} bits")
+    intercept[IllegalArgumentException](MultiModal.dHash64(Array(0.1f), 2, 2))
+  }
+
+  test("byteGrayDecoder + imageDHash: identical payloads collide, near payloads near") {
+    val text = "the quick brown fox jumps over the lazy dog, again and again " * 5
+    val a = MediaAsset(1L, "image", text.getBytes, 0.0)
+    val dup = MediaAsset(2L, "image", text.getBytes, 0.0)
+    val near = MediaAsset(3L, "image", text.replace("lazy", "hazy").getBytes, 0.0)
+    val far = MediaAsset(4L, "image", text.reverse.getBytes, 0.0)
+    val dh = MultiModal.imageDHash(Seq(a, dup, near, far).toDS(),
+        new ByteGrayDecoder(16, 16), batchSize = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(dh.size == 4)
+    assert(dh(1L) == dh(2L))
+    assert(hamming(dh(1L), dh(3L)) <= 8, "locality-preserving decode lost")
+    assert(hamming(dh(1L), dh(4L)) > 8, "reversed payload should not be near")
+  }
+
+  test("imageNearDuplicates == brute force over the same dHashes (banded join reuse)") {
+    val rnd = new scala.util.Random(7)
+    // 40 random payloads + planted exact dups + single-byte edits.
+    val base = (1L to 40L).map(i =>
+      MediaAsset(i, "image", Array.fill(256)(rnd.nextInt(256).toByte), 0.0))
+    val planted = base.take(6).map(a =>
+      MediaAsset(a.asset_id + 100, "image",
+        { val p = a.payload.clone(); if (a.asset_id % 2 == 0) p(17) = 42; p }, 0.0))
+    val assets = (base ++ planted).toDS()
+    val dec = new ByteGrayDecoder(16, 16)
+    val got = MultiModal.imageNearDuplicates(assets, dec, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    val hashes = MultiModal.imageDHash(assets, dec).as[(Long, Long)].collect().toSeq
+    val expect = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && hamming(ha, hb) <= 3
+    } yield (ia, ib)).sorted
+    assert(got == expect)
+    assert(expect.nonEmpty, "fixture must plant at least one near-dup pair")
+    assert(got.size == got.distinct.size, "exactly-once emission")
+  }
 }

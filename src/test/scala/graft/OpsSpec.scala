@@ -1210,6 +1210,31 @@ class OpsSpec extends SparkSpec {
     assert(sup2 == Seq((10L, 20L)))
   }
 
+  test("support pairs: apriori item prune is invisible in the result (random baskets)") {
+    import graft.ops.Affinity
+    // Seeded random baskets with a deliberately heavy unique-item tail,
+    // so the prune removes real co-occurring rows (pairs of two
+    // infrequent items, and mixed frequent/infrequent pairs) — none of
+    // which can reach minSupport. Oracle = in-memory brute force.
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 40L).flatMap { b =>
+      val size = 1 + rnd.nextInt(6)
+      Seq.fill(size)((b, (rnd.nextInt(60) + 1).toLong))
+    }
+    for (minSupport <- Seq(2L, 3L)) {
+      graft.core.Caches.releaseShared()
+      val got = Affinity.supportPairs(rows.toDF("b", "i"), "b", "i", minSupport)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val expect = rows.distinct.groupBy(_._1).values
+        .flatMap(items => items.map(_._2).sorted.combinations(2))
+        .toSeq.groupBy(identity).view
+        .map { case (p, occ) => (p(0), p(1), occ.size.toLong) }
+        .filter(_._3 >= minSupport).toSeq.sorted
+      assert(got == expect, s"minSupport=$minSupport")
+    }
+    graft.core.Caches.releaseShared()
+  }
+
   test("JL projection equals an independent JVM reimplementation; null vecs dropped") {
     import graft.ops.RandomProjection
     val vecs = Seq(
