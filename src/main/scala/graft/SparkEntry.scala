@@ -2292,7 +2292,103 @@ object SparkEntry {
       assets.toDF().agg(count(lit(1)).as("n_assets"))
         .crossJoin(broadcast(cmp)).crossJoin(broadcast(dup))
     }),
+    "q141_index_cascade" -> ((s, d) => {
+      // q134's EXACT scenario served by the MATERIALIZED corpus index:
+      // writeCorpusIndex persists the corpus prefix/sets/texts as
+      // bucketed tables, cascadeAgainstIndex runs the batch against
+      // them — same full-value DuckDB oracle as q134, so index-backed
+      // == direct is pinned row for row, not as an envelope. The
+      // amortization story (batch joins with the corpus
+      // tokenize/sort/explode scan gone) is measured by
+      // tools/IndexBench; here the build runs in-query (fresh tables
+      // per run keeps Verify/Bench/RespellSweep hermetic).
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs0.where(col("doc_id") % 5 =!= 0)
+      val fresh = docs0.where(col("doc_id") % 5 === 0)
+      val replay = corpus.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      val nearMiss = corpus.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val batch = fresh.unionByName(replay).unionByName(nearMiss)
+      val prefix = "graft_idx_q141"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q141_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      Dedup.writeCorpusIndex(corpus, "text", "doc_id", threshold = 0.8,
+        shingleN = 3, tablePrefix = prefix, basePath = base)
+      graft.ops.DedupCascade.cascadeAgainstIndex(batch, "text", "doc_id", 0.8, prefix)
+        .orderBy(col("id"))
+    }),
+    "q142_bloom_anti" -> ((s, d) => {
+      // q40's J5 composite anti-join through the BLOOM FAST PATH:
+      // definite-new rows (bloom miss) bypass the anti-join shuffle as
+      // a map-only filter; only might-contain rows verify exactly.
+      // Same full-value oracle as q40 pins exactness; the plan carries
+      // ONE join (the candidate arm) instead of shuffling every row.
+      // NOTE this row is the CORRECTNESS pin, not the fast path's
+      // showcase: with the filter built in-query over a store ~half
+      // the probe side, measured sf10m floors are 16.7s vs q40's 7.8s
+      // — the win requires the amortized prebuilt-filter deployment
+      // (see Load.discoverNewChunksBloom's Scaladoc for the measured
+      // break-even).
+      val li = lineitem(s, d)
+      val existing = li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey").as("e_ok"), col("l_suppkey").as("e_sk"))
+      val nKeys = math.max(1L, existing.count())
+      val bloom = graft.ops.Sketches.bloomBuild(
+        existing.select(struct(col("e_ok"), col("e_sk")).as("__k")), "__k", nKeys, 0.01)
+      val hit = graft.ops.Sketches.bloomMightContain(bloom,
+        struct(col("l_orderkey"), col("l_suppkey")))
+      val misses = li.where(!hit)
+      val verified = li.where(hit).join(existing,
+        col("l_orderkey") === col("e_ok") && col("l_suppkey") === col("e_sk"),
+        "left_anti")
+      misses.unionByName(verified.select(misses.columns.map(col): _*))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"))
+    }),
   )
+
+  // q40/q142 share one oracle: the J5 composite anti-join, plain vs
+  // bloom-fast-path.
+  private lazy val compositeAntiOracle: String =
+    """SELECT l_orderkey, count(*) AS n FROM lineitem li
+       WHERE NOT EXISTS (
+         SELECT 1 FROM lineitem e
+         WHERE e.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND e.l_orderkey = li.l_orderkey AND e.l_suppkey = li.l_suppkey)
+       GROUP BY l_orderkey ORDER BY l_orderkey"""
+
+  // q134/q141 share one oracle: same batch derivation (exact replays +
+  // one-token mutations), semi-join exact stage, all-pairs batch×corpus
+  // Jaccard (the form the prefix-filtered operator avoids), same
+  // trigram spelling and NULLIF empty-set guard as q132.
+  private lazy val incrementalCascadeOracle: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 5 <> 0),
+       batch AS (
+         SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         UNION ALL
+         SELECT doc_id + 200000, text FROM corpus WHERE doc_id % 11 = 0
+         UNION ALL
+         SELECT doc_id + 300000, text || ' zz' FROM corpus
+           WHERE doc_id % 13 = 0),
+       ex AS (SELECT doc_id FROM batch
+         WHERE text IN (SELECT text FROM corpus)),
+       bsrc AS (SELECT doc_id AS id, text FROM batch
+         WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+       csrc AS (SELECT doc_id AS id, text FROM corpus),
+       ${jaccardPrefixRsCtes("bsrc", "csrc", 0.8)},
+       nr AS (SELECT DISTINCT id_l AS doc_id FROM pv WHERE jac >= 0.8)
+       SELECT b.doc_id AS id,
+         CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_corpus'
+              WHEN nr.doc_id IS NOT NULL THEN 'near_corpus'
+              ELSE 'kept' END AS stage
+       FROM batch b
+       LEFT JOIN ex ON b.doc_id = ex.doc_id
+       LEFT JOIN nr ON b.doc_id = nr.doc_id
+       ORDER BY id"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -2356,13 +2452,10 @@ object SparkEntry {
       """SELECT c_custkey FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY c_custkey""",
-    "q40_composite_anti" ->
-      """SELECT l_orderkey, count(*) AS n FROM lineitem li
-         WHERE NOT EXISTS (
-           SELECT 1 FROM lineitem e
-           WHERE e.l_shipdate >= TIMESTAMP '1996-01-01'
-             AND e.l_orderkey = li.l_orderkey AND e.l_suppkey = li.l_suppkey)
-         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "q40_composite_anti" -> compositeAntiOracle,
+    // q142: the same J5 result through the bloom fast path — identical
+    // oracle, so bloom-accelerated == plain anti-join is a full-value pin.
+    "q142_bloom_anti" -> compositeAntiOracle,
     "q11_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -3881,31 +3974,10 @@ Hosts: %s
     // mutations), semi-join exact stage, all-pairs batch×corpus
     // Jaccard (the form the prefix-filtered operator avoids), same
     // trigram spelling and NULLIF empty-set guard as q132.
-    "q134_incremental_cascade" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents
-             WHERE doc_id % 5 <> 0),
-         batch AS (
-           SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
-           UNION ALL
-           SELECT doc_id + 200000, text FROM corpus WHERE doc_id % 11 = 0
-           UNION ALL
-           SELECT doc_id + 300000, text || ' zz' FROM corpus
-             WHERE doc_id % 13 = 0),
-         ex AS (SELECT doc_id FROM batch
-           WHERE text IN (SELECT text FROM corpus)),
-         bsrc AS (SELECT doc_id AS id, text FROM batch
-           WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
-         csrc AS (SELECT doc_id AS id, text FROM corpus),
-         ${jaccardPrefixRsCtes("bsrc", "csrc", 0.8)},
-         nr AS (SELECT DISTINCT id_l AS doc_id FROM pv WHERE jac >= 0.8)
-         SELECT b.doc_id AS id,
-           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_corpus'
-                WHEN nr.doc_id IS NOT NULL THEN 'near_corpus'
-                ELSE 'kept' END AS stage
-         FROM batch b
-         LEFT JOIN ex ON b.doc_id = ex.doc_id
-         LEFT JOIN nr ON b.doc_id = nr.doc_id
-         ORDER BY id""",
+    "q134_incremental_cascade" -> incrementalCascadeOracle,
+    // q141: the SAME scenario through the materialized corpus index —
+    // identical oracle, so index-backed == direct is a full-value pin.
+    "q141_index_cascade" -> incrementalCascadeOracle,
     // q135: same 1e-6 grid snap (round_even on the float->double-exact
     // promotion), same truncating per-dim mean, same integer L1/L2²;
     // dims enumerated 0-based to match posexplode.

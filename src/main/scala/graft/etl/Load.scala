@@ -51,6 +51,58 @@ object Load {
     chunks.join(existing.select("video_id", "start_time"),
       Seq("video_id", "start_time"), "left_anti")
 
+  /** Bloom-accelerated [[discoverNewChunks]] (opt-in fast path, exact):
+    * build a bloom filter over the store's composite keys once, then
+    * rows the filter DEFINITELY hasn't seen bypass the anti-join as a
+    * map-only filter — only the might-contain minority (true dups +
+    * fpp false positives) shuffles for exact verification. Same
+    * semantics as the plain anti-join (q142 pins it against q40's
+    * full-value oracle; the definite-new arm is join-free in the plan,
+    * pinned by EtlSpec's plan assert).
+    *
+    * MEASURED (sf10m, q40's shape, warm floors): bloom 16.7 s vs plain
+    * anti-join 7.8 s — the fast path LOSES when the filter is built
+    * in-query over a store comparable in size to the batch (the build
+    * scan + a ~1.2 bytes/key bitmap shipped to every task cost more
+    * than the shuffle they avoid). It WINS in the deployment shape it
+    * exists for: the store's filter is built ONCE per corpus version
+    * (or maintained incrementally) and reused every batch — pass it
+    * via the prebuilt overload — and the batch is miss-dominated
+    * (resumable load: most chunks are new). Same break-even logic as
+    * Spark's own runtime bloom injection thresholds.
+    */
+  def discoverNewChunksBloom(
+      chunks: DataFrame,
+      existing: DataFrame,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bloom = graft.ops.Sketches.bloomBuild(
+      existing.select(struct(col("video_id"), col("start_time")).as("__k")),
+      "__k", expectedItems, fpp)
+    discoverNewChunksBloom(chunks, existing, bloom)
+  }
+
+  /** [[discoverNewChunksBloom]] with a PREBUILT store filter — the
+    * amortized form: build the bitmap once per corpus version
+    * ([[graft.ops.Sketches.bloomBuild]] over the store keys) and reuse
+    * it across batches; on append, OR-merge the accepted batch's keys
+    * in (bloom bitmaps with identical parameters union losslessly)
+    * rather than rebuilding. The filter MUST cover every store key: a
+    * false POSITIVE only costs a verified row, but a store key absent
+    * from the filter would let its duplicate bypass verification — so
+    * never probe with a filter that lags the store.
+    */
+  def discoverNewChunksBloom(
+      chunks: DataFrame,
+      existing: DataFrame,
+      storeBloom: Array[Byte]): DataFrame = {
+    val exKeys = existing.select(col("video_id"), col("start_time"))
+    val hit = graft.ops.Sketches.bloomMightContain(storeBloom,
+      struct(col("video_id"), col("start_time")))
+    chunks.where(!hit).unionByName(
+      chunks.where(hit).join(exKeys, Seq("video_id", "start_time"), "left_anti"))
+  }
+
   /** G5: embed chunk texts through the external model in fixed-size
     * batches inside each partition (reference encode batch 128,
     * build_vector_store.py:22-29).

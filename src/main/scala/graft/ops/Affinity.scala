@@ -79,14 +79,32 @@ object Affinity {
     * classical lever that keeps the pair shuffle proportional to the
     * frequent subcorpus. Cheap insurance on this profile, the
     * difference between feasible and not on a Zipfian one.
+    *
+    * SKEW POSTURE (measured, tools/SkewProbe): the shuffle key is the
+    * basket, so per-key pair volume is quadratic in basket size. A
+    * power-law tail to ~1800-item baskets is harmless (wall 3.8 s vs
+    * 6.2 s uniform at 300k baskets — sum(sz²) barely moves). ONE
+    * 20k-item mega-basket is not: it alone contributes 200M of 414M
+    * pair rows on a single key, wall 3.8 s -> 17.9 s, and AQE's skew
+    * split does NOT engage (it splits oversized partitions of the
+    * OTHER join side; a single hot key's quadratic explode happens
+    * inside one task either way). The guard is `maxBasketSize` — the
+    * classical market-basket cap: capped at the tail max, wall returns
+    * to 7.0 s and the pair set is exactly the uncapped set minus the
+    * degenerate basket's contribution. Salting does not apply: unlike
+    * a hot JOIN key (see [[Skew.saltedJoin]]), the quadratic blowup is
+    * per-basket by construction, so the only scalable answers are cap
+    * or upstream sampling of pathological baskets.
     */
   def supportPairs(
       df: DataFrame,
       basketCol: String,
       itemCol: String,
       minSupport: Long,
-      itemsOpt: Option[DataFrame] = None): DataFrame = {
+      itemsOpt: Option[DataFrame] = None,
+      maxBasketSize: Option[Int] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    maxBasketSize.foreach(m => require(m >= 2, s"maxBasketSize must be >= 2, got $m"))
     // The shared-cache key must identify the input RELATION, not just
     // a 32-bit plan hash: a semanticHash collision between two
     // different basket relations would silently serve wrong pairs to
@@ -100,7 +118,8 @@ object Affinity {
       .digest(df.queryExecution.analyzed.canonicalized.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    val key = s"affinity-support-pairs:$basketCol:$itemCol:$minSupport:$planDigest"
+    val key = s"affinity-support-pairs:$basketCol:$itemCol:$minSupport:" +
+      s"${maxBasketSize.getOrElse(0)}:$planDigest"
     graft.core.Caches.shared(key) {
       // The self-join reads the deduped items relation twice; tracked
       // persist bounds that to one scan while the pairs themselves
@@ -118,14 +137,31 @@ object Affinity {
       // semi-join of the persisted items relation (AQE broadcasts the
       // frequent-item list when it is small) to shrink the pair
       // shuffle; see the cost anatomy above for the measured effect.
+      // MARKET-BASKET CAP (opt-in): per-key pair volume is quadratic
+      // in basket size and AQE's skew split does NOT rescue a single
+      // mega-key (tools/SkewProbe: one 20k-item basket = 200M of 414M
+      // pair rows, wall 3.7 s -> 19.5 s, aqe_skew_split=false — the
+      // split threshold sees partitions, not keys). Degenerate baskets
+      // (a crawler session touching 100k items) are a data-quality
+      // pathology, not co-occurrence signal; the classical guard is to
+      // drop them before the self-join.
+      val capped = maxBasketSize match {
+        case None => items
+        case Some(m) =>
+          val ok = items.groupBy(col("__b"))
+            .agg(count(lit(1)).as("__sz"))
+            .where(col("__sz") <= m)
+            .select(col("__b"))
+          items.join(ok, Seq("__b"), "left_semi")
+      }
       val joinInput =
-        if (minSupport <= 1L) items
+        if (minSupport <= 1L) capped
         else {
-          val frequent = items.groupBy(col("__i"))
+          val frequent = capped.groupBy(col("__i"))
             .agg(count(lit(1)).as("__n"))
             .where(col("__n") >= minSupport)
             .select(col("__i"))
-          items.join(frequent, Seq("__i"), "left_semi")
+          capped.join(frequent, Seq("__i"), "left_semi")
         }
       val l = joinInput.select(col("__b"), col("__i").as("item_a"))
       val r = joinInput.select(col("__b"), col("__i").as("item_b"))

@@ -100,4 +100,40 @@ object DedupCascade {
           .when(coalesce(col("removed_near"), lit(false)), lit("near_corpus"))
           .otherwise(lit("kept")).as("stage"))
   }
+
+  /** [[cascadeAgainst]] with the standing corpus served by a
+    * [[Dedup.writeCorpusIndex]] materialization instead of a corpus
+    * DataFrame: the exact stage semi/anti-joins the bucketed `_texts`
+    * table, the near stage runs [[Dedup.jaccardJoinAgainstIndex]] —
+    * identical output (q141 pins it against q134's full-value DuckDB
+    * oracle), zero corpus re-derivation per batch. This is the daily
+    * loop at scale: `writeCorpusIndex` once per corpus version,
+    * `cascadeAgainstIndex` + [[Dedup.appendToCorpusIndex]] per batch.
+    */
+  def cascadeAgainstIndex(
+      incoming: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      tablePrefix: String = "graft_corpus_index"): DataFrame = {
+    val spark = incoming.sparkSession
+    val in = graft.core.Caches.persistTracked(
+      incoming.select(col(idCol).as("id"), col(textCol).as("text")))
+    val corpusTexts = spark.table(s"${tablePrefix}_texts")
+    val exactHit = in.join(corpusTexts, Seq("text"), "left_semi")
+      .select(col("id")).withColumn("removed_exact", lit(true))
+    val survivors = in.join(corpusTexts, Seq("text"), "left_anti")
+    val nearHit = Dedup.jaccardJoinAgainstIndex(
+        survivors.select(col("id"), col("text")), textCol = "text",
+        idCol = "id", threshold, tablePrefix)
+      .select(col("id_in").as("id")).distinct()
+      .withColumn("removed_near", lit(true))
+    in.select(col("id"))
+      .join(exactHit, Seq("id"), "left_outer")
+      .join(nearHit, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(coalesce(col("removed_exact"), lit(false)), lit("exact_corpus"))
+          .when(coalesce(col("removed_near"), lit(false)), lit("near_corpus"))
+          .otherwise(lit("kept")).as("stage"))
+  }
 }

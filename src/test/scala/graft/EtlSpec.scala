@@ -126,6 +126,18 @@ class EtlSpec extends SparkSpec {
     val newOnes = Load.discoverNewChunks(chunks.toDF(), existing)
     assert(newOnes.count() == 4)
 
+    // Bloom fast path == plain anti-join, and its definite-new arm is
+    // join-free: exactly ONE join in the whole plan (the might-contain
+    // verification), with the bloom probe present as a map-side filter.
+    val viaBloom = Load.discoverNewChunksBloom(chunks.toDF(), existing, expectedItems = 1)
+    assert(viaBloom.select("video_id", "start_time").as[(String, Double)].collect().toSet ==
+      newOnes.select("video_id", "start_time").as[(String, Double)].collect().toSet)
+    val plan = viaBloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    val joins = "(?i)(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one join (candidate arm), got $joins:\n$plan")
+
     // G5: deterministic embeddings — same text, same vector, unit norm.
     val embedded = Load.embedChunks(chunks, new HashEmbedder(dim = 16), batchSize = 2)
     val vecs = embedded.collect().map(e => e.text -> e.embedding).toMap

@@ -339,4 +339,40 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e2.getMessage.toLowerCase.contains("type"))
   }
+
+  test("minhash signature: byte-level fast path is bit-identical to the string reference") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.unsafe.types.UTF8String
+    // The pre-optimization implementation, kept as the semantic
+    // reference: String split/trim + a StringBuilder per shingle +
+    // XXH64.hashLong per (shingle, j).
+    def reference(text: String, shingleN: Int, numHashes: Int): Seq[Long] = {
+      val toks = UTF8String.fromString(text).toLowerCase.toString.trim.split("\\s+")
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val nShingles = toks.length - shingleN + 1
+      for (i <- 0 until nShingles) {
+        val s = (i until i + shingleN).map(toks).mkString(" ")
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val base = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        for (j <- 0 until numHashes) {
+          val p = XXH64.hashLong(base, j)
+          if (p < mins(j)) mins(j) = p
+        }
+      }
+      mins.toSeq
+    }
+    val rnd = new scala.util.Random(23)
+    val edge = Seq("", "   ", "\t\n x \r\n", "one", "a  b\tc\nd",
+      "Ünïcode ÉDGE İstanbul ß text", "ab c", "x y",
+      "word " * 40)
+    val randoms = Seq.tabulate(40)(_ =>
+      Seq.fill(1 + rnd.nextInt(30))("tok" + rnd.nextInt(50)).mkString(
+        if (rnd.nextBoolean()) " " else "  \t"))
+    for (t <- edge ++ randoms; n <- Seq(1, 2, 3); k <- Seq(4, 32)) {
+      val got = graft.functions.MinHashOps
+        .signature(UTF8String.fromString(t), n, k).toLongArray().toSeq
+      assert(got == reference(t, n, k), s"text=${t.take(40).replace("\n", "\\n")} n=$n k=$k")
+    }
+  }
 }

@@ -1233,6 +1233,20 @@ class OpsSpec extends SparkSpec {
       assert(got == expect, s"minSupport=$minSupport")
     }
     graft.core.Caches.releaseShared()
+    // Market-basket cap == brute force over baskets within the cap.
+    val megaRows = rows ++ (1L to 9L).map(i => (999L, i * 7L))
+    graft.core.Caches.releaseShared()
+    val capped = Affinity.supportPairs(megaRows.toDF("b", "i"), "b", "i", 2L,
+        maxBasketSize = Some(8))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val cappedExpect = megaRows.distinct.groupBy(_._1).values
+      .filter(_.map(_._2).distinct.size <= 8)
+      .flatMap(items => items.map(_._2).distinct.sorted.combinations(2))
+      .toSeq.groupBy(identity).view
+      .map { case (p, occ) => (p(0), p(1), occ.size.toLong) }
+      .filter(_._3 >= 2L).toSeq.sorted
+    assert(capped == cappedExpect)
+    graft.core.Caches.releaseShared()
   }
 
   test("JL projection equals an independent JVM reimplementation; null vecs dropped") {
@@ -1633,6 +1647,61 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq((10L, "exact_corpus"), (11L, "near_corpus"),
       (12L, "kept"), (13L, "kept")))
+    graft.core.Caches.releaseAll()
+  }
+
+  test("materialized corpus index: index-backed join/cascade == direct; append == rebuild") {
+    import graft.ops.{Dedup, DedupCascade}
+    // Sliding-window docs so the RS join has a rich pair structure.
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until 12).map(j => vocab((i.toInt + j) % vocab.size)).mkString(" "))
+    }
+    val corpus = docs.filter(_._1 % 3 != 0).toDF("doc_id", "text")
+    val incoming = docs.filter(_._1 % 3 == 0).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(corpus, "text", "doc_id", threshold = 0.5,
+      shingleN = 2, tablePrefix = "t_idx", numBuckets = 4)
+    // Index-backed == direct at the build threshold AND above it
+    // (stored prefixes are a superset of any higher threshold's).
+    for (t <- Seq(0.5, 0.8)) {
+      val viaIdx = Dedup.jaccardJoinAgainstIndex(incoming, "text", "doc_id", t, "t_idx")
+        .select("id_in", "id_corpus").as[(Long, Long)].collect().toSet
+      val direct = Dedup.jaccardJoinAgainst(incoming, corpus, "text", "doc_id", t, shingleN = 2)
+        .select("id_in", "id_corpus").as[(Long, Long)].collect().toSet
+      assert(viaIdx == direct, s"threshold $t")
+      if (t == 0.5) assert(direct.nonEmpty)
+      graft.core.Caches.releaseAll()
+    }
+    // Below the build threshold the stored prefixes are too short —
+    // must refuse, never silently lose recall.
+    intercept[IllegalArgumentException](
+      Dedup.jaccardJoinAgainstIndex(incoming, "text", "doc_id", 0.3, "t_idx"))
+    // Cascade through the index == direct cascade.
+    val batch = incoming.unionByName(
+      Seq((100L, docs(1)._2), (101L, docs(1)._2 + " zz")).toDF("doc_id", "text"))
+    val viaIdx = DedupCascade.cascadeAgainstIndex(batch, "text", "doc_id", 0.8, "t_idx")
+      .as[(Long, String)].collect().toSeq.sorted
+    val direct = DedupCascade.cascadeAgainst(batch, corpus, "text", "doc_id", 0.8, 2)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(viaIdx == direct)
+    assert(viaIdx.exists(_._2 == "exact_corpus") && viaIdx.exists(_._2 == "near_corpus"))
+    graft.core.Caches.releaseAll()
+    // Append path: index(c1) + append(c2) serves the same results as a
+    // fresh rebuild over c1 ∪ c2.
+    val c1 = docs.filter(d => d._1 % 3 != 0 && d._1 < 15).toDF("doc_id", "text")
+    val c2 = docs.filter(d => d._1 % 3 != 0 && d._1 >= 15).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(c1, "text", "doc_id", 0.5, 2, "t_idx2", numBuckets = 4)
+    Dedup.appendToCorpusIndex(c2, "text", "doc_id", "t_idx2")
+    val appended = Dedup.jaccardJoinAgainstIndex(incoming, "text", "doc_id", 0.5, "t_idx2")
+      .select("id_in", "id_corpus").as[(Long, Long)].collect().toSet
+    val rebuilt = Dedup.jaccardJoinAgainst(incoming, corpus, "text", "doc_id", 0.5, shingleN = 2)
+      .select("id_in", "id_corpus").as[(Long, Long)].collect().toSet
+    assert(appended == rebuilt)
+    // The candidate arm reads the bucketed prefix table as a bucketed
+    // scan (the co-location the materialization buys).
+    val plan = Dedup.jaccardJoinAgainstIndex(incoming, "text", "doc_id", 0.5, "t_idx")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"prefix scan not bucketed:\n$plan")
     graft.core.Caches.releaseAll()
   }
 
