@@ -10,7 +10,12 @@ import org.apache.spark.sql.graftbridge.Bridge
   * `iso_duration_seconds`, `vec_cosine`, `simhash64`,
   * `minhash_signature`, the `chunk_transcript` table function, and the
   * structured-LLM-output parsers in the session function registry so
-  * `spark.sql("SELECT vec_cosine(a, b) ...")` works like any builtin.
+  * `spark.sql("SELECT vec_cosine(a, b) ...")` works like any builtin —
+  * PLUS the ops library as TABLE functions (`tableRegistry`): e.g.
+  * `SELECT * FROM dedup_cascade('docs', 'text', 'doc_id', 0.8, 3)` or
+  * `SELECT * FROM support_pairs('orders', 'basket', 'item', 2)` run
+  * the exact LogicalPlan the Scala DataFrame ops build, composable
+  * with ordinary SQL around them.
   *
   * Two entry points:
   *  - `spark.sql.extensions=graft.GraftExtensions` (spark-submit path);
@@ -84,11 +89,124 @@ object GraftFunctions {
       graft.query.StructuredOutput.parseQueryResponseExpr(args.head)
     })
 
+  // ---- ops library as SQL TABLE functions --------------------------
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+  // SQL `0.8` parses as a Decimal literal; accept the numeric spellings.
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case Literal(v: Double, _) => v
+    case Literal(v: Float, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case Literal(v: Long, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+  private def tableOf(name: String): org.apache.spark.sql.DataFrame =
+    SparkSession.active.table(name)
+  private def plan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
+
+  /** The ops library's SQL story (`SELECT * FROM op('table', ...)`):
+    * each TVF takes the INPUT TABLE/VIEW NAME plus the op's parameters
+    * as literals and resolves to exactly the LogicalPlan the Scala
+    * DataFrame API builds — one implementation, two surfaces
+    * (SqlSurfaceSpec pins SQL == Scala row-for-row per op).
+    */
+  val tableRegistry: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    // keep-min-id exact dedup: (id, keep) survivor tags
+    "exact_dedup" -> { args =>
+      arity("exact_dedup", args, 3)
+      plan(graft.ops.Dedup.exact(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol")))
+    },
+    // staged cascade: (id, stage in exact|near|kept)
+    "dedup_cascade" -> { args =>
+      arity("dedup_cascade", args, 5)
+      plan(graft.ops.DedupCascade.cascade(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        doubleLit(args(3), "threshold"), longLit(args(4), "shingleN").toInt))
+    },
+    // incremental R-S cascade: batch table vs corpus table
+    "cascade_against" -> { args =>
+      arity("cascade_against", args, 6)
+      plan(graft.ops.DedupCascade.cascadeAgainst(
+        tableOf(strLit(args(0), "batchTable")), tableOf(strLit(args(1), "corpusTable")),
+        strLit(args(2), "textCol"), strLit(args(3), "idCol"),
+        doubleLit(args(4), "threshold"), longLit(args(5), "shingleN").toInt))
+    },
+    // exact prefix-filtered Jaccard pairs: (id_a, id_b, jaccard)
+    "jaccard_pairs" -> { args =>
+      arity("jaccard_pairs", args, 5)
+      plan(graft.ops.Dedup.jaccardJoinExact(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        doubleLit(args(3), "threshold"), longLit(args(4), "shingleN").toInt))
+    },
+    // banded SimHash near-dup pairs: (id_a, id_b, hamming)
+    "simhash_pairs" -> { args =>
+      arity("simhash_pairs", args, 4)
+      plan(graft.ops.Dedup.simhashNearDuplicates(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "maxHamming").toInt))
+    },
+    // market-basket co-occurrence: (item_a, item_b, n_ab)
+    "support_pairs" -> { args =>
+      arity("support_pairs", args, 4)
+      plan(graft.ops.Affinity.supportPairs(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "basketCol"), strLit(args(2), "itemCol"),
+        longLit(args(3), "minSupport")))
+    },
+    // lift table: (item_a, item_b, n_ab, n_a, n_b, lift_micro)
+    "basket_lift" -> { args =>
+      arity("basket_lift", args, 4)
+      plan(graft.ops.Affinity.basketLift(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "basketCol"), strLit(args(2), "itemCol"),
+        longLit(args(3), "minSupport")))
+    },
+    // weekly cohort retention: (cohort_week, week_offset, n_users)
+    "weekly_retention" -> { args =>
+      arity("weekly_retention", args, 3)
+      plan(graft.ops.Retention.weeklyCohorts(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "userCol"), strLit(args(2), "tsCol")))
+    },
+    // behavioral transition matrix: (src, dst, n, p_micro)
+    "markov_transitions" -> { args =>
+      arity("markov_transitions", args, 5)
+      plan(graft.ops.Markov.transitionMatrix(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "userCol"), strLit(args(2), "tsCol"),
+        strLit(args(3), "typeCol"), strLit(args(4), "tieCol")))
+    },
+    // ordered-step funnel; steps as a comma-separated literal
+    "event_funnel" -> { args =>
+      arity("event_funnel", args, 6)
+      plan(graft.ops.Funnel.funnelMatch(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "keyCol"), strLit(args(2), "tsCol"),
+        strLit(args(3), "typeCol"),
+        strLit(args(4), "steps").split(",").toIndexedSeq.map(_.trim),
+        longLit(args(5), "maxGapSeconds")))
+    })
+
   /** Imperative registration into an existing session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     registry.foreach { case (name, builder) =>
       Bridge.registerFunction(spark, name, builder)
     }
+    tableRegistry.foreach { case (name, builder) =>
+      Bridge.registerTableFunction(spark, name, builder)
+    }
+  }
 
   /** Imperative optimizer-rule registration for an already-built
     * session (`spark.experimental.extraOptimizations` runs after the
@@ -110,6 +228,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.registry.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+    GraftFunctions.tableRegistry.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.HammingBandJoinRule)

@@ -21,6 +21,65 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getAs[Int]("sig_len") == 8)
   }
 
+  test("ops TVFs: SELECT * FROM op('table', ...) == the Scala DataFrame op, row for row") {
+    GraftFunctions.register(spark)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(c => col(c).cast("string")): _*)
+        .collect().map(_.mkString("|")).sorted.toIndexedSeq
+    }
+    def pin(sql: String, scala: org.apache.spark.sql.DataFrame): Unit = {
+      assert(canon(spark.sql(sql)) == canon(scala), sql)
+      graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
+    }
+    // documents-shaped fixture with exact + near duplicates
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    Seq((1L, a), (2L, a), (3L, a.replace("lazy", "hazy")),
+      (4L, "entirely different content about query engines and shuffles"))
+      .toDF("doc_id", "text").createOrReplaceTempView("tvf_docs")
+    val docs = spark.table("tvf_docs")
+    pin("SELECT * FROM exact_dedup('tvf_docs', 'text', 'doc_id')",
+      graft.ops.Dedup.exact(docs, "text", "doc_id"))
+    pin("SELECT * FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.8, 3)",
+      graft.ops.DedupCascade.cascade(docs, "text", "doc_id", 0.8, 3))
+    pin("SELECT * FROM jaccard_pairs('tvf_docs', 'text', 'doc_id', 0.5, 3)",
+      graft.ops.Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.5, 3))
+    pin("SELECT * FROM simhash_pairs('tvf_docs', 'text', 'doc_id', 3)",
+      graft.ops.Dedup.simhashNearDuplicates(docs, "text", "doc_id", 3))
+    Seq((10L, a), (11L, a + " extra")).toDF("doc_id", "text")
+      .createOrReplaceTempView("tvf_batch")
+    pin("SELECT * FROM cascade_against('tvf_batch', 'tvf_docs', 'text', 'doc_id', 0.8, 3)",
+      graft.ops.DedupCascade.cascadeAgainst(
+        spark.table("tvf_batch"), docs, "text", "doc_id", 0.8, 3))
+    // basket fixture
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
+      .toDF("b", "i").createOrReplaceTempView("tvf_baskets")
+    val baskets = spark.table("tvf_baskets")
+    pin("SELECT * FROM support_pairs('tvf_baskets', 'b', 'i', 2)",
+      graft.ops.Affinity.supportPairs(baskets, "b", "i", 2))
+    pin("SELECT * FROM basket_lift('tvf_baskets', 'b', 'i', 1)",
+      graft.ops.Affinity.basketLift(baskets, "b", "i", 1))
+    // events fixture
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    Seq((1L, t(0), "view", 1L), (1L, t(1), "cart", 2L), (1L, t(2), "buy", 3L),
+      (2L, t(0), "view", 4L), (2L, t(30), "cart", 5L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+      .createOrReplaceTempView("tvf_events")
+    val events = spark.table("tvf_events")
+    pin("SELECT * FROM weekly_retention('tvf_events', 'user_id', 'ts')",
+      graft.ops.Retention.weeklyCohorts(events, "user_id", "ts"))
+    pin("SELECT * FROM markov_transitions('tvf_events', 'user_id', 'ts', 'event_type', 'event_id')",
+      graft.ops.Markov.transitionMatrix(events, "user_id", "ts", "event_type", "event_id"))
+    pin("SELECT * FROM event_funnel('tvf_events', 'user_id', 'ts', 'event_type', 'view,cart,buy', 600)",
+      graft.ops.Funnel.funnelMatch(events, "user_id", "ts", "event_type",
+        Seq("view", "cart", "buy"), 600L))
+    // TVFs compose with ordinary SQL (filter/aggregate over the TVF).
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.5, 3)
+         WHERE stage = 'kept'""").head().getLong(0)
+    assert(n == 2L) // doc 1 kept (2 removed exact, 3 removed near at 0.5), doc 4 kept
+  }
+
   test("pure-SQL jaccard-threshold join goes through the prefix-filter rewrite") {
     GraftFunctions.register(spark)
     GraftFunctions.registerOptimizations(spark)
