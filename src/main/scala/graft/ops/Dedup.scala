@@ -456,6 +456,34 @@ object Dedup {
       .saveAsTable(s"${tablePrefix}_meta")
   }
 
+  /** (Re)bind a [[writeCorpusIndex]] materialization at `basePath` to
+    * THIS session's catalog — the restart path: catalog entries are
+    * session-scoped, the parquet under `basePath` is not. Schemas are
+    * inferred from the files themselves (no fixed DDL to drift), the
+    * bucket spec is restored from `_meta`, so a rebound index plans
+    * exactly like the session that wrote it. Idempotent: existing
+    * entries are left alone.
+    */
+  def registerCorpusIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      basePath: String): Unit = {
+    def ddl(name: String): String =
+      spark.read.parquet(s"$basePath/$name").schema.toDDL
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      spark.sql(s"CREATE TABLE ${tablePrefix}_meta (${ddl("meta")}) " +
+        s"USING PARQUET LOCATION '$basePath/meta'")
+    val nb = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("num_buckets")
+    def bind(name: String, bucketCol: String): Unit =
+      if (!spark.catalog.tableExists(s"${tablePrefix}_$name"))
+        spark.sql(s"CREATE TABLE ${tablePrefix}_$name (${ddl(name)}) USING PARQUET " +
+          s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $nb BUCKETS " +
+          s"LOCATION '$basePath/$name'")
+    bind("sets", "id")
+    bind("prefix", "tok")
+    bind("texts", "text")
+  }
+
   /** Append a batch to a standing corpus index written by
     * [[writeCorpusIndex]] — the accept-into-corpus half of the daily
     * loop (dedup the batch against the index, then append the
@@ -464,12 +492,27 @@ object Dedup {
     * rebuild's. `_texts` may accumulate cross-batch duplicate text
     * rows (each batch distincts only itself) — harmless to the
     * left-semi/anti consumers by idempotence of set membership.
+    *
+    * SELF-READ GUARD: the natural usage derives `newDocs` FROM this
+    * index (dedup-against-index, then append the survivors). Each of
+    * the three table appends invalidates every cached plan that reads
+    * the written table, so an unguarded later append would RE-EVALUATE
+    * `newDocs` against the half-appended index — the batch's own rows,
+    * now present in `_sets`/`_prefix`, would match themselves and the
+    * re-evaluated survivor set silently collapses to empty (observed:
+    * the `_texts` append writing zero rows). When the input plan reads
+    * any `tablePrefix` table, it is snapshotted (`localCheckpoint`)
+    * once up front so all three appends consume the same frozen rows.
     */
   def appendToCorpusIndex(
-      newDocs: DataFrame,
+      newDocs0: DataFrame,
       textCol: String,
       idCol: String,
       tablePrefix: String = "graft_corpus_index"): Unit = {
+    val newDocs =
+      if (newDocs0.queryExecution.analyzed.toString.contains(tablePrefix + "_"))
+        newDocs0.localCheckpoint()
+      else newDocs0
     val spark = newDocs.sparkSession
     val meta = spark.table(s"${tablePrefix}_meta").head()
     val threshold = meta.getAs[Double]("threshold")

@@ -457,4 +457,62 @@ object StreamingOps {
         graft.core.Caches.releaseAll()
       }
       .start()
+
+  /** [[nearDedupStoreSink]] with the standing corpus served by the
+    * MATERIALIZED index ([[graft.ops.Dedup.writeCorpusIndex]]) instead
+    * of re-deriving shingles from the store parquet every micro-batch:
+    * the daily-append loop at its cheapest. First batch builds the
+    * index at `indexPath`; every later batch (re)binds the catalog
+    * entries ([[graft.ops.Dedup.registerCorpusIndex]] — restart-safe:
+    * catalog entries are session-scoped, the index files are not),
+    * cascades against the bucketed tables, appends survivors to BOTH
+    * the document store and the index
+    * ([[graft.ops.Dedup.appendToCorpusIndex]]). Exactly-once per
+    * content as before — state lives in the store+index, replays drop
+    * by content.
+    */
+  def nearDedupStoreSinkIndexed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storePath: String,
+      indexPath: String,
+      checkpoint: String,
+      tablePrefix: String = "graft_sink_index",
+      threshold: Double = 0.8,
+      shingleN: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val selfKept = graft.ops.DedupCascade
+          .cascade(batch, textCol, idCol, threshold, shingleN)
+          .where(col("stage") === "kept")
+          .select(col("id").as(idCol))
+          .join(batch, Seq(idCol))
+        val hasIndex = graft.core.FsUtil.exists(spark, s"$indexPath/meta")
+        val kept =
+          if (hasIndex) {
+            graft.ops.Dedup.registerCorpusIndex(spark, tablePrefix, indexPath)
+            graft.ops.DedupCascade
+              .cascadeAgainstIndex(selfKept, textCol, idCol, threshold, tablePrefix)
+              .where(col("stage") === "kept")
+              .select(col("id").as(idCol))
+              .join(selfKept, Seq(idCol))
+          } else selfKept
+        // Materialize the survivors ONCE before the three writes below
+        // read them (store append + two index appends — unpersisted,
+        // each write would re-run the cascade).
+        val keptP = graft.core.Caches.persistTracked(kept)
+        keptP.write.mode("append").parquet(storePath)
+        if (hasIndex)
+          graft.ops.Dedup.appendToCorpusIndex(keptP, textCol, idCol, tablePrefix)
+        else
+          graft.ops.Dedup.writeCorpusIndex(keptP, textCol, idCol, threshold,
+            shingleN, tablePrefix, indexPath)
+        graft.core.Caches.releaseAll()
+      }
+      .start()
 }

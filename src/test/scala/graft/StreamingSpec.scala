@@ -422,4 +422,41 @@ class StreamingSpec extends SparkSpec {
     runBatch(3, (20L, "completely different content here"), (21L, base))
     assert(storedIds() == Set(1L, 3L, 12L), s"replay must be idempotent: ${storedIds()}")
   }
+
+  test("nearDedupStoreSinkIndexed: same dedup semantics via the corpus index; survives catalog loss") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-neardedup-idx").toString
+    val store = s"$dir/store"
+    val index = s"$dir/index"
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val nearA = base + " extra"
+    val distinctC = (0 until 30).map(i => s"z$i").mkString(" ")
+    val nearC = distinctC + " tail"
+
+    def runBatch(n: Int, rows: (Long, String)*): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      val q = StreamingOps.nearDedupStoreSinkIndexed(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        store, index, s"$dir/ckpt$n", tablePrefix = "t_sinkidx")
+      q.awaitTermination()
+    }
+    def storedIds(): Set[Long] =
+      spark.read.parquet(store).select("doc_id").as[Long].collect().toSet
+
+    runBatch(1, (1L, base), (2L, nearA), (3L, distinctC))
+    assert(storedIds() == Set(1L, 3L), s"in-batch near-dup must drop: ${storedIds()}")
+    runBatch(2, (10L, base), (11L, nearC), (12L, "completely different content here"))
+    assert(storedIds() == Set(1L, 3L, 12L),
+      s"exact replay + near-dup vs index must drop: ${storedIds()}")
+    // Restart simulation: the catalog forgets the index tables (a new
+    // session would), the files remain — registerCorpusIndex inside
+    // the sink must rebind and keep deduping.
+    for (t <- Seq("meta", "sets", "prefix", "texts"))
+      spark.sql(s"DROP TABLE IF EXISTS t_sinkidx_$t")
+    runBatch(3, (20L, "completely different content here"), (21L, base))
+    assert(storedIds() == Set(1L, 3L, 12L), s"replay must be idempotent: ${storedIds()}")
+    // The rebound index still carries every stored document's text.
+    assert(spark.table("t_sinkidx_texts").count() == 3L)
+  }
 }
