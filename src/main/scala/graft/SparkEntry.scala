@@ -2348,6 +2348,84 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_orderkey"))
     }),
+    "q143_video_frame_dedup" -> ((s, d) => {
+      // Scene-level video near-dedup: per-frame perceptual dHashes
+      // through the SAME generic Hamming band join (q140's family),
+      // aggregated to video pairs sharing >= 2 near-dup frames — the
+      // footage-reuse/partial-copy operator content hashing can't see.
+      // q62 discipline: banded operator over the FULL corpus == brute
+      // force over the same engine-computed frame hashes on a bounded
+      // deterministic sub-corpus; 50 payload-identical clones plant
+      // all-frames-shared pairs at every SF. Durations derive from
+      // n_chars (2-4 frames each), so frame volume rides corpus size
+      // linearly.
+      import s.implicits._
+      val cap = 2000L
+      val docs = documents(s, d)
+      val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      val clones = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"), col("n_chars"))
+      val assetsDf = base.unionByName(clones)
+        .select(col("doc_id").as("asset_id"), lit("video").as("kind"),
+          col("text").cast("binary").as("payload"),
+          (lit(6.0) + least(col("n_chars"), lit(700)).cast("double") / 50.0)
+            .as("duration_sec"))
+      val assets = assetsDf.as[graft.multimodal.MediaAsset]
+      val dec = new graft.multimodal.ByteGrayFrameDecoder(16, 16)
+      val bandedAll = graft.multimodal.MultiModal.videoNearDuplicates(
+        assets, dec, everySec = 5.0, maxHamming = 3, minSharedFrames = 2)
+      def inS(c: org.apache.spark.sql.Column) = c < cap || c >= 10000000L
+      val banded = bandedAll.where(inS(col("video_a")) && inS(col("video_b")))
+      // Brute arm: same deterministic frame hashes on the sub-corpus,
+      // all-pairs Hamming written bit_count(~xor) >= 61 (rule-proof).
+      val subFrames = graft.core.Caches.persistTracked(
+        graft.multimodal.MultiModal.frameDHashes(
+          assetsDf.where(inS(col("asset_id"))).as[graft.multimodal.MediaAsset],
+          dec, everySec = 5.0))
+      val fa = subFrames.select(col("asset_id").as("va"), col("frame_idx").as("fa"),
+        col("dhash").as("ha"))
+      val fb = subFrames.select(col("asset_id").as("vb"), col("frame_idx").as("fb"),
+        col("dhash").as("hb"))
+      val brute = fa.join(fb,
+          bit_count(bitwise_not(col("ha").bitwiseXOR(col("hb")))) >= lit(61) &&
+            (col("va") * 1000000L + col("fa")) < (col("vb") * 1000000L + col("fb")) &&
+            col("va") =!= col("vb"))
+        .select(least(col("va"), col("vb")).as("video_a"),
+          greatest(col("va"), col("vb")).as("video_b"))
+        .groupBy(col("video_a"), col("video_b"))
+        .agg(count(lit(1)).as("n_frame_pairs"))
+        .where(col("n_frame_pairs") >= 2)
+      val cmp = banded.withColumn("in_banded", lit(1))
+        .join(brute.withColumn("in_brute", lit(1)),
+          Seq("video_a", "video_b", "n_frame_pairs"), "full")
+        .agg(
+          coalesce(every(col("in_banded").isNotNull && col("in_brute").isNotNull),
+            lit(true)).as("banded_equals_brute"),
+          (count(lit(1)) > 0).as("has_pairs"))
+      assetsDf.agg(count(lit(1)).as("n_videos")).crossJoin(broadcast(cmp))
+    }),
+    "q144_vector_index_search" -> ((s, d) => {
+      // Materialized IVF vector index, searched at FULL probe: the
+      // bucketed store path (write -> probe-pruned scan -> exact
+      // rescore) must reproduce brute-force top-k exactly — pinned
+      // against q29's DuckDB oracle at full value. Partial-probe
+      // recall/I/O posture is q60/OpsSpec's pin; this row pins the
+      // STORE machinery end to end (build + catalog + bucketed scan +
+      // rank), fresh tables per run for hermetic Verify/Bench.
+      val emb = embeddings(s, d)
+      val prefix = "graft_idx_q144"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q144_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.VectorIndex.writeIvfIndex(emb, "embedding", "vec_id",
+        nlist = 16, refineIters = 1, tablePrefix = prefix, basePath = base)
+      val queries = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+      graft.ops.VectorIndex.searchIvfIndex(queries, "q_embedding", "q_id",
+          k = 5, nprobe = 16, tablePrefix = prefix)
+        .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"),
+          col("rank"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
   )
 
   // q40/q142 share one oracle: the J5 composite anti-join, plain vs
@@ -4084,5 +4162,23 @@ Hosts: %s
       """SELECT (SELECT count(*) FROM documents) +
                 (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_assets,
          TRUE AS banded_equals_brute, TRUE AS has_pairs, TRUE AS banded_distinct""",
+    // q143: frame-hash values have no DuckDB mirror — envelope pins the
+    // banded-vs-brute agreement and the recomputable video count.
+    "q143_video_frame_dedup" ->
+      """SELECT (SELECT count(*) FROM documents) +
+                (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_videos,
+         TRUE AS banded_equals_brute, TRUE AS has_pairs""",
+    // q144: full-probe IVF store search == brute-force top-k — q29's
+    // oracle verbatim (same cosine, same (score DESC, vec_id) ties).
+    "q144_vector_index_search" ->
+      """SELECT q_id, vec_id, round(score, 4) AS score, rank FROM (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])) AS score,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+           FROM embeddings e, embeddings q WHERE q.vec_id < 10) t
+         WHERE rank <= 5 ORDER BY q_id, rank""",
   )
 }

@@ -43,6 +43,37 @@ trait ImageDecoder extends Serializable {
   * The PLUMBING (batching, schema, partition behavior) is identical to
   * what a real decoder would see.
   */
+/** Frame-grain decode boundary for video assets — a real deployment
+  * plugs ffmpeg keyframe extraction here; the stub derives each frame
+  * deterministically from (payload, frameIdx) with LOCALITY (nearby
+  * frames of the same payload decode to similar images).
+  */
+trait VideoFrameDecoder extends Serializable {
+  def decodeFrame(payload: Array[Byte], frameIdx: Long): (Int, Int, Int, Array[Float])
+}
+
+/** Codec-free stub frame decoder: frame i reads the payload bytes as a
+  * `w` x `h` gray image starting at a per-frame byte offset (cyclic) —
+  * identical payloads yield identical frame sequences, small payload
+  * edits perturb few frames, different payloads diverge.
+  */
+class ByteGrayFrameDecoder(w: Int = 16, h: Int = 16, strideBytes: Int = 7)
+    extends VideoFrameDecoder {
+  require(w >= 1 && h >= 1 && strideBytes >= 1)
+  override def decodeFrame(payload: Array[Byte], frameIdx: Long): (Int, Int, Int, Array[Float]) = {
+    val g = new Array[Float](w * h)
+    if (payload.nonEmpty) {
+      val off = ((frameIdx * strideBytes) % payload.length).toInt
+      var i = 0
+      while (i < g.length) {
+        g(i) = (payload((off + i) % payload.length) & 0xFF) / 255f
+        i += 1
+      }
+    }
+    (w, h, 1, g)
+  }
+}
+
 /** Codec-free decoder reading the payload's raw bytes as a `w` x `h`
   * grayscale image (row-major, truncate/zero-pad). Unlike
   * [[StubImageDecoder]]'s payload-hash fake (avalanche: any byte change
@@ -217,6 +248,85 @@ object MultiModal {
       batchSize: Int = 32): DataFrame =
     graft.ops.Dedup.hammingNearDuplicates(
       imageDHash(assets, decoder, batchSize), "dhash", "asset_id", maxHamming)
+
+  /** Per-frame perceptual hashes for video assets: [[sampleFrames]]'s
+    * grid (ceil(duration/everySec) frames), each frame decoded through
+    * the [[VideoFrameDecoder]] boundary and dHash'd — all inside one
+    * bounded-batch `mapPartitions` (no shuffle; the explode happens in
+    * the iterator, so peak memory is one asset's decode at a time).
+    * Output: (asset_id, frame_idx, dhash).
+    */
+  def frameDHashes(
+      assets: Dataset[MediaAsset],
+      decoder: VideoFrameDecoder,
+      everySec: Double,
+      batchSize: Int = 32): DataFrame = {
+    require(everySec > 0, s"everySec must be positive, got $everySec")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.filter(_.duration_sec > 0).flatMap { a =>
+          val n = math.max(1L, math.ceil(a.duration_sec / everySec).toLong)
+          (0L until n).iterator.map { f =>
+            val (w, h, c, pixels) = decoder.decodeFrame(a.payload, f)
+            val (gray, gw, gh) =
+              if (pixels.length == w * h * c && c >= 1) {
+                val g = new Array[Float](w * h)
+                var i = 0
+                while (i < w * h) {
+                  var s = 0f; var j = 0
+                  while (j < c) { s += pixels(i * c + j); j += 1 }
+                  g(i) = s / c; i += 1
+                }
+                (g, w, h)
+              } else (pixels, math.max(pixels.length, 1), 1)
+            (a.asset_id, f, if (gray.isEmpty) 0L else dHash64(gray, gw, gh))
+          }
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "dhash")
+  }
+
+  /** Max frames per asset the frame-pair surrogate key supports. */
+  private val MaxFramesPerAsset = 1000000L
+
+  /** Video-level near-duplicate pairs: two videos sharing at least
+    * `minSharedFrames` near-duplicate FRAMES (frame dHash within
+    * `maxHamming`) — scene-level dedup for footage reuse, re-encodes,
+    * and partial copies that content-hash dedup can never see. The
+    * frame-pair discovery is the SAME generic two-level Hamming band
+    * join ([[graft.ops.Dedup.hammingNearDuplicates]]) over per-frame
+    * hashes keyed by a (asset, frame) surrogate; video pairs then
+    * aggregate matching frame pairs — candidates stay proportional to
+    * true frame-level overlap, never all-frames x all-frames.
+    * Output: (video_a, video_b, n_frame_pairs), video_a < video_b.
+    */
+  def videoNearDuplicates(
+      assets: Dataset[MediaAsset],
+      decoder: VideoFrameDecoder,
+      everySec: Double,
+      maxHamming: Int = 3,
+      minSharedFrames: Long = 2L,
+      batchSize: Int = 32): DataFrame = {
+    require(minSharedFrames >= 1, s"minSharedFrames must be >= 1")
+    val frames = frameDHashes(assets, decoder, everySec, batchSize)
+      .where(col("frame_idx") < MaxFramesPerAsset)
+      .select((col("asset_id") * MaxFramesPerAsset + col("frame_idx")).as("fid"),
+        col("dhash"))
+    val framePairs = graft.ops.Dedup
+      .hammingNearDuplicates(frames, "dhash", "fid", maxHamming)
+    framePairs
+      .select((col("id_a") - pmod(col("id_a"), lit(MaxFramesPerAsset)))
+          .cast("long").divide(MaxFramesPerAsset).cast("long").as("va"),
+        (col("id_b") - pmod(col("id_b"), lit(MaxFramesPerAsset)))
+          .cast("long").divide(MaxFramesPerAsset).cast("long").as("vb"))
+      .where(col("va") =!= col("vb"))
+      .select(least(col("va"), col("vb")).as("video_a"),
+        greatest(col("va"), col("vb")).as("video_b"))
+      .groupBy(col("video_a"), col("video_b"))
+      .agg(count(lit(1)).as("n_frame_pairs"))
+      .where(col("n_frame_pairs") >= minSharedFrames)
+  }
 
   /** Video frame sampling: one row per sampled frame timestamp —
     * per-row `explode(sequence)`, no shuffle (the decode of each frame

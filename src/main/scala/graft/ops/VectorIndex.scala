@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MATERIALIZED IVF vector index — the storage half of a 100 TB ANN
+  * deployment, first-class (the measured layout study is
+  * tools/IvfPqLayoutDemo; this is the operator API): the store is
+  * written ONCE, bucketed by coarse list id, and every search reads
+  * only its probed lists' buckets — I/O ∝ nprobe/nlist enforced by the
+  * layout, not by trusting a filter.
+  *
+  * Tables under `tablePrefix` / `basePath`:
+  *  - `_store`     (id, emb, centroid_id)  bucketed by centroid_id
+  *  - `_centroids` (centroid_id, centroid_emb) — tiny, broadcast side
+  *  - `_meta`      (nlist, num_buckets) — one row
+  *
+  * Same catalog discipline as the corpus index
+  * ([[Dedup.writeCorpusIndex]]): entries are session-scoped, files are
+  * not; [[registerVectorIndex]] rebinds after a restart.
+  *
+  * BUCKET PRUNING caveat: Spark's planner auto-disables bucketed
+  * reading for scans with no bucket-key join/agg
+  * (`spark.sql.sources.bucketing.autoBucketedScan.enabled`), which
+  * also disables filter-based bucket pruning — [[searchIvfIndex]]
+  * scopes that knob off around its own plan so the probed-list
+  * `IN (...)` filter prunes at the scan (`SelectedBucketsCount` in the
+  * plan; pinned by OpsSpec).
+  */
+object VectorIndex {
+  import graft.functions.VectorFunctions.vecCosine
+
+  /** Train centroids (deterministic coarse pick + `refineIters` Lloyd
+    * steps — [[Similarity.pickCentroids]]/[[Similarity.refineCentroids]]),
+    * assign every vector map-side, and write the bucketed store.
+    */
+  def writeIvfIndex(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      refineIters: Int = 1,
+      tablePrefix: String = "graft_vector_index",
+      basePath: String = null): Unit = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val spark = vecs.sparkSession
+    var centroids = Similarity.pickCentroids(vecs, nlist, embCol, idCol)
+    for (_ <- 0 until refineIters)
+      centroids = graft.core.Caches.persistTracked(
+        Similarity.refineCentroids(vecs, centroids, embCol, idCol))
+    val assigned = vecs.crossJoin(broadcast(centroids))
+      .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
+      .groupBy(col(idCol).as("id"), col(embCol).as("emb"))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("centroid_id"))
+    def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+        name: String) =
+      if (basePath == null) w else w.option("path", s"$basePath/$name")
+    path(assigned.write.mode("overwrite").format("parquet"), "store")
+      .bucketBy(nlist, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(s"${tablePrefix}_store")
+    path(centroids.write.mode("overwrite").format("parquet"), "centroids")
+      .saveAsTable(s"${tablePrefix}_centroids")
+    path(spark.createDataFrame(Seq((nlist, nlist))).toDF("nlist", "num_buckets")
+      .write.mode("overwrite").format("parquet"), "meta")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Rebind a [[writeIvfIndex]] materialization at `basePath` into THIS
+    * session's catalog (restart path) — schema inferred from the files,
+    * bucket spec restored from `_meta`. Idempotent.
+    */
+  def registerVectorIndex(
+      spark: SparkSession,
+      tablePrefix: String,
+      basePath: String): Unit = {
+    def ddl(name: String): String =
+      spark.read.parquet(s"$basePath/$name").schema.toDDL
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      spark.sql(s"CREATE TABLE ${tablePrefix}_meta (${ddl("meta")}) " +
+        s"USING PARQUET LOCATION '$basePath/meta'")
+    val nb = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("num_buckets")
+    if (!spark.catalog.tableExists(s"${tablePrefix}_centroids"))
+      spark.sql(s"CREATE TABLE ${tablePrefix}_centroids (${ddl("centroids")}) " +
+        s"USING PARQUET LOCATION '$basePath/centroids'")
+    if (!spark.catalog.tableExists(s"${tablePrefix}_store"))
+      spark.sql(s"CREATE TABLE ${tablePrefix}_store (${ddl("store")}) USING PARQUET " +
+        s"CLUSTERED BY (centroid_id) SORTED BY (centroid_id) INTO $nb BUCKETS " +
+        s"LOCATION '$basePath/store'")
+  }
+
+  /** Assign NEW vectors to the EXISTING centroids and append — the
+    * incremental path (centroids are fixed per index version; drift is
+    * a rebuild decision the owner makes on [[CentroidDrift]] evidence).
+    */
+  def appendToIvfIndex(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      tablePrefix: String = "graft_vector_index"): Unit = {
+    val spark = vecs.sparkSession
+    val nb = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("num_buckets")
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
+      .groupBy(col(idCol).as("id"), col(embCol).as("emb"))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("centroid_id"))
+      .write.mode("append").format("parquet")
+      .bucketBy(nb, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(s"${tablePrefix}_store")
+  }
+
+  /** Probe-pruned top-k search against the materialized store: each
+    * query picks its `nprobe` nearest centroids, the UNION of probed
+    * list ids becomes an `IN` literal filter on the bucketed scan
+    * (bucket pruning — only those buckets' files are read), exact
+    * cosine + per-query window rank on the probed rows. At
+    * `nprobe = nlist` the result is EXACTLY brute-force top-k (q144's
+    * full-value oracle pin); smaller `nprobe` trades recall for the
+    * layout-enforced I/O cut.
+    *
+    * The probed-list collection is a driver round-trip over at most
+    * `nlist` longs — the price of turning a dynamic probe set into a
+    * prunable literal (Spark has no dynamic bucket pruning); bounded by
+    * construction, never data-sized.
+    */
+  def searchIvfIndex(
+      queries: DataFrame,
+      qEmbCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      tablePrefix: String = "graft_vector_index"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    val probeW = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__qsim").desc, col("centroid_id"))
+    val probes = graft.core.Caches.persistTracked(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("__qsim", vecCosine(col(qEmbCol), col("centroid_emb")))
+        .withColumn("__pr", row_number().over(probeW))
+        .where(col("__pr") <= nprobe)
+        .select(col(qIdCol), col(qEmbCol), col("centroid_id")))
+    val probedLists = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = spark.table(s"${tablePrefix}_store")
+      .where(col("centroid_id").isin(probedLists.map(Long.box): _*))
+    val rankW = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("id"))
+    val out = pruned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("score", vecCosine(col("emb"), col(qEmbCol)))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col("id").as("vec_id"), col("score"), col("rank"))
+    // The bucket-pruning knob is read at PLANNING time, so the search
+    // executes eagerly inside a scoped conf window (localCheckpoint —
+    // results are k rows per query, never data-sized) and the session
+    // conf is restored before returning; callers get a small
+    // materialized relation, not a plan that silently loses pruning
+    // once the knob reverts.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try out.localCheckpoint()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}

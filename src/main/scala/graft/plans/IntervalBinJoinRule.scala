@@ -173,6 +173,11 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       case c @ LessThanOrEqual(p, e) => Seq((c, p, e): Bound)
       case c @ GreaterThan(e, p) => Seq((c, p, e): Bound)
       case c @ GreaterThanOrEqual(e, p) => Seq((c, p, e): Bound)
+      // Non-comparison conjuncts (e.g. a `!=` inequality arriving as
+      // Not(EqualTo)) must fall through — a missing default here threw
+      // MatchError inside the optimizer for ANY candidate join whose
+      // condition carried one (found by q143's `va =!= vb` conjunct).
+      case _ => Nil
     }
     def ts(e: Expression): Boolean =
       e.dataType == TimestampType && e.deterministic

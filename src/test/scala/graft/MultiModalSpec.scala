@@ -127,4 +127,40 @@ class MultiModalSpec extends SparkSpec {
     assert(expect.nonEmpty, "fixture must plant at least one near-dup pair")
     assert(got.size == got.distinct.size, "exactly-once emission")
   }
+
+  test("videoNearDuplicates == brute force over the same frame hashes; clones share all frames") {
+    val rnd = new scala.util.Random(11)
+    def vid(id: Long, payload: Array[Byte], dur: Double) =
+      MediaAsset(id, "video", payload, dur)
+    val p1 = Array.fill(400)(rnd.nextInt(256).toByte)
+    val p2 = Array.fill(400)(rnd.nextInt(256).toByte)
+    val assets = Seq(
+      vid(1L, p1, 100.0),            // 10 frames at everySec=10
+      vid(2L, p1.clone(), 100.0),    // full clone: shares all 10 frames
+      vid(3L, p2, 50.0),             // unrelated
+      vid(4L, p1.clone(), 30.0),     // partial copy: first 3 frames
+      vid(5L, Array[Byte](), 20.0),  // empty payload
+      vid(6L, p2.clone(), 0.0))      // still: no frames
+      .toDS()
+    val dec = new ByteGrayFrameDecoder(16, 16)
+    val got = MultiModal.videoNearDuplicates(assets, dec, everySec = 10.0,
+        maxHamming = 3, minSharedFrames = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // Brute force from the same frame hashes.
+    val fh = MultiModal.frameDHashes(assets, dec, 10.0)
+      .as[(Long, Long, Long)].collect().toSeq
+    val brute = (for {
+      (va, fa, ha) <- fh; (vb, fb, hb) <- fh
+      if va * 1000000L + fa < vb * 1000000L + fb && va != vb && hamming(ha, hb) <= 3
+    } yield (math.min(va, vb), math.max(va, vb)))
+      .groupBy(x => x).view.map { case (p, occ) => (p._1, p._2, occ.size.toLong) }
+      .filter(_._3 >= 2L).toSeq.sorted
+    assert(got == brute)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 10L),
+      s"full clone must share all frames: $got")
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L),
+      s"partial copy must surface: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L),
+      s"unrelated/empty videos must not pair: $got")
+  }
 }

@@ -108,6 +108,21 @@ class RangeLayoutSpec extends SparkSpec {
     }
   }
 
+  test("interval join rule: non-comparison conjuncts (Not, !=) never break extraction") {
+    // Regression: a `!=` conjunct arrives as Not(EqualTo); the upper-
+    // bound collector's missing default threw MatchError inside the
+    // optimizer for ANY join whose condition mixed range comparisons
+    // with other predicates (found by q143's brute arm).
+    GraftFunctions.registerOptimizations(spark)
+    val a = Seq((1L, 10L), (2L, 25L)).toDF("ida", "va")
+    val b = Seq((1L, 5L), (3L, 20L)).toDF("idb", "vb")
+    val out = a.join(b,
+        col("va") > col("vb") && col("va") < col("vb") + 100L &&
+          col("ida") =!= col("idb"))
+      .select("ida", "idb").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((2L, 1L), (2L, 3L)))
+  }
+
   test("morton key matches a bit-by-bit scala reference and respects the mask") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
