@@ -2254,7 +2254,13 @@ object SparkEntry {
       // pairs at every SF, near-dup document texts plant the
       // small-Hamming tail. The brute predicate is written
       // bit_count(~(a^b)) >= 61 so HammingBandJoinRule cannot re-plan
-      // the reference into the banding it verifies.
+      // the reference into the banding it verifies. Cost note: the
+      // locality-preserving text-byte decode concentrates dHashes
+      // (videoNearDuplicates' cost contract — q143 switched to the
+      // hash-chain decode for exactly this), so this row's banded join
+      // carries a genuinely denser-than-uniform bucket profile
+      // (sf10m warm ~40 s); kept BECAUSE the near-pair tail is the
+      // property under test here.
       import s.implicits._
       val cap = 5000L
       val docs = documents(s, d)
@@ -2371,7 +2377,12 @@ object SparkEntry {
           (lit(6.0) + least(col("n_chars"), lit(700)).cast("double") / 50.0)
             .as("duration_sec"))
       val assets = assetsDf.as[graft.multimodal.MediaAsset]
-      val dec = new graft.multimodal.ByteGrayFrameDecoder(16, 16)
+      // Hash-chain stub decode (natural-image-like frame diversity):
+      // raw text-bytes-as-pixels measured DEGENERATE at scale — their
+      // dHashes concentrate so densely that the true near-dup pair set
+      // goes quadratic (sf10m banded join ~900 s of genuine matches);
+      // see videoNearDuplicates' cost contract.
+      val dec = new graft.multimodal.HashGrayFrameDecoder(16, 16)
       val bandedAll = graft.multimodal.MultiModal.videoNearDuplicates(
         assets, dec, everySec = 5.0, maxHamming = 3, minSharedFrames = 2)
       def inS(c: org.apache.spark.sql.Column) = c < cap || c >= 10000000L

@@ -74,6 +74,29 @@ class ByteGrayFrameDecoder(w: Int = 16, h: Int = 16, strideBytes: Int = 7)
   }
 }
 
+/** Codec-free stub frame decoder with NATURAL-IMAGE-like statistics:
+  * each frame's pixels derive from a hash chain over (payload, frame),
+  * so distinct payloads yield decorrelated, high-entropy frames
+  * (identical payloads still collide exactly — the clone-dedup signal
+  * survives). Use this stub where frame DIVERSITY matters — e.g.
+  * feeding perceptual-hash banding, whose cost contract assumes
+  * near-uniform hash bits (see [[MultiModal.videoNearDuplicates]]);
+  * [[ByteGrayFrameDecoder]]'s raw-byte images of TEXT payloads are the
+  * degenerate opposite (low contrast, heavily repeated structure) and
+  * make dense true-near-dup neighborhoods by construction.
+  */
+class HashGrayFrameDecoder(w: Int = 16, h: Int = 16) extends VideoFrameDecoder {
+  require(w >= 1 && h >= 1)
+  override def decodeFrame(payload: Array[Byte], frameIdx: Long): (Int, Int, Int, Array[Float]) = {
+    val base = java.util.Arrays.hashCode(payload)
+    val g = Array.tabulate(w * h) { i =>
+      (math.abs(scala.util.hashing.MurmurHash3.productHash(
+        (base, frameIdx, i))) % 256) / 255f
+    }
+    (w, h, 1, g)
+  }
+}
+
 /** Codec-free decoder reading the payload's raw bytes as a `w` x `h`
   * grayscale image (row-major, truncate/zero-pad). Unlike
   * [[StubImageDecoder]]'s payload-hash fake (avalanche: any byte change
@@ -300,6 +323,19 @@ object MultiModal {
     * aggregate matching frame pairs — candidates stay proportional to
     * true frame-level overlap, never all-frames x all-frames.
     * Output: (video_a, video_b, n_frame_pairs), video_a < video_b.
+    *
+    * COST CONTRACT (all LSH banding): banded-join work is
+    * sum(bucket occupancy²), which stays linear only while the hash
+    * bits are near-uniform across the corpus. That is a property of
+    * the DECODE + hash, not the join: real image decodes give dHash
+    * the diversity it was designed for, but a degenerate low-entropy
+    * decode (measured with text bytes as raw gray pixels:
+    * sum(bucket²) grew quadratically with corpus size because the
+    * frames genuinely concentrate within Hamming 3 of each other)
+    * makes the TRUE pair set itself quadratic — no join algorithm
+    * outruns output size. If a workload's frames are legitimately
+    * that self-similar, dedupe at exact-hash grain first and treat
+    * equal-hash groups as units.
     */
   def videoNearDuplicates(
       assets: Dataset[MediaAsset],
