@@ -94,10 +94,14 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
     // BENCH_LOCAL.json is the canonical sf0.1 snapshot the docs cite;
-    // a run against any other input must not clobber it.
+    // a run against any other input must not clobber it. BENCH_LAST.json
+    // always holds the most recent run (any SF) for scale-snapshot
+    // copying without stdout parsing.
     if (sfDir == "/root/testdata/sf0.1")
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
       catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

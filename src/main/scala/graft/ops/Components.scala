@@ -83,7 +83,7 @@ object Components {
     // aggregate materializes the round's persisted labels completely,
     // so the next round never recomputes the propagation join.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // null = empty graph
     }
     // Null sentinel: round 1 always runs, so no separate priming job is

@@ -61,7 +61,7 @@ object Sketches {
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(col(keyCol)))),
       Literal(n), Literal(bits)).toAggregateExpression()
-    keys.select(Bridge.column(agg).as("bf")).head.getAs[Array[Byte]](0)
+    keys.select(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
   }
 
   /** Map-only membership probe: false means DEFINITELY absent from the
