@@ -2437,6 +2437,24 @@ object SparkEntry {
           col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }),
+    "q145_cdc_segments" -> ((s, d) => {
+      // Content-defined chunking dedup profile (LBFS rolling-window
+      // residue cuts): segment identity is CONTENT-addressed, so the 50
+      // planted prefix-shifted clones ('zzz ' prepended) resynchronize
+      // with their originals after one window and share nearly all
+      // segments — the stride segmentation (q95) would share ZERO.
+      // FULL-VALUE oracle: boundaries are md5-residue draws DuckDB
+      // recomputes exactly; the dup inventory groups by segment text.
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val shifted = docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("zzz "), col("text")).as("text"))
+      graft.ops.ContentDefinedChunking.cdcDedupStats(
+          docs.unionByName(shifted), "text", "doc_id", w = 4, divisor = 8,
+          minDocs = 2, flagFrac = 0.5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // q40/q142 share one oracle: the J5 composite anti-join, plain vs
@@ -4179,6 +4197,44 @@ Hosts: %s
       """SELECT (SELECT count(*) FROM documents) +
                 (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_videos,
          TRUE AS banded_equals_brute, TRUE AS has_pairs""",
+    // q145: full CDC recompute — boundaries are the same md5-residue
+    // draws (('0x'||hex)::BIGINT mirror, q50's bridge), segments the
+    // same window slices; dup inventory groups by segment TEXT where
+    // Spark groups by xxhash64 (2^-64 collision trade, documented).
+    "q145_cdc_segments" ->
+      """WITH docs2 AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, 'zzz ' || text FROM documents
+             WHERE doc_id < 50),
+         toks AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS t
+           FROM docs2),
+         tn AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1),
+         b AS (SELECT doc_id, t, list_filter(range(1, n + 1), i ->
+             ((('0x' || substr(md5(array_to_string(
+                 t[greatest(1, i - 3) : i], ' ')), 1, 8))::BIGINT % 8) = 0)
+             OR i = n) AS bpos FROM tn),
+         seg AS (SELECT doc_id,
+             array_to_string(
+               t[(CASE WHEN u.j = 0 THEN 0 ELSE bpos[u.j] END) + 1
+                 : bpos[u.j + 1]], ' ') AS seg_text
+           FROM b, LATERAL unnest(range(len(bpos))) AS u(j)),
+         inv AS (SELECT seg_text FROM seg GROUP BY seg_text
+           HAVING count(DISTINCT doc_id) >= 2),
+         per AS (SELECT doc_id, count(*) AS n_segs,
+             sum(CASE WHEN seg_text IN (SELECT seg_text FROM inv)
+                 THEN 1 ELSE 0 END) AS dup_segs
+           FROM seg GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(p.n_segs, 0) AS n_segs,
+           coalesce(p.dup_segs, 0)::BIGINT AS dup_segs,
+           round(CASE WHEN coalesce(p.n_segs, 0) = 0 THEN 0.0
+             ELSE coalesce(p.dup_segs, 0)::DOUBLE / p.n_segs END, 4) AS dup_frac,
+           round(CASE WHEN coalesce(p.n_segs, 0) = 0 THEN 0.0
+             ELSE coalesce(p.dup_segs, 0)::DOUBLE / p.n_segs END, 4) > 0.5
+             AS flagged
+         FROM docs2 d LEFT JOIN per p USING (doc_id)
+         ORDER BY doc_id""",
     // q144: full-probe IVF store search == brute-force top-k — q29's
     // oracle verbatim (same cosine, same (score DESC, vec_id) ties).
     "q144_vector_index_search" ->

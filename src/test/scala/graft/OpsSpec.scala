@@ -1842,4 +1842,80 @@ class OpsSpec extends SparkSpec {
       ("a", 3L, 9, 18L, true), ("a", 4L, 4, 27L, false),
       ("b", 5L, 2, 2L, true)))
   }
+
+  // Scala reference of the CDC rule (md5-residue cuts) — the semantics
+  // the HOF plan claims.
+  private def cdcRef(text: String, w: Int, d: Int): Seq[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.isEmpty) Seq.empty
+    else {
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def draw(i: Int): Long = // i is 1-based
+        java.lang.Long.parseLong(
+          md5hex(toks.slice(math.max(1, i - w + 1) - 1, i).mkString(" "))
+            .substring(0, 8), 16)
+      val n = toks.length
+      val bpos = (1 to n).filter(i => draw(i) % d == 0 || i == n)
+      (0 +: bpos.dropRight(1)).zip(bpos).map { case (p, b) =>
+        toks.slice(p, b).mkString(" ")
+      }
+    }
+  }
+
+  test("CDC segments match the md5-residue reference and reassemble the token stream") {
+    import graft.ops.ContentDefinedChunking
+    val docs = Seq(
+      (1L, (1 to 120).map(i => s"tok${i * 7 % 101}").mkString(" ")),
+      (2L, "alpha beta gamma delta"),
+      (3L, "   "), // token-empty
+      (4L, "single"))
+      .toDF("doc_id", "text")
+    val got = ContentDefinedChunking.cdcSegments(docs, "text", "doc_id", w = 4, divisor = 8)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).map { case (id, xs) => id -> xs.sortBy(_._2).map(_._3) }
+    val texts = Seq(
+      1L -> (1 to 120).map(i => s"tok${i * 7 % 101}").mkString(" "),
+      2L -> "alpha beta gamma delta", 4L -> "single")
+    texts.foreach { case (id, t) =>
+      val want = cdcRef(t, 4, 8)
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want")
+      // Reassembly: segments concatenate back to the token stream.
+      assert(got(id).mkString(" ") ==
+        t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+    assert(!got.contains(3L)) // token-empty docs emit no segments
+    graft.core.Caches.releaseAll()
+  }
+
+  test("CDC boundaries resynchronize after a prefix insertion; stride segments do not") {
+    import graft.ops.{ContentDefinedChunking, SpanDedup}
+    // Distinct tokens so stride windows can never collide by accident.
+    val base = (1 to 400).map(i => s"u${i}x").mkString(" ")
+    val shifted = "zzz " + base
+    val df = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val segs = ContentDefinedChunking.cdcSegments(df, "text", "doc_id", w = 4, divisor = 8)
+      .as[(Long, Int, String)].collect().toSeq
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._3) }
+    val sharedCdc = segs(1L).toSet.intersect(segs(2L).toSet).size
+    // Content-addressed cuts realign after one window: everything past
+    // the first segment is identical.
+    assert(sharedCdc >= segs(1L).size - 2,
+      s"CDC shared only $sharedCdc of ${segs(1L).size} segments")
+    // The POSITION-addressed stride form shares nothing under the
+    // same edit — the property q95 cannot have.
+    val stride = df.select(col("doc_id"),
+        SpanDedup.segmentsOf(col("text"), 8).as("segs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(stride(1L).toSet.intersect(stride(2L).toSet).isEmpty)
+    // And the per-doc profile sees the clone: both docs nearly fully
+    // duplicated at minDocs=2.
+    val stats = ContentDefinedChunking.cdcDedupStats(df, "text", "doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(stats(1L)._4 > 0.9 && stats(1L)._5, s"stats: ${stats(1L)}")
+    assert(stats(2L)._4 > 0.9 && stats(2L)._5, s"stats: ${stats(2L)}")
+    graft.core.Caches.releaseAll()
+  }
 }
