@@ -2455,6 +2455,62 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q146_audio_fingerprint_dedup" -> ((s, d) => {
+      // Audio near-dedup: Haitsma-Kalker band-energy-difference
+      // fingerprints per window, matched through the SAME generic
+      // Hamming band join as images (q140) and video frames (q143) —
+      // the multimodal triple closes on one join. q62/q143 discipline:
+      // banded operator over the FULL corpus == brute force over the
+      // same engine-computed fingerprints on a bounded deterministic
+      // sub-corpus; 50 payload-identical clones plant all-windows-
+      // shared pairs at every SF.
+      import s.implicits._
+      val cap = 2000L
+      val docs = documents(s, d)
+      val base = docs.select(col("doc_id"), col("text"), col("n_chars"))
+      val clones = base.where(col("doc_id") < 50)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+          col("n_chars"))
+      val assetsDf = base.unionByName(clones)
+        .select(col("doc_id").as("asset_id"), lit("audio").as("kind"),
+          col("text").cast("binary").as("payload"),
+          (lit(6.0) + least(col("n_chars"), lit(700)).cast("double") / 50.0)
+            .as("duration_sec"))
+      val assets = assetsDf.as[graft.multimodal.MediaAsset]
+      val dec = new graft.multimodal.HashPcmDecoder
+      val bandedAll = graft.multimodal.MultiModal.audioNearDuplicates(
+        assets, dec, maxHamming = 3, minSharedWindows = 2,
+        sampleRate = 512, frameLen = 512, hop = 1280)
+      val inS = (c: Column) => c < cap || (c >= 10000000L && c < 10000000L + cap)
+      val banded = bandedAll.where(inS(col("audio_a")) && inS(col("audio_b")))
+      // Brute arm: same deterministic fingerprints on the sub-corpus,
+      // all-pairs Hamming written bit_count(~xor) >= 61 (rule-proof).
+      val subFps = graft.core.Caches.persistTracked(
+        graft.multimodal.MultiModal.audioFingerprints(
+          assetsDf.where(inS(col("asset_id"))).as[graft.multimodal.MediaAsset],
+          dec, sampleRate = 512, frameLen = 512, hop = 1280))
+      val fa = subFps.select(col("asset_id").as("va"), col("window_idx").as("wa"),
+        col("fp").as("ha"))
+      val fb = subFps.select(col("asset_id").as("vb"), col("window_idx").as("wb"),
+        col("fp").as("hb"))
+      val brute = fa.join(fb,
+          bit_count(bitwise_not(col("ha").bitwiseXOR(col("hb")))) >= lit(61) &&
+            (col("va") * 1000000L + col("wa")) < (col("vb") * 1000000L + col("wb")) &&
+            col("va") =!= col("vb"))
+        .select(least(col("va"), col("vb")).as("audio_a"),
+          greatest(col("va"), col("vb")).as("audio_b"))
+        .groupBy(col("audio_a"), col("audio_b"))
+        .agg(count(lit(1)).as("n_window_pairs"))
+        .where(col("n_window_pairs") >= 2)
+      val cmp = banded.withColumn("in_banded", lit(1))
+        .join(brute.withColumn("in_brute", lit(1)),
+          Seq("audio_a", "audio_b", "n_window_pairs"), "full")
+        .agg(
+          coalesce(every(col("in_banded").isNotNull && col("in_brute").isNotNull),
+            lit(true)).as("banded_equals_brute"),
+          (count(lit(1)) > 0).as("has_pairs"))
+      assetsDf.agg(count(lit(1)).as("n_audios")).crossJoin(broadcast(cmp))
+    }),
   )
 
   // q40/q142 share one oracle: the J5 composite anti-join, plain vs
@@ -4235,6 +4291,13 @@ Hosts: %s
              AS flagged
          FROM docs2 d LEFT JOIN per p USING (doc_id)
          ORDER BY doc_id""",
+    // q146: fingerprint values have no DuckDB mirror — envelope pins
+    // the banded-vs-brute agreement and the recomputable clip count
+    // (the q143 discipline, audio for video).
+    "q146_audio_fingerprint_dedup" ->
+      """SELECT (SELECT count(*) FROM documents) +
+                (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_audios,
+         TRUE AS banded_equals_brute, TRUE AS has_pairs""",
     // q144: full-probe IVF store search == brute-force top-k — q29's
     // oracle verbatim (same cosine, same (score DESC, vec_id) ties).
     "q144_vector_index_search" ->

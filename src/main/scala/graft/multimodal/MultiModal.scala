@@ -116,6 +116,31 @@ class ByteGrayDecoder(w: Int = 16, h: Int = 16) extends ImageDecoder {
   }
 }
 
+/** PCM decode boundary for audio assets — a real deployment plugs
+  * ffmpeg/libsndfile mono-downmix + resample here; the engine only ever
+  * sees a bounded Float array per asset.
+  */
+trait AudioDecoder extends Serializable {
+  def decodePcm(payload: Array[Byte], nSamples: Int): Array[Float]
+}
+
+/** Codec-free stub PCM decoder: samples derive from a hash chain over
+  * (payload, sample index) — identical payloads give identical PCM (the
+  * clone-dedup signal survives) and distinct payloads give decorrelated
+  * noise-like signals, which is the hash-bit DIVERSITY the banded-join
+  * cost contract needs (the q143 lesson: a low-entropy stub makes the
+  * TRUE pair set quadratic; see [[MultiModal.videoNearDuplicates]]).
+  */
+class HashPcmDecoder extends AudioDecoder {
+  override def decodePcm(payload: Array[Byte], nSamples: Int): Array[Float] = {
+    val base = java.util.Arrays.hashCode(payload)
+    Array.tabulate(nSamples) { i =>
+      ((scala.util.hashing.MurmurHash3.productHash((base, i)) % 10001)
+        / 10000f)
+    }
+  }
+}
+
 class StubImageDecoder extends ImageDecoder {
   override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val h = java.util.Arrays.hashCode(payload)
@@ -343,26 +368,147 @@ object MultiModal {
       everySec: Double,
       maxHamming: Int = 3,
       minSharedFrames: Long = 2L,
-      batchSize: Int = 32): DataFrame = {
-    require(minSharedFrames >= 1, s"minSharedFrames must be >= 1")
-    val frames = frameDHashes(assets, decoder, everySec, batchSize)
-      .where(col("frame_idx") < MaxFramesPerAsset)
-      .select((col("asset_id") * MaxFramesPerAsset + col("frame_idx")).as("fid"),
-        col("dhash"))
-    val framePairs = graft.ops.Dedup
-      .hammingNearDuplicates(frames, "dhash", "fid", maxHamming)
-    framePairs
+      batchSize: Int = 32): DataFrame =
+    sharedUnitNearDupPairs(
+      frameDHashes(assets, decoder, everySec, batchSize)
+        .withColumnRenamed("frame_idx", "unit_idx")
+        .withColumnRenamed("dhash", "h64"),
+      maxHamming, minSharedFrames, "video_a", "video_b", "n_frame_pairs")
+
+  /** Asset pairs sharing >= `minShared` near-duplicate sub-units —
+    * the one aggregation both video (frames) and audio (windows) level
+    * their unit-grain Hamming matches through. `units` must be
+    * (asset_id, unit_idx, h64); candidates come from the generic band
+    * join, never an asset-pair or unit-pair cross product.
+    */
+  private def sharedUnitNearDupPairs(
+      units: DataFrame,
+      maxHamming: Int,
+      minShared: Long,
+      outA: String,
+      outB: String,
+      outN: String): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val keyed = units
+      .where(col("unit_idx") < MaxFramesPerAsset)
+      .select((col("asset_id") * MaxFramesPerAsset + col("unit_idx")).as("uid"),
+        col("h64"))
+    val unitPairs = graft.ops.Dedup
+      .hammingNearDuplicates(keyed, "h64", "uid", maxHamming)
+    unitPairs
       .select((col("id_a") - pmod(col("id_a"), lit(MaxFramesPerAsset)))
           .cast("long").divide(MaxFramesPerAsset).cast("long").as("va"),
         (col("id_b") - pmod(col("id_b"), lit(MaxFramesPerAsset)))
           .cast("long").divide(MaxFramesPerAsset).cast("long").as("vb"))
       .where(col("va") =!= col("vb"))
-      .select(least(col("va"), col("vb")).as("video_a"),
-        greatest(col("va"), col("vb")).as("video_b"))
-      .groupBy(col("video_a"), col("video_b"))
-      .agg(count(lit(1)).as("n_frame_pairs"))
-      .where(col("n_frame_pairs") >= minSharedFrames)
+      .select(least(col("va"), col("vb")).as(outA),
+        greatest(col("va"), col("vb")).as(outB))
+      .groupBy(col(outA), col(outB))
+      .agg(count(lit(1)).as(outN))
+      .where(col(outN) >= minShared)
   }
+
+  /** Per-window 64-bit audio fingerprints — the Haitsma-Kalker
+    * construction (2002, "A Highly Robust Audio Fingerprinting
+    * System"): band energies per overlapping window, bit m of window n
+    * set iff the band-difference of the energy-difference is positive,
+    *   (E[n][m] - E[n][m+1]) - (E[n-1][m] - E[n-1][m+1]) > 0,
+    * which is invariant to volume scaling and robust to filtering —
+    * the audio analogue of the image dHash's gradient-sign trick. The
+    * paper takes 33 bands of an FFT frame; here 65 log-spaced Goertzel
+    * energies give the 64 bits a Hamming band join wants, and the
+    * single-frequency Goertzel recurrence keeps the whole thing
+    * dependency-free Scala (the decode stays behind [[AudioDecoder]];
+    * the fingerprint math is the real published construction).
+    *
+    * Shape: one bounded-batch `mapPartitions` — PCM for one asset at a
+    * time, a (nBands x 2) rolling energy state, no shuffle. Output
+    * (asset_id, window_idx, fp) with window_idx from 1 (a window needs
+    * a predecessor). ~`duration * sampleRate / hop` windows per asset:
+    * size the rates so a clip yields tens of fingerprints, not
+    * thousands — the downstream banded join's input rides this.
+    */
+  def audioFingerprints(
+      assets: Dataset[MediaAsset],
+      decoder: AudioDecoder,
+      sampleRate: Int = 512,
+      frameLen: Int = 512,
+      hop: Int = 640,
+      batchSize: Int = 32): DataFrame = {
+    require(sampleRate >= 1 && frameLen >= 2 && hop >= 1,
+      s"bad fingerprint params sr=$sampleRate frame=$frameLen hop=$hop")
+    import assets.sparkSession.implicits._
+    // 65 log-spaced normalized frequencies in [0.02, 0.45) cycles per
+    // sample (DC and Nyquist excluded); precomputed Goertzel coeffs.
+    val nBands = 65
+    val coeffs: Array[Double] = Array.tabulate(nBands) { m =>
+      val f = 0.02 * math.pow(0.45 / 0.02, m / (nBands - 1).toDouble)
+      2.0 * math.cos(2.0 * math.Pi * f)
+    }
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.filter(_.duration_sec > 0).flatMap { a =>
+          val nSamples = math.max(frameLen + hop,
+            math.ceil(a.duration_sec * sampleRate).toInt)
+          val pcm = decoder.decodePcm(a.payload, nSamples)
+          val nWin = 1 + math.max(0, (pcm.length - frameLen) / hop)
+          // E[w][m]: Goertzel energy of band m over window w.
+          def bandEnergies(w: Int): Array[Double] = {
+            val off = w * hop
+            Array.tabulate(nBands) { m =>
+              val c = coeffs(m)
+              var s1 = 0.0; var s2 = 0.0
+              var i = 0
+              while (i < frameLen && off + i < pcm.length) {
+                val s0 = pcm(off + i) + c * s1 - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              s1 * s1 + s2 * s2 - c * s1 * s2
+            }
+          }
+          var prev = if (nWin > 0) bandEnergies(0) else null
+          (1 until nWin).iterator.map { w =>
+            val cur = bandEnergies(w)
+            var bits = 0L
+            var m = 0
+            while (m < nBands - 1) {
+              if ((cur(m) - cur(m + 1)) - (prev(m) - prev(m + 1)) > 0)
+                bits |= 1L << m
+              m += 1
+            }
+            prev = cur
+            (a.asset_id, w.toLong, bits)
+          }
+        }
+      }
+    }.toDF("asset_id", "window_idx", "fp")
+  }
+
+  /** Audio near-duplicate pairs: two clips sharing at least
+    * `minSharedWindows` near-duplicate fingerprint WINDOWS (within
+    * `maxHamming` bits) — re-encodes, volume changes, and partial
+    * copies that byte-hash dedup can't see. Exactly the
+    * [[videoNearDuplicates]] machinery with windows for frames: the
+    * SAME generic two-level Hamming band join discovers window pairs,
+    * the same aggregation lifts them to asset pairs. The banded-join
+    * cost contract there (hash-bit uniformity) applies verbatim.
+    * Output: (audio_a, audio_b, n_window_pairs), audio_a < audio_b.
+    */
+  def audioNearDuplicates(
+      assets: Dataset[MediaAsset],
+      decoder: AudioDecoder,
+      maxHamming: Int = 3,
+      minSharedWindows: Long = 2L,
+      sampleRate: Int = 512,
+      frameLen: Int = 512,
+      hop: Int = 640,
+      batchSize: Int = 32): DataFrame =
+    sharedUnitNearDupPairs(
+      audioFingerprints(assets, decoder, sampleRate, frameLen, hop, batchSize)
+        .withColumnRenamed("window_idx", "unit_idx")
+        .withColumnRenamed("fp", "h64"),
+      maxHamming, minSharedWindows, "audio_a", "audio_b", "n_window_pairs")
 
   /** Video frame sampling: one row per sampled frame timestamp —
     * per-row `explode(sequence)`, no shuffle (the decode of each frame

@@ -163,4 +163,72 @@ class MultiModalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 5L || p._2 == 5L),
       s"unrelated/empty videos must not pair: $got")
   }
+
+  test("audioFingerprints: deterministic, volume-invariant, windows sized by duration") {
+    val rnd = new scala.util.Random(23)
+    val p1 = Array.fill(300)(rnd.nextInt(256).toByte)
+    val clips = Seq(
+      MediaAsset(1L, "audio", p1, 10.0),
+      MediaAsset(2L, "audio", p1.clone(), 10.0), // byte clone
+      MediaAsset(3L, "audio", p1.clone(), 0.0))  // zero duration: no rows
+      .toDS()
+    val dec = new HashPcmDecoder
+    val fps = MultiModal.audioFingerprints(clips, dec,
+        sampleRate = 512, frameLen = 512, hop = 640)
+      .as[(Long, Long, Long)].collect().toSeq
+    val by = fps.groupBy(_._1)
+    // 10s at 512 Hz = 5120 samples -> 1 + (5120-512)/640 = 8 windows,
+    // fingerprints from window 1 -> 7 rows.
+    assert(by(1L).size == 7, s"got ${by(1L).size} fingerprints")
+    assert(by(1L).sortBy(_._2) == by(2L).sortBy(_._2).map(t => (1L, t._2, t._3)),
+      "byte-identical clips must fingerprint identically")
+    assert(!by.contains(3L))
+    // Volume invariance of the REAL Haitsma-Kalker math: scaling PCM by
+    // a positive constant scales every band energy by its square and
+    // leaves every difference-of-differences sign unchanged.
+    val loud = new AudioDecoder {
+      override def decodePcm(payload: Array[Byte], n: Int): Array[Float] =
+        dec.decodePcm(payload, n).map(_ * 7.5f)
+    }
+    val fpsLoud = MultiModal.audioFingerprints(clips, loud,
+        sampleRate = 512, frameLen = 512, hop = 640)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fpsLoud.sorted == fps.sorted,
+      "fingerprints must be volume-invariant")
+  }
+
+  test("audioNearDuplicates == brute force over the same fingerprints; clones pair, strangers don't") {
+    val rnd = new scala.util.Random(31)
+    val p1 = Array.fill(300)(rnd.nextInt(256).toByte)
+    val p2 = Array.fill(300)(rnd.nextInt(256).toByte)
+    val clips = Seq(
+      MediaAsset(1L, "audio", p1, 15.0),
+      MediaAsset(2L, "audio", p1.clone(), 15.0), // clone: shares all windows
+      MediaAsset(3L, "audio", p2, 15.0),         // unrelated
+      MediaAsset(4L, "audio", p1.clone(), 6.0))  // shorter clone: prefix windows
+      .toDS()
+    val dec = new HashPcmDecoder
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val got = MultiModal.audioNearDuplicates(clips, dec,
+        maxHamming = 3, minSharedWindows = 2,
+        sampleRate = 512, frameLen = 512, hop = 640)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val fh = MultiModal.audioFingerprints(clips, dec,
+        sampleRate = 512, frameLen = 512, hop = 640)
+      .as[(Long, Long, Long)].collect().toSeq
+    val brute = (for {
+      (va, wa, ha) <- fh; (vb, wb, hb) <- fh
+      if va * 1000000L + wa < vb * 1000000L + wb && va != vb && hamming(ha, hb) <= 3
+    } yield (math.min(va, vb), math.max(va, vb)))
+      .groupBy(x => x).view.map { case (p, occ) => (p._1, p._2, occ.size.toLong) }
+      .filter(_._3 >= 2L).toSeq.sorted
+    assert(got == brute)
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 10L),
+      s"full clone must share all windows: $got")
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L),
+      s"shorter clone must surface on its prefix windows: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated clips must not pair: $got")
+    graft.core.Caches.releaseAll()
+  }
 }
