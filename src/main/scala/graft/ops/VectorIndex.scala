@@ -49,9 +49,15 @@ object VectorIndex {
     for (_ <- 0 until refineIters)
       centroids = graft.core.Caches.persistTracked(
         Similarity.refineCentroids(vecs, centroids, embCol, idCol))
+    // The index's tables have a CANONICAL id spelling (LongType)
+    // independent of the caller's parquet width — centroid ids are
+    // driver-collected as longs at search time, and an append must
+    // never fork the store schema because a batch arrived INT32.
+    centroids = centroids.select(col("centroid_id").cast("long").as("centroid_id"),
+      col("centroid_emb"))
     val assigned = vecs.crossJoin(broadcast(centroids))
       .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
-      .groupBy(col(idCol).as("id"), col(embCol).as("emb"))
+      .groupBy(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
       .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
         .as("centroid_id"))
     def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
@@ -104,7 +110,7 @@ object VectorIndex {
     val centroids = spark.table(s"${tablePrefix}_centroids")
     vecs.crossJoin(broadcast(centroids))
       .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
-      .groupBy(col(idCol).as("id"), col(embCol).as("emb"))
+      .groupBy(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
       .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
         .as("centroid_id"))
       .write.mode("append").format("parquet")
