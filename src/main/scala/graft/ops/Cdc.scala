@@ -48,27 +48,43 @@ object ContentDefinedChunking {
 
   /** CDC segments of `textCol` as an array<string> column — pure
     * higher-order-function math, evaluated scan-side.
+    *
+    * Evaluation-cost note: a subexpression referenced inside a lambda
+    * is re-evaluated PER ELEMENT (Spark does no CSE across
+    * higher-order functions), so naively writing the token array into
+    * the boundary lambda re-runs the whole tokenize for every
+    * position — O(n²) string work per document (measured: 120 s for
+    * the q145 suite row at sf0.1). The single-element
+    * `transform(array(x), v => ...)` is a LET binding: `x` evaluates
+    * once per row and `v` is a cheap bound value inside the lambdas.
+    * Same trick binds the boundary-position array before the segment
+    * assembly references it twice.
     */
   def cdcSegmentsOf(textCol: Column, w: Int, divisor: Int): Column = {
     require(w >= 1, s"window must be >= 1 token, got $w")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val toks = Lexical.tokens(textCol)
-    val n = size(toks)
-    // 32-bit md5 draw of the w-token window ending at 1-based position i.
-    def draw(i: Column): Column = {
-      val start = greatest(lit(1), i - lit(w - 1))
-      conv(substring(md5(array_join(slice(toks, start, i - start + lit(1)), " ")),
-        1, 8), 16, 10).cast("long")
-    }
-    // Boundary positions: residue-class cuts plus the forced final cut.
-    // sequence(1, 0) would yield [1, 0] (the q20 lesson) — guard n < 1.
-    val bpos = filter(sequence(lit(1), n),
-      i => (draw(i) % divisor === 0) || (i === n))
-    val segs = transform(bpos, (b, j) => {
-      val prev = when(j === 0, lit(0)).otherwise(element_at(bpos, j))
-      array_join(slice(toks, prev + lit(1), b - prev), " ")
+    val out = transform(array(Lexical.tokens(textCol)), toks => {
+      val n = size(toks)
+      // 32-bit md5 draw of the w-token window ending at 1-based i.
+      def draw(i: Column): Column = {
+        val start = greatest(lit(1), i - lit(w - 1))
+        conv(substring(
+          md5(array_join(slice(toks, start, i - start + lit(1)), " ")),
+          1, 8), 16, 10).cast("long")
+      }
+      // Boundary positions: residue-class cuts plus the forced final
+      // cut. sequence(1, 0) would yield [1, 0] (the q20 lesson) —
+      // guard n < 1.
+      val bposE = filter(sequence(lit(1), n),
+        i => (draw(i) % divisor === 0) || (i === n))
+      val segs = element_at(transform(array(bposE), bpos =>
+        transform(bpos, (b, j) => {
+          val prev = when(j === 0, lit(0)).otherwise(element_at(bpos, j))
+          array_join(slice(toks, prev + lit(1), b - prev), " ")
+        })), 1)
+      when(n < 1, array().cast("array<string>")).otherwise(segs)
     })
-    when(n < 1, array().cast("array<string>")).otherwise(segs)
+    element_at(out, 1)
   }
 
   /** Exploded segment relation: (id, seg_idx, seg_text), seg_idx
