@@ -196,6 +196,24 @@ object GraftFunctions {
         strLit(args(3), "typeCol"),
         strLit(args(4), "steps").split(",").toIndexedSeq.map(_.trim),
         longLit(args(5), "maxGapSeconds")))
+    },
+    // content-defined chunking segments: (id, seg_idx, seg_text)
+    "cdc_segments" -> { args =>
+      arity("cdc_segments", args, 5)
+      plan(graft.ops.ContentDefinedChunking.cdcSegments(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "window").toInt, longLit(args(4), "divisor").toInt))
+    },
+    // per-doc CDC duplication profile:
+    // (id, n_segs, dup_segs, dup_frac, flagged)
+    "cdc_dedup_stats" -> { args =>
+      arity("cdc_dedup_stats", args, 6)
+      plan(graft.ops.ContentDefinedChunking.cdcDedupStats(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "window").toInt, longLit(args(4), "divisor").toInt,
+        longLit(args(5), "minDocs").toInt))
     })
 
   /** Imperative registration into an existing session. */

@@ -73,6 +73,10 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM event_funnel('tvf_events', 'user_id', 'ts', 'event_type', 'view,cart,buy', 600)",
       graft.ops.Funnel.funnelMatch(events, "user_id", "ts", "event_type",
         Seq("view", "cart", "buy"), 600L))
+    pin("SELECT * FROM cdc_segments('tvf_docs', 'text', 'doc_id', 4, 8)",
+      graft.ops.ContentDefinedChunking.cdcSegments(docs, "text", "doc_id", 4, 8))
+    pin("SELECT * FROM cdc_dedup_stats('tvf_docs', 'text', 'doc_id', 4, 8, 2)",
+      graft.ops.ContentDefinedChunking.cdcDedupStats(docs, "text", "doc_id", 4, 8, 2))
     // TVFs compose with ordinary SQL (filter/aggregate over the TVF).
     val n = spark.sql(
       """SELECT count(*) AS n FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.5, 3)
