@@ -113,9 +113,7 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val key = intervalPlan.canonicalized.semanticHash() + ":" +
       start.canonicalized.semanticHash() + ":" + end.canonicalized.semanticHash()
     val cached = widthCache.get(key)
-    if (cached != null) {
-      return if (cached == -1L) None else Some(cached.longValue())
-    }
+    if (cached != null) return Some(cached.longValue())
     // The stats job runs OUTSIDE any map lock: two planner threads
     // racing on the same key may duplicate the 1-row aggregate
     // (harmless — both compute the same value, putIfAbsent keeps one),
@@ -131,7 +129,14 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             "__graft_maxw")()),
           intervalPlan)
         val row = org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, agg).head()
-        if (row.isNullAt(0)) -1L // empty/all-null interval relation (cacheable)
+        // Empty/all-null interval relation: ENGAGE with unit bins
+        // rather than declining. The rewrite is exact for ANY width
+        // (null start/end produce null bin keys, dropped by the inner
+        // equi-join exactly as the original range predicate drops
+        // them), and declining here would make plan shape — and any
+        // caller pinned to it — flip on the first empty batch of an
+        // incremental feed.
+        if (row.isNullAt(0)) 1L
         else math.max(1L, math.ceil(row.getLong(0).toDouble / 1e6).toLong)
       } catch {
         // A stats failure must never fail the user's query — fall back
@@ -146,7 +151,7 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (w == null) None
     else {
       widthCache.putIfAbsent(key, w)
-      if (w == -1L) None else Some(w.longValue())
+      Some(w.longValue())
     }
   }
 

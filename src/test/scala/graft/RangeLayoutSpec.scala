@@ -108,6 +108,24 @@ class RangeLayoutSpec extends SparkSpec {
     }
   }
 
+  test("interval join rule: an EMPTY interval relation still engages (unit bins)") {
+    // The first batch of an incremental feed is often empty; the
+    // derived-width stats job finds no rows. The rule must engage with
+    // a default width rather than decline — the rewrite is exact for
+    // any width, and declining would flip the plan shape (and crash
+    // q100's engagement pin) on empty input. Found by tools/EmptySweep.
+    GraftFunctions.registerOptimizations(spark)
+    val emptyIvs = intervalsDf.where(col("wid") < 0L)
+    val df = pointsDf.join(emptyIvs,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "wid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"rule declined on an empty interval relation:\n$plan")
+    assert(df.count() == 0L)
+  }
+
   test("interval join rule: non-comparison conjuncts (Not, !=) never break extraction") {
     // Regression: a `!=` conjunct arrives as Not(EqualTo); the upper-
     // bound collector's missing default threw MatchError inside the
