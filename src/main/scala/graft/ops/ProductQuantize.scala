@@ -135,7 +135,14 @@ object ProductQuantize {
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m")).as("cent"))
     }
-    graft.core.Caches.persistTracked(books)
+    // Structural cardinality cap: the grouped re-centering yields at
+    // most m*ksub rows by construction (the grouping domain), but a
+    // plan reader — or tools/PlanLint proving the ADC nested-loop's
+    // broadcast side corpus-independent — can't see that from a
+    // grouped aggregate. The no-op GlobalLimit makes the bound
+    // plan-visible; it reorders nothing downstream (every consumer
+    // joins or re-aggregates by (sub, code_id)).
+    graft.core.Caches.persistTracked(books.limit(m * ksub))
   }
 
   /** Encode the store against trained codebooks: one skinny (id, sub,
