@@ -2511,7 +2511,48 @@ object SparkEntry {
           (count(lit(1)) > 0).as("has_pairs"))
       assetsDf.agg(count(lit(1)).as("n_audios")).crossJoin(broadcast(cmp))
     }),
+    "q147_kcore_dup_families" -> ((s, d) => {
+      // §2.11 k-core density grading of the duplicate graph:
+      // connected components (q84) answer "reachable at all"; the
+      // k-core (Seidman 1983) answers "mutually dense" — template
+      // families whose EVERY member near-duplicates >= k others, vs
+      // incidental one-off pairs. Organic edges = q84's exact >= 0.8
+      // Jaccard pairs; the q143 planting discipline adds a
+      // deterministic scaffold (6-clique, triangle ladder, pendant
+      // star on ids far above any doc_id) so both verdict arms AND a
+      // deep one-vertex-per-round cascade are exercised at every SF.
+      // Exactness rides the per-vertex certificate (ops/KCore.scala:
+      // validity of every kept vertex + inductive exclusion
+      // certificate of every removed vertex pins kept == k-core
+      // exactly); the oracle recomputes full-graph degrees and pins
+      // every certificate TRUE.
+      import s.implicits._
+      val docs = documents(s, d)
+      val organic = Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8)
+        .select(col("id_a"), col("id_b"))
+      val planted = kcorePlantedEdges.toDF("id_a", "id_b")
+      graft.ops.KCore.kCoreCertified(
+          organic.unionByName(planted), "id_a", "id_b", k = 3)
+        .select(col("id").as("doc_id"), col("degree"), col("certified"))
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** q147's planted scaffold (shared verbatim with its oracle's VALUES
+    * list): a 6-clique that must survive k=3, a triangle ladder that
+    * must cascade one vertex per round, a star that peels in two —
+    * on ids no SF's doc_id space reaches.
+    */
+  private lazy val kcorePlantedEdges: Seq[(Long, Long)] = {
+    val P = 1000000000L
+    val clique = for { i <- 0 until 6; j <- i + 1 until 6 }
+      yield (P + i, P + j)
+    val ladder = (0 until 9).map(i => (P + 10 + i, P + 11 + i)) ++
+      (0 until 8).map(i => (P + 10 + i, P + 12 + i)) ++
+      Seq((P + 19, P + 0), (P + 19, P + 1), (P + 18, P + 0))
+    val star = (31 to 35).map(l => (P + 30, P + l))
+    clique ++ ladder ++ star
+  }
 
   // q40/q142 share one oracle: the J5 composite anti-join, plain vs
   // bloom-fast-path.
@@ -4298,6 +4339,23 @@ Hosts: %s
       """SELECT (SELECT count(*) FROM documents) +
                 (SELECT count(*) FROM documents WHERE doc_id < 50) AS n_audios,
          TRUE AS banded_equals_brute, TRUE AS has_pairs""",
+    // q147: full-graph degrees are a plain SQL aggregate over the same
+    // edge set (q84's prefix-filtered Jaccard pairs + the planted
+    // scaffold's literal VALUES — generated from the same Scala seq);
+    // both per-vertex exactness certificates are pinned TRUE.
+    "q147_kcore_dup_families" ->
+      s"""WITH src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         organic AS (SELECT id_a, id_b FROM pv WHERE jac >= 0.8),
+         planted(id_a, id_b) AS (VALUES
+           ${kcorePlantedEdges.map(e => s"(${e._1}, ${e._2})").mkString(", ")}),
+         alle AS (SELECT id_a, id_b FROM organic
+                  UNION ALL SELECT id_a, id_b FROM planted),
+         sym AS (SELECT id_a AS u, id_b AS v FROM alle WHERE id_a <> id_b
+                 UNION SELECT id_b, id_a FROM alle WHERE id_a <> id_b)
+         SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS degree,
+           TRUE AS certified
+         FROM sym GROUP BY u ORDER BY doc_id""",
     // q144: full-probe IVF store search == brute-force top-k — q29's
     // oracle verbatim (same cosine, same (score DESC, vec_id) ties).
     "q144_vector_index_search" ->

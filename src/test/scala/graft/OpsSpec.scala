@@ -1918,4 +1918,102 @@ class OpsSpec extends SparkSpec {
     assert(stats(2L)._4 > 0.9 && stats(2L)._5, s"stats: ${stats(2L)}")
     graft.core.Caches.releaseAll()
   }
+
+  // Reference k-core: sequential peel over an in-memory adjacency map.
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    for ((a, b) <- edges if a != b) {
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    var alive = adj.keySet.toSet
+    var changed = true
+    while (changed) {
+      val peel = alive.filter(v => adj(v).count(alive) < k)
+      changed = peel.nonEmpty
+      alive = alive -- peel
+    }
+    alive
+  }
+
+  test("k-core: clique kept, ladder cascades one vertex per round, star peels early") {
+    import graft.ops.KCore
+    // Triangle-ladder L0..L9 (rungs + skips) hanging off a 6-clique:
+    // k=3 peels exactly one ladder vertex per round from the free end,
+    // so rounds == ladder length + 1 — the deep-cascade shape the
+    // periodic localCheckpoint exists for.
+    val clique = for { i <- 0 until 6; j <- i + 1 until 6 }
+      yield (100L + i, 100L + j)
+    val ladder = (0 until 9).map(i => (10L + i, 11L + i)) ++
+      (0 until 8).map(i => (10L + i, 12L + i)) ++
+      Seq((19L, 100L), (19L, 101L), (18L, 100L))
+    val star = (31 to 35).map(l => (30L, l.toLong))
+    val edges = clique ++ ladder ++ star
+    val out = KCore.kCore(edges.toDF("a", "b"), "a", "b", 3)
+      .as[(Long, Boolean, Option[Int])].collect().toSeq
+    val kept = out.filter(_._2).map(_._1).toSet
+    assert(kept == (100L until 106L).toSet, s"kept $kept")
+    assert(kept == refKCore(edges, 3))
+    val rounds = out.flatMap(_._3)
+    assert(rounds.max == 10, s"expected a 10-round cascade, got ${rounds.max}")
+    // One ladder vertex per round, from the free end inward.
+    val ladderRounds = out.filter(r => r._1 >= 10L && r._1 <= 19L)
+      .map(r => r._1 -> r._3.get).toMap
+    assert((0 until 10).forall(i => ladderRounds(10L + i) == i + 1),
+      s"ladder rounds $ladderRounds")
+    // Every vertex certified.
+    val cert = KCore.kCoreCertified(edges.toDF("a", "b"), "a", "b", 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(cert.forall(_._3), s"uncertified: ${cert.filterNot(_._3).toSeq}")
+    assert(cert.length == out.length)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("k-core matches the sequential reference peel on pseudo-random graphs") {
+    import graft.ops.KCore
+    // xxhash-seeded sparse graphs across densities: some collapse
+    // entirely, some keep a dense center — both directions checked
+    // against the reference, certificates all TRUE.
+    for ((n, m, k, seed) <- Seq((30, 60, 3, 1L), (40, 80, 2, 2L),
+        (25, 150, 5, 3L), (20, 25, 3, 4L))) {
+      def h(x: Long): Long = {
+        var z = x + seed * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        math.abs(z ^ (z >>> 31))
+      }
+      val edges = (0 until m).map(i =>
+        (h(2L * i) % n, h(2L * i + 1) % n)).filter(e => e._1 != e._2)
+      val expected = refKCore(edges, k)
+      val out = KCore.kCore(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Boolean, Option[Int])].collect()
+      assert(out.filter(_._2).map(_._1).toSet == expected,
+        s"n=$n m=$m k=$k seed=$seed")
+      val cert = KCore.kCoreCertified(edges.toDF("a", "b"), "a", "b", k)
+        .as[(Long, Long, Boolean)].collect()
+      assert(cert.forall(_._3), s"n=$n m=$m k=$k uncertified rows exist")
+      graft.core.Caches.releaseAll()
+    }
+  }
+
+  test("k-core degenerate inputs: empty graph, self-loops, all-peeled, k=1") {
+    import graft.ops.KCore
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(KCore.kCore(empty, "a", "b", 2).count() == 0L)
+    // Self-loops and duplicate edges are no-ops; k=1 keeps any vertex
+    // with a real neighbor.
+    val loops = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 3L)).toDF("a", "b")
+    val m = KCore.kCore(loops, "a", "b", 1)
+      .as[(Long, Boolean, Option[Int])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(m == Map(1L -> true, 2L -> true))
+    // A chain collapses completely at k=2 — removed side only.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val c = KCore.kCore(chain, "a", "b", 2)
+    assert(c.where(col("in_kcore")).count() == 0L && c.count() == 4L)
+    val cert = KCore.kCoreCertified(chain, "a", "b", 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(cert.forall(_._3))
+    graft.core.Caches.releaseAll()
+  }
 }
