@@ -214,6 +214,20 @@ object GraftFunctions {
         strLit(args(1), "textCol"), strLit(args(2), "idCol"),
         longLit(args(3), "window").toInt, longLit(args(4), "divisor").toInt,
         longLit(args(5), "minDocs").toInt))
+    },
+    // k-core membership over an edge table: (id, in_kcore, peel_round)
+    "kcore" -> { args =>
+      arity("kcore", args, 4)
+      plan(graft.ops.KCore.kCore(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "aCol"), strLit(args(2), "bCol"),
+        longLit(args(3), "k").toInt))
+    },
+    // k-core with per-vertex exactness certificate: (id, degree, certified)
+    "kcore_certified" -> { args =>
+      arity("kcore_certified", args, 4)
+      plan(graft.ops.KCore.kCoreCertified(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "aCol"), strLit(args(2), "bCol"),
+        longLit(args(3), "k").toInt))
     })
 
   /** Imperative registration into an existing session. */

@@ -77,6 +77,15 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.ops.ContentDefinedChunking.cdcSegments(docs, "text", "doc_id", 4, 8))
     pin("SELECT * FROM cdc_dedup_stats('tvf_docs', 'text', 'doc_id', 4, 8, 2)",
       graft.ops.ContentDefinedChunking.cdcDedupStats(docs, "text", "doc_id", 4, 8, 2))
+    // Iterative ops work as TVFs too (the peel's jobs run during
+    // resolution; the returned plan is the converged result).
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("ea", "eb").createOrReplaceTempView("tvf_edges")
+    val edges = spark.table("tvf_edges")
+    pin("SELECT * FROM kcore('tvf_edges', 'ea', 'eb', 2)",
+      graft.ops.KCore.kCore(edges, "ea", "eb", 2))
+    pin("SELECT * FROM kcore_certified('tvf_edges', 'ea', 'eb', 2)",
+      graft.ops.KCore.kCoreCertified(edges, "ea", "eb", 2))
     // TVFs compose with ordinary SQL (filter/aggregate over the TVF).
     val n = spark.sql(
       """SELECT count(*) AS n FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.5, 3)
