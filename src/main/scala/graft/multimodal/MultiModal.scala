@@ -186,7 +186,10 @@ object MultiModal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { a =>
+        // Null payloads (the record survived ingestion, the bytes did
+        // not) carry nothing to decode: skipped, like duration <= 0 in
+        // the frame sampler — never an executor-killing NPE mid-run.
+        batch.iterator.filter(_.payload != null).map { a =>
           val (w, h, c, pixels) = decoder.decode(a.payload)
           val mean = if (pixels.isEmpty) 0.0 else pixels.map(_.toDouble).sum / pixels.length
           ImageFeatures(a.asset_id, w, h, c, mean)
@@ -260,7 +263,8 @@ object MultiModal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { a =>
+        // Null payloads decode to nothing — skipped (see decodeImages).
+        batch.iterator.filter(_.payload != null).map { a =>
           val (w, h, c, pixels) = decoder.decode(a.payload)
           val (gray, gw, gh) =
             if (pixels.length == w * h * c && c >= 1) {
@@ -313,7 +317,9 @@ object MultiModal {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.filter(_.duration_sec > 0).flatMap { a =>
+        batch.iterator
+          .filter(a => a.payload != null && a.duration_sec > 0)
+          .flatMap { a =>
           val n = math.max(1L, math.ceil(a.duration_sec / everySec).toLong)
           (0L until n).iterator.map { f =>
             val (w, h, c, pixels) = decoder.decodeFrame(a.payload, f)
@@ -447,7 +453,9 @@ object MultiModal {
     }
     assets.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.filter(_.duration_sec > 0).flatMap { a =>
+        batch.iterator
+          .filter(a => a.payload != null && a.duration_sec > 0)
+          .flatMap { a =>
           val nSamples = math.max(frameLen + hop,
             math.ceil(a.duration_sec * sampleRate).toInt)
           val pcm = decoder.decodePcm(a.payload, nSamples)

@@ -47,7 +47,12 @@ object Packing {
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val slim = df
-      .select(col(orderCol).cast("long").as("__k"), col(weightCol).cast("long").as("__w"))
+      // Null weight = zero mass (the row still gets a shard), matching
+      // SQL window-SUM null semantics so the oracle's window form
+      // assigns identically; found by tools/NullSweep (getLong on a
+      // null weight kills the scan task at depth otherwise).
+      .select(col(orderCol).cast("long").as("__k"),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("__w"))
       .repartitionByRange(nPart, col("__k"))
       .sortWithinPartitions(col("__k"))
     // Pin the partitioning across the two passes (repartitionByRange

@@ -231,4 +231,23 @@ class MultiModalSpec extends SparkSpec {
       s"unrelated clips must not pair: $got")
     graft.core.Caches.releaseAll()
   }
+
+  test("null payloads are skipped, not NPEs, in every decode pipeline") {
+    // The record survived ingestion, the bytes did not — a null payload
+    // must yield no decoded rows anywhere (found by tools/NullSweep:
+    // an executor NPE deep into a 10M-asset scan otherwise).
+    val text = "the quick brown fox jumps over the lazy dog " * 4
+    val ok = MediaAsset(1L, "image", text.getBytes, 10.0)
+    val hole = MediaAsset(2L, "image", null, 10.0)
+    val ds = Seq(ok, hole).toDS()
+    assert(MultiModal.imageDHash(ds, new ByteGrayDecoder(16, 16))
+      .as[(Long, Long)].collect().map(_._1).toSeq == Seq(1L))
+    assert(MultiModal.decodeImages(ds, new ByteGrayDecoder(16, 16))
+      .collect().map(_.asset_id).toSeq == Seq(1L))
+    assert(MultiModal.frameDHashes(ds, new HashGrayFrameDecoder(8, 8), everySec = 5.0)
+      .select("asset_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(MultiModal.audioFingerprints(ds, new HashPcmDecoder,
+        sampleRate = 256, frameLen = 256, hop = 640)
+      .select("asset_id").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
 }
