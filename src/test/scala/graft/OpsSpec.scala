@@ -1949,23 +1949,34 @@ class OpsSpec extends SparkSpec {
       Seq((19L, 100L), (19L, 101L), (18L, 100L))
     val star = (31 to 35).map(l => (30L, l.toLong))
     val edges = clique ++ ladder ++ star
-    val out = KCore.kCore(edges.toDF("a", "b"), "a", "b", 3)
-      .as[(Long, Boolean, Option[Int])].collect().toSeq
-    val kept = out.filter(_._2).map(_._1).toSet
-    assert(kept == (100L until 106L).toSet, s"kept $kept")
-    assert(kept == refKCore(edges, 3))
-    val rounds = out.flatMap(_._3)
-    assert(rounds.max == 10, s"expected a 10-round cascade, got ${rounds.max}")
-    // One ladder vertex per round, from the free end inward.
-    val ladderRounds = out.filter(r => r._1 >= 10L && r._1 <= 19L)
-      .map(r => r._1 -> r._3.get).toMap
-    assert((0 until 10).forall(i => ladderRounds(10L + i) == i + 1),
-      s"ladder rounds $ladderRounds")
-    // Every vertex certified.
+    // ALL execution paths must agree exactly: every round distributed
+    // (localFinishVertices = 0), the size-bounded driver finisher from
+    // round 1 (default threshold), and a mid-cascade handoff (31
+    // vertices, threshold 25: two distributed rounds, then the
+    // finisher continues the round numbering).
+    for (lfv <- Seq(0L, 25L, 100000L)) {
+      val out = KCore.kCore(edges.toDF("a", "b"), "a", "b", 3,
+          localFinishVertices = lfv)
+        .as[(Long, Boolean, Option[Int])].collect().toSeq
+      val kept = out.filter(_._2).map(_._1).toSet
+      assert(kept == (100L until 106L).toSet, s"kept $kept (lfv=$lfv)")
+      assert(kept == refKCore(edges, 3))
+      val rounds = out.flatMap(_._3)
+      assert(rounds.max == 10,
+        s"expected a 10-round cascade, got ${rounds.max} (lfv=$lfv)")
+      // One ladder vertex per round, from the free end inward.
+      val ladderRounds = out.filter(r => r._1 >= 10L && r._1 <= 19L)
+        .map(r => r._1 -> r._3.get).toMap
+      assert((0 until 10).forall(i => ladderRounds(10L + i) == i + 1),
+        s"ladder rounds $ladderRounds (lfv=$lfv)")
+      graft.core.Caches.releaseAll()
+    }
+    // Every vertex certified; one certificate row per graph vertex.
     val cert = KCore.kCoreCertified(edges.toDF("a", "b"), "a", "b", 3)
       .as[(Long, Long, Boolean)].collect()
     assert(cert.forall(_._3), s"uncertified: ${cert.filterNot(_._3).toSeq}")
-    assert(cert.length == out.length)
+    assert(cert.length ==
+      (edges.flatMap(e => Seq(e._1, e._2)).toSet.size))
     graft.core.Caches.releaseAll()
   }
 
@@ -1985,14 +1996,19 @@ class OpsSpec extends SparkSpec {
       val edges = (0 until m).map(i =>
         (h(2L * i) % n, h(2L * i + 1) % n)).filter(e => e._1 != e._2)
       val expected = refKCore(edges, k)
-      val out = KCore.kCore(edges.toDF("a", "b"), "a", "b", k)
-        .as[(Long, Boolean, Option[Int])].collect()
-      assert(out.filter(_._2).map(_._1).toSet == expected,
-        s"n=$n m=$m k=$k seed=$seed")
-      val cert = KCore.kCoreCertified(edges.toDF("a", "b"), "a", "b", k)
-        .as[(Long, Long, Boolean)].collect()
-      assert(cert.forall(_._3), s"n=$n m=$m k=$k uncertified rows exist")
-      graft.core.Caches.releaseAll()
+      for (lfv <- Seq(0L, 100000L)) {
+        val out = KCore.kCore(edges.toDF("a", "b"), "a", "b", k,
+            localFinishVertices = lfv)
+          .as[(Long, Boolean, Option[Int])].collect()
+        assert(out.filter(_._2).map(_._1).toSet == expected,
+          s"n=$n m=$m k=$k seed=$seed lfv=$lfv")
+        val cert = KCore.kCoreCertified(edges.toDF("a", "b"), "a", "b", k,
+            localFinishVertices = lfv)
+          .as[(Long, Long, Boolean)].collect()
+        assert(cert.forall(_._3),
+          s"n=$n m=$m k=$k lfv=$lfv uncertified rows exist")
+        graft.core.Caches.releaseAll()
+      }
     }
   }
 
