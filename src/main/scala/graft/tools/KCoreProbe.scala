@@ -3,9 +3,13 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Peel-depth probe for [[graft.ops.KCore]] on the co-purchase graph:
-  * kept/removed split, round count, and certificate verdict per k —
-  * how q147's k was chosen (both sides populated at every SF) and the
-  * peel-depth evidence behind the operator's round-count claim.
+  * kept/removed split, round count, and certificate verdict per k.
+  * Probe evidence (why q147 hosts the dup-pair graph + a planted
+  * scaffold instead): the TPC-H co-purchase graph is near-uniform —
+  * small k keeps everything, k near the degree band cascades one or
+  * two vertices per round for dozens of rounds (the pathological
+  * shape the driver finisher now absorbs), and no k yields a stable
+  * kept/removed split across SFs.
   *
   * Usage: KCoreProbe [sfdir] [k...]
   */
