@@ -141,6 +141,11 @@ object KCore {
         if (peeledN == 0L) converged = true
         else {
           aliveN -= peeledN
+          // A fully collapsed graph is converged — without this, a
+          // peel finishing in EXACTLY maxIter rounds would throw even
+          // though the result is fully determined (the empty-detection
+          // round would need iteration maxIter+1).
+          if (aliveN == 0L) converged = true
           removed = if (removed == null) peeled
             else removed.unionByName(peeled)
           val pk = peeled.select(col("id").as("__pid"))
@@ -203,6 +208,9 @@ object KCore {
       else {
         peel.foreach(v => removedLocal += ((v, iter)))
         alive = alive -- peel
+        // Full collapse is converged (see the distributed loop's
+        // maxIter-boundary note).
+        if (alive.isEmpty) done = true
       }
     }
     if (!done)

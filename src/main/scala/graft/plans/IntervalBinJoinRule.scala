@@ -90,10 +90,11 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Memoized max(end − start) of the interval subtree, in whole
     * seconds (ceil, floored at 1s). One 1-row aggregate job per
-    * distinct (subtree, bounds) per JVM; None when the relation is
-    * empty (nothing can match — leave the join alone) or the stats job
-    * cannot run here (re-entrant optimization of the stats query
-    * itself).
+    * distinct (subtree, bounds) per JVM; an empty/all-null relation
+    * yields width 1 (unit bins — engage; exact for any width, and
+    * plan shape must not flip on an empty incremental batch). None
+    * only when the stats job cannot run here (re-entrant optimization
+    * of the stats query itself) or fails transiently.
     */
   private val widthCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

@@ -19,6 +19,9 @@ object EmptySweep {
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val mode = if (args.length > 1) args(1) else "both"
+    // A typo'd mode must fail loudly, not run zero sweeps and exit 0.
+    require(Set("empty", "single", "both")(mode),
+      s"unknown mode '$mode' (expected empty|single|both)")
     val spark = graft.core.Sessions.local(16)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -36,26 +39,10 @@ object EmptySweep {
       dir
     }
 
-    def sweep(label: String, dir: String): Int = {
-      var bad = 0
-      for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
-        try {
-          val n = fn(spark, dir).collect().length
-          graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-          println(s"OK   [$label] $name ($n rows)")
-        } catch {
-          case e: Throwable =>
-            bad += 1
-            graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-            println(s"ERR  [$label] $name: " +
-              Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replace('\n', ' ').take(200))
-        }
+    def sweep(label: String, dir: String): Int =
+      Sweep.overQueries(s"$label sweep") { (name, fn) =>
+        Right(s"OK   [$label] $name (${fn(spark, dir).collect().length} rows)")
       }
-      println(s"$label sweep: ${graft.SparkEntry.queries.size - bad}/" +
-        s"${graft.SparkEntry.queries.size} clean")
-      bad
-    }
 
     var total = 0
     if (mode == "empty" || mode == "both")

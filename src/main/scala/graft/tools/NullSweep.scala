@@ -47,23 +47,9 @@ object NullSweep {
         java.nio.file.Paths.get(s"$dir/$t.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
 
-    var bad = 0
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
-      try {
-        val n = fn(spark, dir).collect().length
-        graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-        println(s"OK   $name ($n rows)")
-      } catch {
-        case e: Throwable =>
-          bad += 1
-          graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-          println(s"ERR  $name: " +
-            Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace('\n', ' ').take(250))
-      }
+    val bad = Sweep.overQueries("null sweep") { (name, fn) =>
+      Right(s"OK   $name (${fn(spark, dir).collect().length} rows)")
     }
-    println(s"null sweep: ${graft.SparkEntry.queries.size - bad}/" +
-      s"${graft.SparkEntry.queries.size} clean")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

@@ -101,7 +101,11 @@ object PlanLint {
             build.toString.linesIterator.take(10).mkString("\n    "))
           Some("BroadcastNestedLoopJoin")
         }
-      case _: CartesianProductExec => Some("CartesianProduct")
+      // Same policy as the nested loop: a cartesian with a provably
+      // bounded side is a scalar attach, not a blow-up.
+      case j: CartesianProductExec =>
+        if (bounded(j.left) || bounded(j.right)) None
+        else Some("CartesianProduct")
     }.flatten)
   }
 
@@ -111,32 +115,17 @@ object PlanLint {
     val spark = graft.core.Sessions.local(16)
     spark.sparkContext.setLogLevel("ERROR")
 
-    var bad = 0
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
-        if only.isEmpty || only(name)) {
-      try {
-        val found = offenders(fn(spark, src).queryExecution.executedPlan,
-          verbose = only.nonEmpty)
-        graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-        if (found.isEmpty) println(s"OK   $name")
-        else if (allowNestedLoop.contains(name) &&
-            !found.contains("CartesianProduct"))
-          println(s"OK   $name (allowlisted: ${allowNestedLoop(name)})")
-        else {
-          bad += 1
-          println(s"FLAG $name: ${found.distinct.mkString("+")}")
-        }
-      } catch {
-        case e: Throwable =>
-          bad += 1
-          graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-          println(s"ERR  $name: " +
-            Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace('\n', ' ').take(200))
-      }
+    val bad = Sweep.overQueries("plan lint", only) { (name, fn) =>
+      val found = offenders(fn(spark, src).queryExecution.executedPlan,
+        verbose = only.nonEmpty)
+      if (found.isEmpty) Right(s"OK   $name")
+      // An UNBOUNDED cartesian is never allowlistable — only the
+      // nested-loop findings yield to the named list.
+      else if (allowNestedLoop.contains(name) &&
+          !found.contains("CartesianProduct"))
+        Right(s"OK   $name (allowlisted: ${allowNestedLoop(name)})")
+      else Left(s"FLAG $name: ${found.distinct.mkString("+")}")
     }
-    val n = if (only.isEmpty) graft.SparkEntry.queries.size else only.size
-    println(s"plan lint: ${n - bad}/$n clean")
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

@@ -62,28 +62,19 @@ object RespellSweep {
         .sorted.toIndexedSeq
     }
 
-    var bad = 0
-    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
-      try {
+    Sweep.overQueries("respell sweep", summaryWord = "invariant") {
+      (name, fn) =>
         val a = canon(fn(spark, src))
         graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
         val b = canon(fn(spark, dir))
-        graft.core.Caches.releaseAll(); graft.core.Caches.releaseShared()
-        if (a == b) println(s"OK   $name (${a.size} rows)")
+        if (a == b) Right(s"OK   $name (${a.size} rows)")
         else {
-          bad += 1
           val d = a.zip(b).indexWhere { case (x, y) => x != y }
-          println(s"DIFF $name rows=${a.size}/${b.size} firstDiff=$d\n" +
+          Left(s"DIFF $name rows=${a.size}/${b.size} firstDiff=$d\n" +
             s"  src:  ${a.lift(math.max(d, 0)).getOrElse("")}\n" +
             s"  resp: ${b.lift(math.max(d, 0)).getOrElse("")}")
         }
-      } catch {
-        case e: Throwable =>
-          bad += 1
-          println(s"ERR  $name: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(150)}")
-      }
     }
-    println(s"respell sweep: ${graft.SparkEntry.queries.size - bad}/${graft.SparkEntry.queries.size} invariant")
     spark.stop()
   }
 }

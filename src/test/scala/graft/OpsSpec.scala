@@ -2031,5 +2031,23 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect()
     assert(cert.forall(_._3))
     graft.core.Caches.releaseAll()
+    // maxIter boundary: an 8-chain at k=2 collapses in EXACTLY 4
+    // rounds (both ends per round) — full collapse at the cap is
+    // converged and must RETURN on both paths; one round fewer must
+    // still throw.
+    val chain8 = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    for (lfv <- Seq(0L, 100000L)) {
+      val full = KCore.kCore(chain8, "a", "b", 2, maxIter = 4,
+          localFinishVertices = lfv)
+        .as[(Long, Boolean, Option[Int])].collect()
+      assert(full.length == 8 && full.forall(!_._2), s"lfv=$lfv")
+      assert(full.flatMap(_._3).max == 4)
+      graft.core.Caches.releaseAll()
+      assertThrows[IllegalStateException] {
+        KCore.kCore(chain8, "a", "b", 2, maxIter = 3,
+          localFinishVertices = lfv).collect()
+      }
+      graft.core.Caches.releaseAll()
+    }
   }
 }
