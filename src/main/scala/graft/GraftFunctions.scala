@@ -34,6 +34,27 @@ object GraftFunctions {
     if (args.length != n) throw new IllegalArgumentException(
       s"$name expects $n argument(s), got ${args.length}")
 
+  /** A constant string-array argument: either `array('a', 'b', ...)`
+    * (CreateArray of string literals — the form SQL produces) or a
+    * folded array literal.
+    */
+  private def strArrayLit(e: Expression, what: String): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _) =>
+      children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what elements must be string literals, got $other")
+      }
+    case lit: Literal if lit.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] =>
+      lit.value.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+        .toIndexedSeq
+    case other => throw new IllegalArgumentException(
+      s"$what must be a constant string array, got $other")
+  }
+
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "iso_duration_seconds" -> { args =>
       arity("iso_duration_seconds", args, 1); IsoDurationSecondsExpr(args.head) },
@@ -61,6 +82,14 @@ object GraftFunctions {
       arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),
         intLit(args(1), "shingleN"), intLit(args(2), "numHashes"))
+    },
+    // Multi-pattern substring search (one Aho-Corasick pass; phrase
+    // blocklists): multi_match(text, array('p1', 'p2', ...)) -> the
+    // patterns present in the text, in list order.
+    "multi_match" -> { args =>
+      arity("multi_match", args, 2)
+      graft.functions.MultiMatchExpr(args(0),
+        strArrayLit(args(1), "patterns"))
     },
     // G1 chunker as a SQL table-generating function:
     //   SELECT video_id, c.* FROM t

@@ -2536,7 +2536,65 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("degree"), col("certified"))
         .orderBy(col("doc_id"))
     }),
+    "q148_multipattern_blocklist" -> ((s, d) => {
+      // §2.11 PHRASE blocklist (the UT1 half q104's word-set
+      // intersection cannot see): which lexicon entries occur in each
+      // document as raw substrings — multi-word phrases, intra-word
+      // and cross-word-boundary fragments, nested patterns included.
+      // One Aho-Corasick pass per row (functions/MultiMatch.scala),
+      // O(|text|) regardless of lexicon size; the oracle replays the
+      // naive O(N*|text|) contains-filter, so equality pins the
+      // automaton (fail links, dict-suffix chains, nesting) exactly.
+      // The lexicon is written in the same order in both engines —
+      // match output is list-ordered, never sorted.
+      val m = graft.ops.Blocklist.phraseMatches(
+        coalesce(col("text"), lit("")), phraseLexicon)
+      documents(s, d)
+        .select(col("doc_id"), array_join(m, "|").as("matched"),
+          size(m).as("n_matched"))
+        .orderBy(col("doc_id"))
+    }),
+    "q149_ensemble_dup_families" -> ((s, d) => {
+      // §2.11 capstone: ONE provenance-tagged duplicate graph from
+      // three independent signals — exact content (bit 1, star edges),
+      // lexical Jaccard >= 0.8 (bit 2, the q30/q84 prefix-filtered
+      // join), embedding cosine >= 0.4 within label blocks (bit 4,
+      // q59's pair set) — closed under cross-signal connectivity, so a
+      // family visible only transitively ACROSS detectors (A~B
+      // lexically, B~C semantically) still lands in one family. Output
+      // per doc: family, size, the bitmask of signals connecting the
+      // family, canonical verdict. The oracle recomputes all three
+      // edge sets (all-pairs exact — star vs all-pairs closure and
+      // family-level signal presence are identical), the closure with
+      // a recursive CTE, and the same bit_or rollups.
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      graft.ops.EnsembleDedup.dupFamilies(docs, "doc_id", Seq(
+        graft.ops.EnsembleDedup.Signal(
+          graft.ops.EnsembleDedup.exactContentEdges(docs, "text", "doc_id"),
+          "id_a", "id_b", 1),
+        graft.ops.EnsembleDedup.Signal(
+          Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8),
+          "id_a", "id_b", 2),
+        graft.ops.EnsembleDedup.Signal(
+          Dedup.embeddingNearDuplicates(
+            emb, "embedding", "vec_id", "label", 0.4),
+          "id_a", "id_b", 4)))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** q148's phrase lexicon (shared verbatim with its oracle's list
+    * literal): nested patterns (batch / batch batch / batch batch
+    * batch) exercise dictionary-suffix chains, "ta ta" crosses a word
+    * boundary ("data table"), "strea"/"olumn" are intra-word
+    * fragments, and the last entry never occurs.
+    */
+  private lazy val phraseLexicon: Seq[String] = Seq(
+    "batch", "batch batch", "batch batch batch", "slow merge",
+    "key order sort", "customer data", "strea", "ta ta", "olumn",
+    "zebra quartz")
 
   /** q147's planted scaffold (shared verbatim with its oracle's VALUES
     * list): a 6-clique that must survive k=3, a triangle ladder that
@@ -4368,5 +4426,53 @@ Hosts: %s
                  CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
            FROM embeddings e, embeddings q WHERE q.vec_id < 10) t
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // q148: the naive contains-filter IS the semantics; the Spark side
+    // computes it in one Aho-Corasick pass. Same list order verbatim.
+    "q148_multipattern_blocklist" -> {
+      val lex = phraseLexicon.map(p => s"'$p'").mkString(", ")
+      s"""SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB (Spark's array_join
+           -- gives ''): coalesce the no-match rows to the empty string.
+           coalesce(array_to_string(list_filter([$lex],
+             p -> contains(coalesce(text, ''), p)), '|'), '') AS matched,
+           CAST(len(list_filter([$lex],
+             p -> contains(coalesce(text, ''), p))) AS BIGINT) AS n_matched
+         FROM documents ORDER BY doc_id"""
+    },
+    // q149: the same three edge sets (exact as ALL-PAIRS within a
+    // content group — the closure and family-level signal presence
+    // are identical to the Spark side's star edges), q84's recursive
+    // closure, and the same per-family bit_or rollups.
+    "q149_ensemble_dup_families" ->
+      s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         e_jac AS (SELECT id_a, id_b, 2 AS sig FROM pv WHERE jac >= 0.8),
+         e_exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS sig
+           FROM documents a JOIN documents b
+             ON a.text = b.text AND a.doc_id < b.doc_id),
+         e_cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 4 AS sig
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         edges AS (SELECT id_a, id_b, bit_or(sig) AS signals FROM (
+             SELECT * FROM e_exact UNION ALL SELECT * FROM e_jac
+             UNION ALL SELECT * FROM e_cos) u
+           GROUP BY 1, 2),
+         sym AS (SELECT id_a AS u, id_b AS v FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.v, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+         comp AS (SELECT v AS doc_id, min(r) AS family FROM reach GROUP BY v),
+         sz AS (SELECT family, count(*) AS family_size FROM comp GROUP BY 1),
+         fs AS (SELECT c.family, bit_or(e.signals) AS signals
+           FROM edges e JOIN comp c ON e.id_a = c.doc_id GROUP BY 1)
+         SELECT comp.doc_id, comp.family, sz.family_size,
+           CAST(coalesce(fs.signals, 0) AS INTEGER) AS signals,
+           comp.doc_id = comp.family AS is_canonical
+         FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
+         ORDER BY comp.doc_id""",
   )
 }

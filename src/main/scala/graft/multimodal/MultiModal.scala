@@ -463,12 +463,16 @@ object MultiModal {
           // E[w][m]: Goertzel energy of band m over window w.
           def bandEnergies(w: Int): Array[Double] = {
             val off = w * hop
+            // Only the LAST window can truncate — hoist the bound so
+            // the hot recurrence runs compare-once per sample instead
+            // of re-deriving off+i < pcm.length 65 bands deep.
+            val end = math.min(off + frameLen, pcm.length)
             Array.tabulate(nBands) { m =>
               val c = coeffs(m)
               var s1 = 0.0; var s2 = 0.0
-              var i = 0
-              while (i < frameLen && off + i < pcm.length) {
-                val s0 = pcm(off + i) + c * s1 - s2
+              var i = off
+              while (i < end) {
+                val s0 = pcm(i) + c * s1 - s2
                 s2 = s1; s1 = s0
                 i += 1
               }

@@ -59,4 +59,17 @@ object Blocklist {
         size(array_intersect(words, lit(lexicon.toArray))).cast("double") /
           size(words))
   }
+
+  /** The PHRASE half of the lexicon signal: which of `lexicon`'s
+    * entries occur in `text` as raw substrings — multi-word phrases and
+    * intra-word fragments included, which the word-set intersection
+    * above cannot see. One Aho-Corasick pass per row regardless of
+    * lexicon size (O(|text|) vs the O(N·|text|) contains-chain; see
+    * [[graft.functions.MultiMatchExpr]]), value-equal to
+    * `list_filter(lexicon, p -> contains(text, p))` in lexicon order.
+    */
+  def phraseMatches(text: Column, lexicon: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.MultiMatchExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), lexicon))
 }

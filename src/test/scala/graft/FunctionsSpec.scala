@@ -3,6 +3,7 @@ package graft
 import graft.functions.{IsoDurationSeconds, TextFunctions, TimeFunctions}
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
@@ -374,5 +375,54 @@ class FunctionsSpec extends SparkSpec {
         .signature(UTF8String.fromString(t), n, k).toLongArray().toSeq
       assert(got == reference(t, n, k), s"text=${t.take(40).replace("\n", "\\n")} n=$n k=$k")
     }
+  }
+
+  test("multi_match: Aho-Corasick == naive contains filter (seeded property)") {
+    // Tiny alphabet forces the hard automaton shapes: nested patterns,
+    // shared prefixes, fail-link chains, cross-boundary overlaps.
+    val rnd = new scala.util.Random(148)
+    def randStr(alphabet: String, n: Int): String =
+      Seq.fill(n)(alphabet.charAt(rnd.nextInt(alphabet.length))).mkString
+    for (_ <- 0 until 60) {
+      val patterns = Seq.fill(1 + rnd.nextInt(12))(
+        randStr("ab ", 1 + rnd.nextInt(6)))
+      val ac = new graft.functions.AcAutomaton(patterns.toArray)
+      for (_ <- 0 until 30) {
+        val t = randStr("ab ", rnd.nextInt(40))
+        val got = ac.matchedArray(UTF8String.fromString(t))
+          .toObjectArray(org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        val want = ac.patterns.toSeq.filter(t.contains(_))
+        assert(got == want, s"patterns=$patterns text='$t'")
+      }
+    }
+    // Deterministic goldens for every lexicon shape class.
+    val ac = new graft.functions.AcAutomaton(Array(
+      "batch", "batch batch", "ta ta", "strea", "absent"))
+    val got = ac.matchedArray(UTF8String.fromString(
+      "data table batch batch stream")).toObjectArray(
+      org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    assert(got == Seq("batch", "batch batch", "ta ta", "strea"))
+    assert(new graft.functions.AcAutomaton(Array("x"))
+      .matchedArray(UTF8String.fromString("")).numElements() == 0)
+    assertThrows[IllegalArgumentException](
+      new graft.functions.AcAutomaton(Array("a", "")))
+  }
+
+  test("multi_match: Column + codegen and SQL surfaces match the automaton") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val lex = Seq("ab", "abab", "b a", "zz")
+    val texts = Seq("abab a", "b ab", "", "zzab", "xyz")
+    val viaCol = texts.toDF("t")
+      .select(graft.ops.Blocklist.phraseMatches(col("t"), lex).as("m"))
+      .as[Seq[String]].collect().toSeq
+    texts.toDF("t").createOrReplaceTempView("mm_texts")
+    val sqlRes = spark.sql(
+      "SELECT multi_match(t, array('ab', 'abab', 'b a', 'zz')) AS m FROM mm_texts")
+      .as[Seq[String]].collect().toSeq
+    val want = texts.map(t => lex.filter(t.contains(_)))
+    assert(viaCol == want)
+    assert(sqlRes == want)
   }
 }

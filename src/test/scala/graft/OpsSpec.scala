@@ -2050,4 +2050,38 @@ class OpsSpec extends SparkSpec {
       graft.core.Caches.releaseAll()
     }
   }
+
+  test("EnsembleDedup: cross-signal closure, provenance rollup, star exact edges") {
+    import spark.implicits._
+    import graft.ops.EnsembleDedup
+    val docs = (1L to 9L).toDF("doc_id")
+    // Signal 1 links 1-2, signal 2 links 2-3: the {1,2,3} family is
+    // visible only ACROSS signals and must carry bitmask 3. Signal 4's
+    // 5-6 family stays cosine-only; a duplicate+reversed edge and a
+    // self-loop are no-ops; 4, 7, 8, 9 are singletons (signals 0).
+    val s1 = Seq((2L, 1L), (1L, 2L), (3L, 3L)).toDF("a", "b") // reversed dup + loop
+    val s2 = Seq((2L, 3L)).toDF("a", "b")
+    val s4 = Seq((6L, 5L)).toDF("a", "b")
+    val out = EnsembleDedup.dupFamilies(docs, "doc_id", Seq(
+        EnsembleDedup.Signal(s1, "a", "b", 1),
+        EnsembleDedup.Signal(s2, "a", "b", 2),
+        EnsembleDedup.Signal(s4, "a", "b", 4)))
+      .as[(Long, Long, Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, 3, true), (2L, 1L, 3L, 3, false), (3L, 1L, 3L, 3, false),
+      (4L, 4L, 1L, 0, true), (5L, 5L, 2L, 4, true), (6L, 5L, 2L, 4, false),
+      (7L, 7L, 1L, 0, true), (8L, 8L, 1L, 0, true), (9L, 9L, 1L, 0, true)))
+    graft.core.Caches.releaseAll()
+    // exactContentEdges: star form — every member links to the content
+    // group's min id, uniques contribute nothing.
+    val d2 = Seq((10L, "x"), (11L, "x"), (12L, "x"), (13L, "y"), (14L, "z"),
+      (15L, "z")).toDF("id", "t")
+    val star = EnsembleDedup.exactContentEdges(d2, "t", "id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(star == Seq((10L, 11L), (10L, 12L), (14L, 15L)))
+    graft.core.Caches.releaseAll()
+    // Non-power-of-two provenance bits are rejected.
+    assertThrows[IllegalArgumentException](
+      EnsembleDedup.Signal(s1, "a", "b", 3))
+  }
 }
