@@ -244,6 +244,19 @@ object GraftFunctions {
         longLit(args(3), "window").toInt, longLit(args(4), "divisor").toInt,
         longLit(args(5), "minDocs").toInt))
     },
+    // ensemble duplicate families over the standard three signals:
+    // (id, family, family_size, signals bitmask, is_canonical)
+    "dup_families" -> { args =>
+      arity("dup_families", args, 9)
+      plan(graft.ops.EnsembleDedup.standardDupFamilies(
+        tableOf(strLit(args(0), "docsTable")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        tableOf(strLit(args(3), "embTable")),
+        strLit(args(4), "embCol"), strLit(args(5), "vecIdCol"),
+        strLit(args(6), "labelCol"),
+        doubleLit(args(7), "jaccardThreshold"),
+        doubleLit(args(8), "cosineThreshold")))
+    },
     // k-core membership over an edge table: (id, in_kcore, peel_round)
     "kcore" -> { args =>
       arity("kcore", args, 4)

@@ -2569,17 +2569,60 @@ object SparkEntry {
       // a recursive CTE, and the same bit_or rollups.
       val docs = documents(s, d)
       val emb = embeddings(s, d)
-      graft.ops.EnsembleDedup.dupFamilies(docs, "doc_id", Seq(
-        graft.ops.EnsembleDedup.Signal(
-          graft.ops.EnsembleDedup.exactContentEdges(docs, "text", "doc_id"),
-          "id_a", "id_b", 1),
-        graft.ops.EnsembleDedup.Signal(
-          Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8),
-          "id_a", "id_b", 2),
-        graft.ops.EnsembleDedup.Signal(
-          Dedup.embeddingNearDuplicates(
-            emb, "embedding", "vec_id", "label", 0.4),
-          "id_a", "id_b", 4)))
+      graft.ops.EnsembleDedup.standardDupFamilies(docs, "text", "doc_id",
+          emb, "embedding", "vec_id", "label",
+          jaccardThreshold = 0.8, cosineThreshold = 0.4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q150_incremental_families" -> ((s, d) => {
+      // §2.11 incremental form of q149: the corpus (doc_id % 10 < 8)
+      // carries standing families; the batch (% 10 >= 8) is assigned
+      // WITHOUT re-closing the corpus graph — batch-incident signals
+      // only (R-S jaccard + batch self-join, hash-equality exact,
+      // label-blocked cosine with one batch side), corpus endpoints
+      // collapsed to family supernodes (exact: family id = min member
+      // id, so the collapsed closure IS the full closure). The oracle
+      // is the FULL q149 recompute over all documents restricted to
+      // batch rows — incremental == from-scratch is the equivalence
+      // that makes daily appends trustworthy. In-query the prior is
+      // recomputed (a deployment reads it from the store, so only the
+      // batch-grain stages remain).
+      import graft.functions.VectorFunctions.vecCosine
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      val isBatch = (c: Column) => c % 10 >= 8
+      val corpus = docs.where(!isBatch(col("doc_id")))
+      val batch = docs.where(isBatch(col("doc_id")))
+      val prior = graft.ops.EnsembleDedup.standardDupFamilies(
+        corpus, "text", "doc_id",
+        emb.where(!isBatch(col("vec_id"))), "embedding", "vec_id", "label",
+        jaccardThreshold = 0.8, cosineThreshold = 0.4)
+      val bh = batch.select(col("doc_id").as("id_a"),
+        xxhash64(col("text")).as("__h"))
+      val ah = docs.select(col("doc_id").as("id_b"),
+        xxhash64(col("text")).as("__h"))
+      val exactPairs = bh.join(ah, Seq("__h"))
+        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
+      val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
+          "text", "doc_id", 0.8)
+        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
+        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
+          .select(col("id_a"), col("id_b")))
+      val ea = emb.where(isBatch(col("vec_id")))
+        .select(col("label").as("blk"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val cosPairs = ea.join(eb, Seq("blk"))
+        .where(col("id_a") =!= col("id_b"))
+        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.EnsembleDedup.assignToFamilies(batch, "doc_id", prior, Seq(
+          graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
+          graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
+          graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+        .drop("n_absorbed")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -4473,6 +4516,41 @@ Hosts: %s
            CAST(coalesce(fs.signals, 0) AS INTEGER) AS signals,
            comp.doc_id = comp.family AS is_canonical
          FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
+         ORDER BY comp.doc_id""",
+    // q150: the full q149 recompute restricted to batch rows — the
+    // incremental supernode closure must be indistinguishable from
+    // rebuilding the ensemble from scratch.
+    "q150_incremental_families" ->
+      s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         e_jac AS (SELECT id_a, id_b, 2 AS sig FROM pv WHERE jac >= 0.8),
+         e_exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS sig
+           FROM documents a JOIN documents b
+             ON a.text = b.text AND a.doc_id < b.doc_id),
+         e_cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 4 AS sig
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         edges AS (SELECT id_a, id_b, bit_or(sig) AS signals FROM (
+             SELECT * FROM e_exact UNION ALL SELECT * FROM e_jac
+             UNION ALL SELECT * FROM e_cos) u
+           GROUP BY 1, 2),
+         sym AS (SELECT id_a AS u, id_b AS v FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.v, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+         comp AS (SELECT v AS doc_id, min(r) AS family FROM reach GROUP BY v),
+         sz AS (SELECT family, count(*) AS family_size FROM comp GROUP BY 1),
+         fs AS (SELECT c.family, bit_or(e.signals) AS signals
+           FROM edges e JOIN comp c ON e.id_a = c.doc_id GROUP BY 1)
+         SELECT comp.doc_id, comp.family, sz.family_size,
+           CAST(coalesce(fs.signals, 0) AS INTEGER) AS signals,
+           comp.doc_id = comp.family AS is_canonical
+         FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
+         WHERE comp.doc_id % 10 >= 8
          ORDER BY comp.doc_id""",
   )
 }

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Cost anatomy probe for the q149 ensemble graph:
+  * `EnsembleProbe <sfDir>` prints each signal's pair count, the unioned
+  * edge count, component count / max family size, and stage timings —
+  * the numbers that attribute the operator's wall time (signal arms vs
+  * closure depth vs family rollup).
+  */
+object EnsembleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = graft.core.Sessions.local(32)
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[$label] ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val exact = graft.ops.EnsembleDedup.exactContentEdges(docs, "text", "doc_id")
+    val jac = graft.ops.Dedup.jaccardJoinExact(docs, "text", "doc_id", 0.8)
+    val cos = graft.ops.Dedup.embeddingNearDuplicates(
+      emb, "embedding", "vec_id", "label", 0.4)
+    timed("exact pairs")(println("  n=" + exact.count()))
+    graft.core.Caches.releaseAll()
+    timed("jaccard pairs")(println("  n=" + jac.count()))
+    graft.core.Caches.releaseAll()
+    timed("cosine pairs")(println("  n=" + cos.count()))
+    graft.core.Caches.releaseAll()
+    val fams = timed("dupFamilies full") {
+      val f = graft.ops.EnsembleDedup.dupFamilies(docs, "doc_id", Seq(
+        graft.ops.EnsembleDedup.Signal(exact, "id_a", "id_b", 1),
+        graft.ops.EnsembleDedup.Signal(jac, "id_a", "id_b", 2),
+        graft.ops.EnsembleDedup.Signal(cos, "id_a", "id_b", 4)))
+      f.agg(count(lit(1)).as("n"),
+          countDistinct(col("family")).as("n_fams"),
+          max(col("family_size")).as("max_fam"),
+          sum(when(col("signals") =!= 0, 1L).otherwise(0L)).as("in_dup"))
+        .head()
+    }
+    println(s"  docs=${fams.getLong(0)} fams=${fams.getLong(1)} " +
+      s"maxFam=${fams.getLong(2)} inDup=${fams.getLong(3)}")
+    graft.core.Caches.releaseAll()
+    spark.stop()
+  }
+}

@@ -2084,4 +2084,43 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       EnsembleDedup.Signal(s1, "a", "b", 3))
   }
+
+  test("EnsembleDedup.assignToFamilies == full recompute on the union (bridge, merge, singleton)") {
+    import spark.implicits._
+    import graft.ops.EnsembleDedup
+    val corpus = (1L to 8L).toDF("doc_id")
+    val batch = (9L to 12L).toDF("doc_id")
+    val cs2 = Seq((1L, 2L), (2L, 3L)).toDF("a", "b") // family {1,2,3}, sig 2
+    val cs4 = Seq((5L, 6L)).toDF("a", "b")           // family {5,6}, sig 4
+    val prior = EnsembleDedup.dupFamilies(corpus, "doc_id", Seq(
+      EnsembleDedup.Signal(cs2, "a", "b", 2),
+      EnsembleDedup.Signal(cs4, "a", "b", 4)))
+    // Batch doc 9 BRIDGES both standing families (bit 1 edge to 3, bit
+    // 2 edge to 5); 11-12 form a pure-batch family; 10 is a singleton.
+    val b1 = Seq((9L, 3L)).toDF("a", "b")
+    val b2 = Seq((9L, 5L)).toDF("a", "b")
+    val b4 = Seq((11L, 12L)).toDF("a", "b")
+    val inc = EnsembleDedup.assignToFamilies(batch, "doc_id", prior, Seq(
+        EnsembleDedup.Signal(b1, "a", "b", 1),
+        EnsembleDedup.Signal(b2, "a", "b", 2),
+        EnsembleDedup.Signal(b4, "a", "b", 4)))
+      .as[(Long, Long, Long, Int, Boolean, Long)].collect().sortBy(_._1).toSeq
+    graft.core.Caches.releaseAll()
+    assert(inc == Seq(
+      (9L, 1L, 6L, 7, false, 2L),   // {1,2,3}+{5,6}+9, sigs 1|2 ∪ 2|4
+      (10L, 10L, 1L, 0, true, 0L),
+      (11L, 11L, 2L, 4, true, 0L),
+      (12L, 11L, 2L, 4, false, 0L)))
+    // Full recompute over corpus ∪ batch with the SAME edge sets,
+    // restricted to batch rows, must agree on every shared column.
+    val full = EnsembleDedup.dupFamilies(
+        corpus.unionByName(batch), "doc_id", Seq(
+          EnsembleDedup.Signal(b1, "a", "b", 1),
+          EnsembleDedup.Signal(cs2.unionByName(b2), "a", "b", 2),
+          EnsembleDedup.Signal(cs4.unionByName(b4), "a", "b", 4)))
+      .where(col("id") >= 9L)
+      .as[(Long, Long, Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    graft.core.Caches.releaseAll()
+    assert(full == inc.map(r => (r._1, r._2, r._3, r._4, r._5)))
+  }
 }

@@ -51,6 +51,17 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM cascade_against('tvf_batch', 'tvf_docs', 'text', 'doc_id', 0.8, 3)",
       graft.ops.DedupCascade.cascadeAgainst(
         spark.table("tvf_batch"), docs, "text", "doc_id", 0.8, 3))
+    // embeddings-shaped fixture sharing tvf_docs' id space: 3 and 4 are
+    // cosine-close within one label block, so the ensemble graph gains
+    // a cosine-only family on top of the exact/jaccard ones.
+    Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.6f, 0.8f), 2), (4L, Array(0.55f, 0.83f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("tvf_emb")
+    pin("SELECT * FROM dup_families('tvf_docs', 'text', 'doc_id', " +
+        "'tvf_emb', 'embedding', 'vec_id', 'label', 0.8, 0.9)",
+      graft.ops.EnsembleDedup.standardDupFamilies(docs, "text", "doc_id",
+        spark.table("tvf_emb"), "embedding", "vec_id", "label", 0.8, 0.9))
     // basket fixture
     Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
       .toDF("b", "i").createOrReplaceTempView("tvf_baskets")
