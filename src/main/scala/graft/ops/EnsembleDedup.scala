@@ -140,7 +140,23 @@ object EnsembleDedup {
       batch: DataFrame,
       idCol: String,
       corpusFamilies: DataFrame,
-      signals: Seq[Signal]): DataFrame = {
+      signals: Seq[Signal]): DataFrame =
+    assignToFamiliesWithUpdates(batch, idCol, corpusFamilies, signals)._1
+
+  /** [[assignToFamilies]] plus the STORE-UPDATE relation a family store
+    * needs to stay consistent: one row per standing family pulled into
+    * the closure — (old_family, new_family, family_size, signals) with
+    * the merged family's final size and bitmask. Families untouched by
+    * any batch-incident edge do not appear (their rows stand). Every
+    * absorbed family's component contains at least one batch vertex
+    * (edges are batch-incident by contract), so the stats join is
+    * total.
+    */
+  def assignToFamiliesWithUpdates(
+      batch: DataFrame,
+      idCol: String,
+      corpusFamilies: DataFrame,
+      signals: Seq[Signal]): (DataFrame, DataFrame) = {
     require(signals.nonEmpty, "need at least one signal")
     // The prior is consumed SIX times (a remap join per endpoint per
     // signal) plus the family metadata, all underneath a second
@@ -208,17 +224,30 @@ object EnsembleDedup {
         Seq("id_a"))
       .groupBy(col("family"))
       .agg(bit_or(col("signals")).as("__edge_sig"))
-    assigned
-      .join(batchCounts, Seq("family"))
+    // Family-grain final stats (batchCounts covers every assigned
+    // family, so the inner join below is total on the batch side).
+    val famStats = graft.core.Caches.persistTracked(batchCounts
       .join(absorbed, Seq("family"), "left")
       .join(edgeSig, Seq("family"), "left")
-      .select(col("id"), col("family"),
+      .select(col("family"),
         (col("__batch_n") + coalesce(col("__corpus_n"), lit(0L)))
           .as("family_size"),
         (coalesce(col("__edge_sig"), lit(0))
           .bitwiseOR(coalesce(col("__corpus_sig"), lit(0)))).as("signals"),
-        (col("id") === col("family")).as("is_canonical"),
-        coalesce(col("n_absorbed"), lit(0L)).as("n_absorbed"))
+        coalesce(col("n_absorbed"), lit(0L)).as("n_absorbed")))
+    val out = assigned
+      .join(famStats, Seq("family"))
+      .select(col("id"), col("family"), col("family_size"), col("signals"),
+        (col("id") === col("family")).as("is_canonical"), col("n_absorbed"))
+    val updates = comps
+      .join(famMeta, comps("id") === famMeta("family"))
+      .select(famMeta("family").as("old_family"),
+        comps("component").as("new_family"))
+      .join(famStats.select(col("family").as("new_family"),
+        col("family_size"), col("signals")), Seq("new_family"))
+      .select(col("old_family"), col("new_family"),
+        col("family_size"), col("signals"))
+    (out, updates)
   }
 
   /** The standard three-signal ensemble (exact content = bit 1, lexical

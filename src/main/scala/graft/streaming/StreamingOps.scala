@@ -515,4 +515,118 @@ object StreamingOps {
         graft.core.Caches.releaseAll()
       }
       .start()
+
+  /** Streaming twin of q150: maintain an ensemble FAMILY STORE across
+    * micro-batches. Each batch of (id, text, embedding, label) rows is
+    * assigned to the standing families via
+    * [[graft.ops.EnsembleDedup.assignToFamiliesWithUpdates]] — batch-
+    * incident signals only (hash exact, R-S + self jaccard, label-
+    * blocked cosine), corpus endpoints collapsed to family supernodes —
+    * then the docs store appends the batch and the family store is
+    * rewritten with the merged rows. Invariant (pinned in
+    * StreamingSpec): after any number of batches the family store
+    * equals `standardDupFamilies` recomputed from scratch over the
+    * accumulated docs store.
+    *
+    * Replay safety: ids already present in the docs store are anti-
+    * joined away first (the J5 discipline), so a redelivered batch is a
+    * no-op — state lives in the two stores, not the checkpoint.
+    *
+    * Self-read hazard handled explicitly: the family store is READ
+    * (prior) and OVERWRITTEN in the same micro-batch, so the new
+    * content is eagerly materialized (localCheckpoint inside the op for
+    * the prior snapshot, plus one here for the merged relation) before
+    * the overwrite starts — the appendToCorpusIndex lesson. The
+    * per-batch full rewrite of the family relation is the portable
+    * parquet form of what a merge-on-write table format does in place;
+    * at deployment scale the store is partitioned by family range and
+    * only partitions containing updated families rewrite.
+    */
+  def familyStoreSink(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      embCol: String,
+      labelCol: String,
+      docsPath: String,
+      famPath: String,
+      checkpoint: String,
+      jaccardThreshold: Double = 0.8,
+      cosineThreshold: Double = 0.4,
+      shingleN: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batchRaw: DataFrame, _: Long) =>
+        val spark = batchRaw.sparkSession
+        import graft.ops.EnsembleDedup
+        val hasDocs = graft.core.FsUtil.exists(spark, docsPath)
+        val newOnly =
+          if (hasDocs)
+            batchRaw.dropDuplicates(idCol)
+              .join(spark.read.parquet(docsPath).select(col(idCol)),
+                Seq(idCol), "left_anti")
+          else batchRaw.dropDuplicates(idCol)
+        // Eager cut: the batch is consumed by several signal producers
+        // and two writes; a streaming-source plan must not be re-run.
+        val batch = newOnly.localCheckpoint()
+        if (!batch.isEmpty) {
+          if (!graft.core.FsUtil.exists(spark, famPath)) {
+            // First corpus: the batch IS the corpus — full ensemble.
+            EnsembleDedup.standardDupFamilies(batch, textCol, idCol,
+                batch, embCol, idCol, labelCol,
+                jaccardThreshold, cosineThreshold, shingleN)
+              .localCheckpoint()
+              .write.mode("overwrite").parquet(famPath)
+          } else {
+            val prior = spark.read.parquet(famPath)
+            val corpus = spark.read.parquet(docsPath)
+            val bh = batch.select(col(idCol).as("id_a"),
+              xxhash64(col(textCol)).as("__h"))
+            val ah = corpus.unionByName(batch, allowMissingColumns = true)
+              .select(col(idCol).as("id_b"), xxhash64(col(textCol)).as("__h"))
+            val exactPairs = bh.join(ah, Seq("__h"))
+              .where(col("id_a") =!= col("id_b"))
+              .select(col("id_a"), col("id_b"))
+            val jacPairs = graft.ops.Dedup.jaccardJoinAgainst(batch, corpus,
+                textCol, idCol, jaccardThreshold, shingleN)
+              .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
+              .unionByName(graft.ops.Dedup.jaccardJoinExact(batch,
+                  textCol, idCol, jaccardThreshold, shingleN)
+                .select(col("id_a"), col("id_b")))
+            val ea = batch.select(col(labelCol).as("blk"),
+              col(idCol).as("id_a"), col(embCol).as("emb_a"))
+            val eb = corpus.unionByName(batch, allowMissingColumns = true)
+              .select(col(labelCol).as("blk"), col(idCol).as("id_b"),
+                col(embCol).as("emb_b"))
+            val cosPairs = ea.join(eb, Seq("blk"))
+              .where(col("id_a") =!= col("id_b"))
+              .where(graft.functions.VectorFunctions.vecCosine(
+                col("emb_a"), col("emb_b")) >= cosineThreshold)
+              .select(col("id_a"), col("id_b"))
+            val (assignedB, updates) = EnsembleDedup.assignToFamiliesWithUpdates(
+              batch, idCol, prior, Seq(
+                EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
+                EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
+                EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+            val up = updates
+              .select(col("old_family"), col("new_family"),
+                col("family_size").as("__nsz"), col("signals").as("__nsig"))
+            val merged = prior
+              .join(up, prior("family") === up("old_family"), "left")
+              .select(prior("id"),
+                coalesce(col("new_family"), prior("family")).as("family"),
+                coalesce(col("__nsz"), prior("family_size")).as("family_size"),
+                coalesce(col("__nsig"), prior("signals")).as("signals"))
+              .withColumn("is_canonical", col("id") === col("family"))
+              .unionByName(assignedB.drop("n_absorbed"))
+              .localCheckpoint() // materialize BEFORE overwriting famPath
+            merged.write.mode("overwrite").parquet(famPath)
+          }
+          batch.write.mode("append").parquet(docsPath)
+        }
+        graft.core.Caches.releaseAll()
+      }
+      .start()
 }

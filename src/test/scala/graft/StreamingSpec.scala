@@ -459,4 +459,59 @@ class StreamingSpec extends SparkSpec {
     // The rebound index still carries every stored document's text.
     assert(spark.table("t_sinkidx_texts").count() == 3L)
   }
+
+  test("familyStoreSink: store == from-scratch ensemble after every batch; replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-famsink").toString
+    val docsPath = s"$dir/docs"
+    val famPath = s"$dir/fams"
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val nearA = base + " extra"
+    val other = (0 until 30).map(i => s"z$i").mkString(" ")
+    def runBatch(n: Int, rows: (Long, String, Array[Float], Int)*): Unit = {
+      val input = MemoryStream[(Long, String, Array[Float], Int)]
+      input.addData(rows: _*)
+      val q = StreamingOps.familyStoreSink(
+        input.toDF().toDF("doc_id", "text", "embedding", "label"),
+        "doc_id", "text", "embedding", "label",
+        docsPath, famPath, s"$dir/ckpt$n")
+      q.awaitTermination()
+    }
+    def famCanon(): Seq[String] =
+      spark.read.parquet(famPath)
+        .select(col("id"), col("family"), col("family_size"),
+          col("signals"), col("is_canonical"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+    def scratchCanon(): Seq[String] = {
+      val all = spark.read.parquet(docsPath)
+      val out = graft.ops.EnsembleDedup.standardDupFamilies(all,
+          "text", "doc_id", all, "embedding", "doc_id", "label", 0.8, 0.4)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      graft.core.Caches.releaseAll()
+      out
+    }
+    // Batch 1: a jaccard pair (1,2) and two singletons in separate
+    // label blocks.
+    runBatch(1, (1L, base, Array(1f, 0f), 0), (2L, nearA, Array(0f, 1f), 1),
+      (3L, other, Array(0.6f, 0.8f), 2))
+    assert(famCanon() == scratchCanon(), "batch 1 parity")
+    // Batch 2: doc 10 equals doc 3's text exactly (exact bit) AND is
+    // cosine-close to doc 11 (same label) — and doc 11 is a jaccard
+    // near-dup of doc 1: one batch BRIDGES the standing {1,2} family,
+    // a standing singleton, and two new docs into one family.
+    runBatch(2, (10L, other, Array(0.59f, 0.81f), 2),
+      (11L, base + " tail", Array(0.61f, 0.79f), 2))
+    assert(famCanon() == scratchCanon(), "batch 2 parity (merge across batches)")
+    val fams = spark.read.parquet(famPath)
+      .select(col("id"), col("family")).as[(Long, Long)].collect().toMap
+    assert(fams(11L) == fams(1L), "cross-batch jaccard edge joins 11 to 1's family")
+    assert(fams(10L) == fams(3L), "exact-content edge joins 10 to 3's family")
+    // Batch 3: replay of batch-2 ids with different payloads — already
+    // known ids are anti-joined away, nothing changes.
+    val before = famCanon()
+    runBatch(3, (10L, "anything", Array(0f, 1f), 5),
+      (11L, "else", Array(1f, 0f), 5))
+    assert(famCanon() == before, "replayed ids are a no-op")
+    assert(spark.read.parquet(docsPath).count() == 5L)
+  }
 }
