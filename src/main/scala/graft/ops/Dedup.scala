@@ -273,6 +273,36 @@ object Dedup {
       shingleN: Int = 3,
       freqOrdered: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    // SESSION-SHARED result (the [[Affinity.supportPairs]] discipline):
+    // the exact pair relation over one corpus is the shared discovery
+    // input of the whole dedup-graph family — q30's inventory, q84's
+    // components, q87's leakage split, q147's k-core, q149's ensemble
+    // all derive pairs from the SAME (plan, params) in one session, and
+    // the pair output is tiny relative to its producing join. Keyed by
+    // a SHA-256 of the canonicalized input plan plus every parameter —
+    // collisions cryptographically implausible; callers whose source
+    // files change mid-session must releaseShared() (same contract as
+    // supportPairs). Per-query sweeps release shared state, so the
+    // invariant sweeps still exercise the cold path.
+    val planDigest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(df.queryExecution.analyzed.canonicalized.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    graft.core.Caches.shared(
+      s"jaccard-exact:$textCol:$idCol:$threshold:$shingleN:$freqOrdered:" +
+        planDigest) {
+      jaccardJoinExactBuild(df, textCol, idCol, threshold, shingleN,
+        freqOrdered)
+    }
+  }
+
+  private def jaccardJoinExactBuild(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      shingleN: Int,
+      freqOrdered: Boolean): DataFrame = {
     // Empty shingle sets are excluded: a pair with an empty side has
     // J = 0 under the intersect/union convention, below any t > 0.
     val rawSets = df.select(col(idCol).as("id"),
