@@ -2626,6 +2626,17 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q151_span_corruption" -> ((s, d) =>
+      // §2.11 augmentation: deterministic T5-style span corruption —
+      // each full 20-token block gets one 3-token span masked at an
+      // md5-drawn offset (15% corruption, reproducible across engines,
+      // epochs fold into the salt), sentinel in the corrupted text,
+      // sentinel + masked tokens in the target. Block-local placement
+      // keeps the construction closed-form array slices — map-only,
+      // no shuffle, no sequential overlap scan — in BOTH engines, so
+      // the oracle recomputes every string exactly.
+      graft.ops.Augment.spanCorrupt(documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
   )
 
   /** q148's phrase lexicon (shared verbatim with its oracle's list
@@ -4552,5 +4563,40 @@ Hosts: %s
          FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
          WHERE comp.doc_id % 10 >= 8
          ORDER BY comp.doc_id""",
+    // q151: identical block/offset arithmetic — DuckDB's inclusive
+    // 1-based list slices mirror Spark's (start, length) slices; the
+    // offset draw parses the same 4 md5 hex chars in both engines.
+    "q151_span_corruption" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+             '\s+'), t -> t <> '') AS t FROM documents),
+         base AS (SELECT doc_id, t, len(t) AS n, len(t)//20 AS nfull
+           FROM toks),
+         blk AS (SELECT doc_id, u.b AS b,
+             CAST('0x' || substr(md5('corrupt1:' || doc_id || ':' || u.b),
+               1, 4) AS INTEGER) % 18 AS s
+           FROM base, LATERAL unnest(range(nfull)) AS u(b)),
+         pieces AS (SELECT blk.doc_id, blk.b,
+             array_to_string(list_concat(list_concat(
+               base.t[blk.b*20+1 : blk.b*20+blk.s],
+               ['<extra_id_' || blk.b || '>']),
+               base.t[blk.b*20+blk.s+4 : blk.b*20+20]), ' ') AS block_str,
+             '<extra_id_' || blk.b || '> ' ||
+               array_to_string(base.t[blk.b*20+blk.s+1 : blk.b*20+blk.s+3],
+                 ' ') AS target_str
+           FROM blk JOIN base USING (doc_id)),
+         agg AS (SELECT doc_id,
+             string_agg(block_str, ' ' ORDER BY b) AS blocks_str,
+             string_agg(target_str, ' ' ORDER BY b) AS target_text,
+             count(*) AS n_spans
+           FROM pieces GROUP BY doc_id)
+         SELECT base.doc_id,
+           array_to_string(list_filter([coalesce(agg.blocks_str, ''),
+             array_to_string(base.t[base.nfull*20+1 : base.n], ' ')],
+             p -> p <> ''), ' ') AS corrupted_text,
+           coalesce(agg.target_text, '') AS target_text,
+           CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans
+         FROM base LEFT JOIN agg USING (doc_id)
+         ORDER BY base.doc_id""",
   )
 }

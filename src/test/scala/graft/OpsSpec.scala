@@ -2123,4 +2123,41 @@ class OpsSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
     assert(full == inc.map(r => (r._1, r._2, r._3, r._4, r._5)))
   }
+
+  test("Augment.spanCorrupt: sentinel substitution inverts the corruption exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(151)
+    // Token-count edge cases around the block boundary plus random docs.
+    val docs = (Seq(0, 1, 19, 20, 21, 40, 59, 60) ++
+      Seq.fill(20)(rnd.nextInt(95))).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.tabulate(n)(j => s"tok${rnd.nextInt(50)}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = graft.ops.Augment.spanCorrupt(docs, "text", "doc_id")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val originals = docs.as[(Long, String)].collect().toMap
+    for ((id, corrupted, target, nSpans) <- out) {
+      val orig = originals(id).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(nSpans == orig.length / 20, s"doc $id span count")
+      // target = "<extra_id_b> t1 t2 t3" repeated in block order: parse
+      // into sentinel -> tokens and substitute back into the corrupted
+      // text; the result must be the original token sequence.
+      val spanOf: Map[String, Seq[String]] =
+        if (target.isEmpty) Map.empty
+        else target.split("(?=<extra_id_)").map(_.trim.split("\\s+").toSeq)
+          .map(g => g.head -> g.tail).toMap
+      assert(spanOf.size == nSpans, s"doc $id sentinel count in target")
+      val reconstructed = corrupted.split("\\s+").filter(_.nonEmpty)
+        .flatMap(t => spanOf.getOrElse(t, Seq(t)))
+      assert(reconstructed.toSeq == orig.toSeq, s"doc $id reconstruction")
+      // 15% corruption on full blocks: every full block drops 2 tokens
+      // net (3 masked, 1 sentinel added).
+      assert(corrupted.split("\\s+").count(_.nonEmpty) ==
+        orig.length - 2 * nSpans, s"doc $id corrupted length")
+    }
+    // Deterministic: an identical second run yields identical strings.
+    val again = graft.ops.Augment.spanCorrupt(docs, "text", "doc_id")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+    graft.core.Caches.releaseAll()
+  }
 }
