@@ -2637,6 +2637,19 @@ object SparkEntry {
       // the oracle recomputes every string exactly.
       graft.ops.Augment.spanCorrupt(documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    "q152_sequence_packing" -> ((s, d) =>
+      // §2.11 augmentation: GPT-style sequence packing — the corpus
+      // concatenated in doc_id order with <eod> after every document
+      // and cut into fixed 64-token training sequences that CROSS
+      // document boundaries (q78 packs at doc grain; this is the
+      // token-grain loader step). Global positions ride the two-phase
+      // distributed prefix scan (per-partition totals + broadcast
+      // offsets — bounded driver state), then ONE token-grain shuffle
+      // to sequence ids; the oracle recomputes the same stream with a
+      // window-form prefix at gate scale. Full-value: every sequence
+      // string, token count, and doc-span count must match.
+      graft.ops.SequencePack.pack(documents(s, d), "text", "doc_id", 64)
+        .orderBy(col("seq_id"))),
   )
 
   /** q148's phrase lexicon (shared verbatim with its oracle's list
@@ -4598,5 +4611,26 @@ Hosts: %s
            CAST(coalesce(agg.n_spans, 0) AS BIGINT) AS n_spans
          FROM base LEFT JOIN agg USING (doc_id)
          ORDER BY base.doc_id""",
+    // q152: window-form exclusive prefix (the gate-scale mirror of the
+    // two-phase scan), q95's index-range explode, same 64-cut.
+    "q152_sequence_packing" ->
+      """WITH toks AS (SELECT doc_id,
+           list_concat(list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), t -> t <> ''),
+             ['<eod>']) AS t
+           FROM documents),
+         off AS (SELECT doc_id, coalesce(SUM(len(t)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           FROM toks),
+         tok AS (SELECT toks.doc_id, off.o + u.i AS pos, toks.t[u.i+1] AS tk
+           FROM toks JOIN off USING (doc_id),
+           LATERAL unnest(range(len(toks.t))) AS u(i))
+         -- the window-SUM offset is HUGEINT; cast the cut back to
+         -- BIGINT or the driver's dtype-strict compare reads float64
+         SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+           string_agg(tk, ' ' ORDER BY pos) AS seq_text,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM tok GROUP BY 1 ORDER BY 1""",
   )
 }

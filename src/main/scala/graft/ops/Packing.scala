@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -43,6 +43,26 @@ object Packing {
   def assignShards(df: DataFrame, orderCol: String, weightCol: String,
       shardSize: Long, partitions: Int = 0): DataFrame = {
     require(shardSize > 0, s"shardSize must be positive, got $shardSize")
+    exclusivePrefix(df, orderCol, weightCol, partitions)
+      .select(col(orderCol),
+        intDiv(col("offset"), lit(shardSize)).as("shard"))
+  }
+
+  private def intDiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+
+  /** `(orderCol, offset)` for every row: offset = EXCLUSIVE prefix sum
+    * of `weightCol` in `orderCol` order — the distributed scan
+    * primitive under shard assignment (above) and sequence packing
+    * ([[SequencePack]]). Two phases: per-partition totals (numPartitions
+    * longs to the driver — bounded state), broadcast offsets, map-only
+    * emission; NEVER a no-partition global Window.
+    */
+  def exclusivePrefix(df: DataFrame, orderCol: String, weightCol: String,
+      partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
@@ -69,18 +89,18 @@ object Packing {
     // Exclusive scan: offsets(p) = total weight of partitions < p.
     val offsets = totals.scanLeft(0L)(_ + _).dropRight(1)
     val bc = spark.sparkContext.broadcast(offsets)
-    // Pass 2: map-only shard emission from the running local sum.
+    // Pass 2: map-only offset emission from the running local sum.
     val rows = part.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value(pid)
       it.map { r =>
-        val shard = run / shardSize
+        val off = run
         run += r.getLong(1)
-        Row(r.getLong(0), shard)
+        Row(r.getLong(0), off)
       }
     }
     val schema = StructType(Seq(
       StructField(orderCol, LongType, nullable = false),
-      StructField("shard", LongType, nullable = false)))
+      StructField("offset", LongType, nullable = false)))
     // Materializing `rows` re-reads the persisted partitions, so the
     // layout pass 1 measured is exactly what pass 2 scans.
     spark.createDataFrame(rows, schema)

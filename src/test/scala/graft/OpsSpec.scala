@@ -2160,4 +2160,32 @@ class OpsSpec extends SparkSpec {
     assert(again.toSeq == out.toSeq)
     graft.core.Caches.releaseAll()
   }
+
+  test("SequencePack: concatenated sequences reconstruct the corpus stream; all full but the last") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(152)
+    val docs = (0 until 25).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(s"w${rnd.nextInt(30)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    for (parts <- Seq(1, 7)) {
+      val out = graft.ops.SequencePack.pack(
+          docs.repartition(parts), "text", "doc_id", seqLen = 16)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      graft.core.Caches.releaseAll()
+      // Stream reconstruction: sequences in order, concatenated, equal
+      // the docs' tokens in doc order with <eod> after every doc
+      // (empty docs contribute just their separator).
+      val expected = docs.as[(Long, String)].collect().sortBy(_._1)
+        .flatMap { case (_, t) =>
+          t.toLowerCase.split("\\s+").filter(_.nonEmpty) :+ "<eod>"
+        }.toSeq
+      assert(out.flatMap(_._2.split(" ")).toSeq == expected, s"parts=$parts")
+      assert(out.map(_._1).toSeq == out.indices.map(_.toLong), "dense seq ids")
+      assert(out.init.forall(_._3 == 16L) &&
+        out.last._3 == (expected.size - 1) % 16 + 1, "full but the last")
+      // n_docs: sequence 0 spans at least the first doc; every count is
+      // within [1, docs that fit].
+      assert(out.forall(r => r._4 >= 1 && r._4 <= 17))
+    }
+  }
 }
