@@ -257,6 +257,22 @@ object GraftFunctions {
         doubleLit(args(7), "jaccardThreshold"),
         doubleLit(args(8), "cosineThreshold")))
     },
+    // deterministic T5-style span corruption:
+    // (id, corrupted_text, target_text, n_spans)
+    "span_corrupt" -> { args =>
+      arity("span_corrupt", args, 6)
+      plan(graft.ops.Augment.spanCorrupt(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "blockLen").toInt, longLit(args(4), "spanLen").toInt,
+        strLit(args(5), "salt")))
+    },
+    // GPT-style sequence packing: (seq_id, seq_text, n_tokens, n_docs)
+    "sequence_pack" -> { args =>
+      arity("sequence_pack", args, 4)
+      plan(graft.ops.SequencePack.pack(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "seqLen").toInt))
+    },
     // k-core membership over an edge table: (id, in_kcore, peel_round)
     "kcore" -> { args =>
       arity("kcore", args, 4)

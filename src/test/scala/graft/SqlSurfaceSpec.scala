@@ -62,6 +62,10 @@ class SqlSurfaceSpec extends SparkSpec {
         "'tvf_emb', 'embedding', 'vec_id', 'label', 0.8, 0.9)",
       graft.ops.EnsembleDedup.standardDupFamilies(docs, "text", "doc_id",
         spark.table("tvf_emb"), "embedding", "vec_id", "label", 0.8, 0.9))
+    pin("SELECT * FROM span_corrupt('tvf_docs', 'text', 'doc_id', 5, 2, 's1')",
+      graft.ops.Augment.spanCorrupt(docs, "text", "doc_id", 5, 2, "s1"))
+    pin("SELECT * FROM sequence_pack('tvf_docs', 'text', 'doc_id', 8)",
+      graft.ops.SequencePack.pack(docs, "text", "doc_id", 8))
     // basket fixture
     Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L), (3L, 30L))
       .toDF("b", "i").createOrReplaceTempView("tvf_baskets")
