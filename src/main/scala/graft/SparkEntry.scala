@@ -2650,7 +2650,149 @@ object SparkEntry {
       // string, token count, and doc-span count must match.
       graft.ops.SequencePack.pack(documents(s, d), "text", "doc_id", 64)
         .orderBy(col("seq_id"))),
+    "q153_bpe_train" -> ((s, d) => {
+      // §2.11 tokenization: distributed BPE training — ONE corpus scan
+      // builds the distinct-word histogram; each of the 20 merge
+      // rounds is a map-side-combined pair count over that histogram
+      // plus a ONE-row argmax collect (bounded driver state, the
+      // k-core discipline) and a map-only merge application. The
+      // oracle replays all 20 rounds in chained CTEs: same pair
+      // counts, same (count DESC, a, b) tie-break, same two-pass
+      // replace fixpoint — the merge table must match round for round.
+      val merges = graft.ops.Bpe.train(documents(s, d), "text", bpeRounds)
+      import s.implicits._
+      merges.map(m => (m.rank.toLong, m.a, m.b, m.count))
+        .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
+        .orderBy(col("merge_rank"))
+    }),
+    "q154_bpe_sequence_packing" -> ((s, d) => {
+      // q152's GPT packing with the whitespace convention replaced by
+      // the TRAINED q153 tokenizer: every word maps through the full
+      // merge sequence (nested codegen'd replace — map-only, no
+      // dictionary join), <eod> separates documents, 64-token cuts
+      // cross document boundaries. The oracle re-trains the vocab in
+      // SQL, tokenizes via the final word table (training composition
+      // == per-word fold, so the join-by-word form is exact), and
+      // re-packs with the window-form prefix. Full-value: every
+      // sequence string must match.
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      graft.ops.SequencePack.packTokens(docs,
+          concat(graft.ops.Bpe.tokenize(col("text"), merges),
+            array(lit("<eod>"))), "doc_id", 64)
+        .orderBy(col("seq_id"))
+    }),
+    "q155_classifier_train" -> ((s, d) =>
+      // §2.11 training: full-batch gradient descent for the hashed
+      // bag-of-words linear classifier in EXACT integer arithmetic —
+      // micro-unit weights, hard-sigmoid link, floor-division updates
+      // — so the DuckDB oracle replays the entire 3-epoch schedule
+      // bit for bit (z -> residual -> gradient -> weight, all BIGINT).
+      // Label: long documents (>= 250 chars). Per epoch: one
+      // broadcast join + doc-grain margin agg, one doc-grain residual
+      // join + bucket-grain gradient agg — shuffles at doc grain,
+      // weight state = 64 rows, no driver collect.
+      graft.ops.LinearTrainer.train(documents(s, d), "text", "doc_id",
+        when(length(col("text")) >= 250, lit(1L)).otherwise(lit(0L)),
+        buckets = 64, epochs = 3)),
+    "q156_store_backed_families" -> ((s, d) => {
+      // q150's incremental assignment with the prior read from a
+      // WRITTEN STORE (the EnsembleProbe deployment shape): the q149
+      // ensemble is computed once, written to parquet, and the
+      // returned plan reads that table — the assign arm's plan
+      // contains NO prior recompute (the store build runs eagerly at
+      // construction; a deployment amortizes it across batches).
+      // Same oracle as q150: store-backed == in-query == from-scratch.
+      import graft.functions.VectorFunctions.vecCosine
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      val isBatch = (c: Column) => c % 10 >= 8
+      val corpus = docs.where(!isBatch(col("doc_id")))
+      val batch = docs.where(isBatch(col("doc_id")))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_fam_q156_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.EnsembleDedup.standardDupFamilies(
+          corpus, "text", "doc_id",
+          emb.where(!isBatch(col("vec_id"))), "embedding", "vec_id", "label",
+          jaccardThreshold = 0.8, cosineThreshold = 0.4)
+        .write.mode("overwrite").parquet(base)
+      val prior = s.read.parquet(base)
+      val bh = batch.select(col("doc_id").as("id_a"),
+        xxhash64(col("text")).as("__h"))
+      val ah = docs.select(col("doc_id").as("id_b"),
+        xxhash64(col("text")).as("__h"))
+      val exactPairs = bh.join(ah, Seq("__h"))
+        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
+      val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
+          "text", "doc_id", 0.8)
+        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
+        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
+          .select(col("id_a"), col("id_b")))
+      val ea = emb.where(isBatch(col("vec_id")))
+        .select(col("label").as("blk"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val cosPairs = ea.join(eb, Seq("blk"))
+        .where(col("id_a") =!= col("id_b"))
+        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.EnsembleDedup.assignToFamilies(batch, "doc_id", prior, Seq(
+          graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
+          graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
+          graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+        .drop("n_absorbed")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q157_json_schema" -> ((s, d) =>
+      // q19's JSON extraction through a SCHEMA'D one-shot from_json
+      // instead of per-access get_json_object — at event-log scan
+      // grain the parse happens once per row into a typed struct, the
+      // form that survives 100 TB (and the only one that does if more
+      // than one key is ever read). Same oracle as q19: the rewrite
+      // must be value-identical, malformed/missing keys -> 0.
+      events(s, d)
+        .select(col("event_id"),
+          coalesce(from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType))))
+            .getField("k"), lit(0L)).as("k"))
+        .orderBy(col("event_id"))),
+    "q158_exact_substring_spans" -> ((s, d) => {
+      // §2.11 span dedup, EXACT form (Lee et al. 2022 ExactSubstr):
+      // maximal token ranges covered by 12-grams appearing verbatim in
+      // >= 2 distinct documents — gram-string grouping (collision-
+      // free), semi-join probe, gaps-and-islands interval merge. The
+      // corpus is augmented with PLANTED suffix clones (doc_id+700000
+      // carrying tokens 6.. of every doc_id % 17 == 3 document) so
+      // long partial overlaps exist by construction alongside the
+      // organic exact-duplicate pairs. Oracle recomputes spans and
+      // their text in full.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val toks = graft.ops.Lexical.tokens(col("text"))
+      val planted = docs0.where(col("doc_id") % 17 === 3)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          array_join(slice(toks, lit(6), greatest(size(toks) - 5, lit(0))), " ")
+            .as("text"))
+      graft.ops.SpanDedup.maximalDuplicatedSpans(
+          docs0.unionByName(planted), "text", "doc_id", minLen = 12)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    "q159_mlm_mask" -> ((s, d) =>
+      // §2.11 augmentation: deterministic BERT-style MLM masking —
+      // 15% of positions drawn by md5(salt:doc:pos), 80/10/10
+      // [MASK]/keep/in-doc-replacement split, all three draws
+      // closed-form per token (map-only, zero shuffle). The oracle
+      // recomputes every masked string, target list, and count.
+      graft.ops.Augment.mlmMask(documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
   )
+
+  /** BPE merge rounds shared by q153/q154 and their oracles. */
+  private val bpeRounds = 20
 
   /** q148's phrase lexicon (shared verbatim with its oracle's list
     * literal): nested patterns (batch / batch batch / batch batch
@@ -2688,6 +2830,42 @@ object SparkEntry {
          WHERE e.l_shipdate >= TIMESTAMP '1996-01-01'
            AND e.l_orderkey = li.l_orderkey AND e.l_suppkey = li.l_suppkey)
        GROUP BY l_orderkey ORDER BY l_orderkey"""
+
+  /** Shared by q150 (in-query prior) and q156 (store-backed
+    * prior): the full ensemble recompute restricted to batch rows.
+    */
+  private lazy val incrementalFamiliesOracle: String =
+    s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         e_jac AS (SELECT id_a, id_b, 2 AS sig FROM pv WHERE jac >= 0.8),
+         e_exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS sig
+           FROM documents a JOIN documents b
+             ON a.text = b.text AND a.doc_id < b.doc_id),
+         e_cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 4 AS sig
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         edges AS (SELECT id_a, id_b, bit_or(sig) AS signals FROM (
+             SELECT * FROM e_exact UNION ALL SELECT * FROM e_jac
+             UNION ALL SELECT * FROM e_cos) u
+           GROUP BY 1, 2),
+         sym AS (SELECT id_a AS u, id_b AS v FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.v, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+         comp AS (SELECT v AS doc_id, min(r) AS family FROM reach GROUP BY v),
+         sz AS (SELECT family, count(*) AS family_size FROM comp GROUP BY 1),
+         fs AS (SELECT c.family, bit_or(e.signals) AS signals
+           FROM edges e JOIN comp c ON e.id_a = c.doc_id GROUP BY 1)
+         SELECT comp.doc_id, comp.family, sz.family_size,
+           CAST(coalesce(fs.signals, 0) AS INTEGER) AS signals,
+           comp.doc_id = comp.family AS is_canonical
+         FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
+         WHERE comp.doc_id % 10 >= 8
+         ORDER BY comp.doc_id"""
 
   // q134/q141 share one oracle: same batch derivation (exact replays +
   // one-token mutations), semi-join exact stage, all-pairs batch×corpus
@@ -4541,41 +4719,12 @@ Hosts: %s
            comp.doc_id = comp.family AS is_canonical
          FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
          ORDER BY comp.doc_id""",
-    // q150: the full q149 recompute restricted to batch rows — the
-    // incremental supernode closure must be indistinguishable from
+    // q150/q156: the full q149 recompute restricted to batch rows —
+    // the incremental supernode closure (in-query prior for q150,
+    // store-backed prior for q156) must be indistinguishable from
     // rebuilding the ensemble from scratch.
-    "q150_incremental_families" ->
-      s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
-         ${jaccardPrefixSelfCtes("src", 0.8)},
-         e_jac AS (SELECT id_a, id_b, 2 AS sig FROM pv WHERE jac >= 0.8),
-         e_exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS sig
-           FROM documents a JOIN documents b
-             ON a.text = b.text AND a.doc_id < b.doc_id),
-         e_cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 4 AS sig
-           FROM embeddings a JOIN embeddings b
-             ON a.label = b.label AND a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-             CAST(b.embedding AS DOUBLE[])) >= 0.4),
-         edges AS (SELECT id_a, id_b, bit_or(sig) AS signals FROM (
-             SELECT * FROM e_exact UNION ALL SELECT * FROM e_jac
-             UNION ALL SELECT * FROM e_cos) u
-           GROUP BY 1, 2),
-         sym AS (SELECT id_a AS u, id_b AS v FROM edges
-                 UNION SELECT id_b, id_a FROM edges),
-         reach(v, r) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT reach.v, sym.v FROM reach JOIN sym ON reach.r = sym.u),
-         comp AS (SELECT v AS doc_id, min(r) AS family FROM reach GROUP BY v),
-         sz AS (SELECT family, count(*) AS family_size FROM comp GROUP BY 1),
-         fs AS (SELECT c.family, bit_or(e.signals) AS signals
-           FROM edges e JOIN comp c ON e.id_a = c.doc_id GROUP BY 1)
-         SELECT comp.doc_id, comp.family, sz.family_size,
-           CAST(coalesce(fs.signals, 0) AS INTEGER) AS signals,
-           comp.doc_id = comp.family AS is_canonical
-         FROM comp JOIN sz USING (family) LEFT JOIN fs USING (family)
-         WHERE comp.doc_id % 10 >= 8
-         ORDER BY comp.doc_id""",
+    "q150_incremental_families" -> incrementalFamiliesOracle,
+    "q156_store_backed_families" -> incrementalFamiliesOracle,
     // q151: identical block/offset arithmetic — DuckDB's inclusive
     // 1-based list slices mirror Spark's (start, length) slices; the
     // offset draw parses the same 4 md5 hex chars in both engines.
@@ -4632,5 +4781,170 @@ Hosts: %s
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          FROM tok GROUP BY 1 ORDER BY 1""",
+    // q153: the full 20-round training replay — same histogram, same
+    // overlapping-position pair counts, same (count DESC, a, b)
+    // argmax, same two-pass replace fixpoint. Early exhaustion
+    // mirrors for free: an empty LIMIT 1 empties every later round.
+    "q153_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(bpeRounds)}
+         SELECT * FROM (${(1 to bpeRounds).map(r =>
+           s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS pair_a, " +
+             s"b AS pair_b, CAST(c AS BIGINT) AS pair_count FROM m$r")
+           .mkString(" UNION ALL ")})
+         ORDER BY merge_rank""",
+    // q154: tokenize via the FINAL training word table (the per-word
+    // merge fold equals the training composition, so join-by-word is
+    // exact), then q152's window-prefix packing over the BPE stream.
+    "q154_bpe_sequence_packing" ->
+      s"""WITH ${bpeTrainCtes(bpeRounds)},
+         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+             SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS ws
+             FROM documents) dw,
+           LATERAL unnest(range(len(dw.ws))) AS u(i)),
+         mt AS (SELECT wx.doc_id, wx.wi, wr.w AS mw
+           FROM wx JOIN w$bpeRounds wr USING (word)),
+         dstr AS (SELECT doc_id, string_agg(mw, ' ' ORDER BY wi) AS s
+           FROM mt GROUP BY doc_id),
+         toks AS (SELECT d.doc_id,
+             list_concat(list_filter(string_split(coalesce(ds.s, ''), ' '),
+               t -> t <> ''), ['<eod>']) AS t
+           FROM documents d LEFT JOIN dstr ds ON d.doc_id = ds.doc_id),
+         off AS (SELECT doc_id, coalesce(SUM(len(t)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           FROM toks),
+         tok AS (SELECT toks.doc_id, off.o + u.i AS pos, toks.t[u.i+1] AS tk
+           FROM toks JOIN off USING (doc_id),
+           LATERAL unnest(range(len(toks.t))) AS u(i))
+         SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+           string_agg(tk, ' ' ORDER BY pos) AS seq_text,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM tok GROUP BY 1 ORDER BY 1""",
+    // q155: the exact 3-epoch integer replay — h60-hashed buckets,
+    // hard-sigmoid margins, pmod-spelled floor division (exact under
+    // both engines' integer division since the remainder is removed
+    // first), weight trajectory pinned per epoch per bucket.
+    "q155_classifier_train" ->
+      s"""WITH tok AS (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+             CAST(count(*) AS BIGINT) AS x FROM (
+             SELECT doc_id, unnest(list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), s -> s <> '')) AS t
+             FROM documents) GROUP BY 1, 2),
+         lab AS (SELECT doc_id,
+             CASE WHEN length(text) >= 250 THEN 1 ELSE 0 END AS y
+           FROM documents),
+         n AS (SELECT greatest(16 * count(*), 1) AS lrd FROM documents),
+         w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wt FROM tok),
+         ${(1 to 3).map(e => s"""
+         z$e AS (SELECT t.doc_id, CAST(SUM(t.x * w.wt) AS BIGINT) AS z
+           FROM tok t JOIN w${e - 1} w USING (b) GROUP BY 1),
+         r$e AS (SELECT z$e.doc_id,
+             least(greatest((z - ((z % 4) + 4) % 4) // 4 + 500000, 0),
+               1000000) - lab.y * 1000000 AS r
+           FROM z$e JOIN lab USING (doc_id)),
+         g$e AS (SELECT t.b, CAST(SUM(r$e.r * t.x) AS BIGINT) AS g
+           FROM tok t JOIN r$e USING (doc_id) GROUP BY 1),
+         w$e AS (SELECT w.b, CAST(w.wt -
+             (g.g - ((g.g % n.lrd) + n.lrd) % n.lrd) // n.lrd AS BIGINT) AS wt
+           FROM w${e - 1} w JOIN g$e g USING (b), n)""").mkString(",")}
+         SELECT * FROM (${(1 to 3).map(e =>
+           s"SELECT CAST($e AS BIGINT) AS epoch, b AS bucket, " +
+             s"wt AS weight FROM w$e").mkString(" UNION ALL ")})
+         ORDER BY epoch, bucket""",
+    // q157: q19's oracle verbatim — the schema'd rewrite must be
+    // value-identical.
+    "q157_json_schema" ->
+      """SELECT event_id,
+         coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k
+         FROM events ORDER BY event_id""",
+    // q158: same plants, same 12-gram inventory (>= 2 distinct docs),
+    // same running-max interval merge, same token-slice span text.
+    "q158_exact_substring_spans" ->
+      """WITH base AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         plant AS (SELECT doc_id + 700000 AS doc_id, t[6:] AS t
+           FROM base WHERE doc_id % 17 = 3),
+         allt AS (SELECT doc_id, t FROM base
+           UNION ALL SELECT doc_id, t FROM plant),
+         grams AS (SELECT doc_id, u.i AS pos,
+             array_to_string(t[u.i+1:u.i+12], ' ') AS g
+           FROM allt, LATERAL unnest(range(len(t) - 11)) AS u(i)
+           WHERE len(t) >= 12),
+         dupg AS (SELECT g FROM grams GROUP BY g
+           HAVING count(DISTINCT doc_id) >= 2),
+         starts AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+         isl AS (SELECT doc_id, pos,
+             SUM(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM (SELECT doc_id, pos, max(pos + 11) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+             FROM starts)),
+         spans AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 11 AS e
+           FROM isl GROUP BY 1, 2)
+         SELECT sp.doc_id, CAST(sp.s AS BIGINT) AS span_start,
+           CAST(sp.e AS BIGINT) AS span_end,
+           CAST(sp.e - sp.s + 1 AS BIGINT) AS span_len,
+           array_to_string(allt.t[sp.s+1:sp.e+1], ' ') AS span_text
+         FROM spans sp JOIN allt ON sp.doc_id = allt.doc_id
+         ORDER BY sp.doc_id, span_start""",
+    // q159: per-position draws parse the same 4 md5 hex chars;
+    // string_agg skips the NULL unmasked rows so the target list is
+    // the masked tokens in position order.
+    "q159_mlm_mask" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '') AS t
+           FROM documents),
+         pos AS (SELECT doc_id, u.i AS i, t[u.i+1] AS tok,
+             CAST('0x' || substr(md5('mlm1:' || doc_id || ':' || u.i), 1, 4)
+               AS INTEGER) % 100 < 15 AS sel,
+             CAST('0x' || substr(md5('mlm1r:' || doc_id || ':' || u.i), 1, 4)
+               AS INTEGER) % 10 AS br,
+             t[(CAST('0x' || substr(md5('mlm1p:' || doc_id || ':' || u.i), 1, 4)
+               AS INTEGER) % len(t)) + 1] AS rep
+           FROM toks, LATERAL unnest(range(len(t))) AS u(i)),
+         m AS (SELECT doc_id,
+             string_agg(CASE WHEN NOT sel THEN tok
+               WHEN br < 8 THEN '[MASK]'
+               WHEN br = 8 THEN tok ELSE rep END, ' ' ORDER BY i)
+               AS masked_text,
+             string_agg(CASE WHEN sel THEN tok END, ' ' ORDER BY i)
+               AS target_text,
+             CAST(count(*) FILTER (WHERE sel) AS BIGINT) AS n_masked
+           FROM pos GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(m.masked_text, '') AS masked_text,
+           coalesce(m.target_text, '') AS target_text,
+           coalesce(m.n_masked, 0) AS n_masked
+         FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
   )
+
+  /** The q153/q154 training replay: w0 = the distinct-word histogram
+    * with words as space-joined character sequences; round r = pair
+    * count over w(r-1) (overlapping adjacent positions, freq-weighted),
+    * ONE-row argmax m_r, and the two-pass padded replace into w_r.
+    * `word` rides along so q154 can tokenize by joining the final
+    * round's table.
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, freq FROM (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '')) AS w
+          FROM documents) GROUP BY 1))"""
+    for (r <- 1 to n) {
+      sb ++= s""",
+        m$r AS MATERIALIZED (SELECT a, b, c FROM (
+          SELECT t.sym[u.i+1] AS a, t.sym[u.i+2] AS b, CAST(SUM(t.freq) AS BIGINT) AS c
+          FROM (SELECT string_split(w, ' ') AS sym, freq FROM w${r - 1}) t,
+            LATERAL unnest(range(len(t.sym) - 1)) AS u(i)
+          GROUP BY 1, 2)
+        ORDER BY c DESC, a, b LIMIT 1),
+        w$r AS MATERIALIZED (SELECT word, trim(replace(replace(' ' || w || ' ', ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS w, freq FROM w${r - 1}, m$r m)"""
+    }
+    sb.toString
+  }
 }

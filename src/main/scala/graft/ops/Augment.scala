@@ -89,4 +89,73 @@ object Augment {
         array_join(col("__targets"), " ").as("target_text"),
         col("__nfull").cast("long").as("n_spans"))
   }
+
+  /** Deterministic BERT-style MLM masking (Devlin et al. 2019, §3.1):
+    * each token position draws independently — `maskPct`% of positions
+    * are selected, and a selected position becomes `[MASK]` with
+    * probability 8/10, keeps its token with 1/10, or is replaced by a
+    * deterministically-drawn token from the SAME document with 1/10
+    * (BERT's 80/10/10 split). All three draws are md5 functions of
+    * (salt, doc id, position) — the [[spanCorrupt]] reproducibility
+    * contract — so the corruption is engine-replayable, append-stable,
+    * and shuffle-order-independent; per-epoch remasking folds the epoch
+    * into the salt.
+    *
+    * Closed-form per token (array transform over the position range) —
+    * map-only, zero shuffle, the embarrassingly-parallel shape masking
+    * must keep at corpus scale.
+    *
+    * Output: (idCol, masked_text, target_text, n_masked) where
+    * target_text lists the ORIGINAL tokens at masked positions in
+    * position order (the prediction targets) and n_masked counts them.
+    */
+  def mlmMask(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maskPct: Int = 15,
+      salt: String = "mlm1"): DataFrame = {
+    require(maskPct >= 1 && maskPct <= 100,
+      s"need 1 <= maskPct <= 100, got $maskPct")
+    val toks = filter(split(lower(trim(coalesce(col(textCol), lit("")))),
+      "\\s+"), t => t =!= lit(""))
+    // Same 4-hex-char md5 integer draw as spanCorrupt, one per (kind,
+    // doc, position): kind "" selects, "r" picks the 80/10/10 branch,
+    // "p" picks the in-document replacement token.
+    def draw(kind: String, i: Column): Column =
+      conv(substring(md5(concat(lit(s"$salt$kind:"),
+        col(idCol).cast("string"), lit(":"), i.cast("string"))), 1, 4),
+        16, 10).cast("int")
+
+    df.select(col(idCol), toks.as("__t"))
+      .withColumn("__n", size(col("__t")))
+      // sequence(0, n-1) at n = 0 would step BACKWARD and emit [0, -1]
+      // (the q20 phantom-row trap) — guard empty docs explicitly.
+      .withColumn("__sel",
+        when(col("__n") > 0,
+          transform(sequence(lit(0), col("__n") - 1), i =>
+            draw("", i) % 100 < maskPct))
+          .otherwise(array().cast("array<boolean>")))
+      .select(col(idCol),
+        when(col("__n") > 0,
+          array_join(transform(sequence(lit(0), col("__n") - 1), i => {
+            val tok = element_at(col("__t"), i + 1)
+            val branch = draw("r", i) % 10
+            when(!element_at(col("__sel"), i + 1), tok)
+              .otherwise(when(branch < 8, lit("[MASK]"))
+                .otherwise(when(branch === 8, tok)
+                  .otherwise(element_at(col("__t"),
+                    (draw("p", i) % col("__n")) + 1))))
+          }), " "))
+          .otherwise(lit("")).as("masked_text"),
+        when(col("__n") > 0,
+          array_join(filter(transform(sequence(lit(0), col("__n") - 1), i =>
+            when(element_at(col("__sel"), i + 1),
+              element_at(col("__t"), i + 1)).otherwise(lit(""))),
+            t => t =!= lit("")), " "))
+          .otherwise(lit("")).as("target_text"),
+        coalesce(aggregate(col("__sel"), lit(0L),
+          (acc, s) => acc + when(s, 1L).otherwise(0L)), lit(0L))
+          .as("n_masked"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BYTE-PAIR-ENCODING tokenizer training (§2.11 extensions,
+  * augmentation/tokenization family): learn a merge table from the
+  * corpus (Sennrich et al. 2016, "Neural Machine Translation of Rare
+  * Words with Subword Units") and tokenize text with it — replacing the
+  * whitespace-token suite convention under token-grain ops (shard
+  * packing, budget caps, sequence packing) with a trained subword
+  * vocabulary, the way a real pretraining pipeline does.
+  *
+  * Scale shape — the classical BPE decomposition: ONE corpus scan
+  * builds the distinct-word histogram (map-side-combinable count; the
+  * word vocabulary is orders of magnitude smaller than the corpus),
+  * and every merge round runs on that histogram alone: adjacent-pair
+  * counts are one map-side-combined aggregation over the word table,
+  * the argmax collects exactly ONE row to the driver (bounded by
+  * construction, the k-core discipline), and the merge application is
+  * map-only. `localCheckpoint` per round truncates the lineage so N
+  * rounds cost O(N) work, not O(N²) plan re-execution.
+  *
+  * Determinism contract (engine-portable, DuckDB-replayable):
+  *  - pair count = Σ over distinct words of freq(word) × (adjacent
+  *    positions of the pair in the word's symbol sequence) — the
+  *    standard overlapping-position count;
+  *  - argmax tie-break: highest count, then lexicographically smallest
+  *    (a, b) under binary string order (identical in Spark and DuckDB
+  *    for the ASCII corpus);
+  *  - merge application = `replace(replace(s, " a b ", " ab "),
+  *    " a b ", " ab ")` on the space-padded symbol string. One
+  *    left-to-right non-overlapping pass can skip an occurrence whose
+  *    leading delimiter the previous match consumed, but it can never
+  *    skip two in a row, so the second pass reaches a fixpoint — a
+  *    well-defined semantics both engines implement with their native
+  *    `replace`. (It deviates from strict leftmost-greedy BPE only on
+  *    odd runs ≥ 5 of a self-pair, e.g. "aaaaa" with merge (a,a) —
+  *    a tie the BPE literature leaves implementation-defined anyway.)
+  *
+  * Early exhaustion (every word fully merged) stops training; the SQL
+  * replay mirrors it for free because a `LIMIT 1` over zero pairs makes
+  * that round's merge relation empty and every later round inherits it.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based round), the symbol pair, and the
+    * pair's corpus count at merge time.
+    */
+  final case class Merge(rank: Int, a: String, b: String, count: Long)
+
+  /** A word as its initial symbol sequence: characters joined by single
+    * spaces ("the" -> "t h e"). DuckDB mirror:
+    * `trim(regexp_replace(w, '(.)', '\1 ', 'g'))`.
+    */
+  def charSeq(w: Column): Column = trim(regexp_replace(w, "(.)", "$1 "))
+
+  /** Two-pass `replace` of " a b " with " ab " on an already-padded
+    * symbol string — the fixpoint merge application (see object doc).
+    */
+  private def mergeOnce(s: Column, a: String, b: String): Column = {
+    val pat = lit(s" $a $b ")
+    val rep = lit(s" $a$b ")
+    replace(replace(s, pat, rep), pat, rep)
+  }
+
+  /** Distinct-word histogram of the suite tokenization (lowercased,
+    * whitespace-split, empties dropped): (word, freq).
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(
+        split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+        t => t =!= lit(""))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Train `numMerges` BPE merges over the corpus. Driver state is one
+    * row per round (the argmax) — bounded by `numMerges`, never by the
+    * corpus.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var words = wordCounts(df, textCol)
+      .select(charSeq(col("word")).as("w"), col("freq"))
+      .localCheckpoint()
+    val out = ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val best = words
+        .select(split(col("w"), " ").as("sym"), col("freq"))
+        .where(size(col("sym")) >= 2)
+        .select(col("freq"),
+          explode(transform(sequence(lit(0), size(col("sym")) - 2), i =>
+            struct(element_at(col("sym"), i + 1).as("a"),
+              element_at(col("sym"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        out += Merge(r, a, b, c)
+        words = words
+          .select(trim(mergeOnce(
+            concat(lit(" "), col("w"), lit(" ")), a, b)).as("w"), col("freq"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** BPE-tokenize a text column with a trained merge table: suite word
+    * split, then per word the full merge sequence applied in rank order
+    * (exactly the training composition, so a word tokenizes to the same
+    * symbols the final training word table holds). Returns
+    * `array<string>` of subword tokens in document order.
+    *
+    * Map-only: the fold compiles to nested codegen'd `replace` calls —
+    * no shuffle, no dictionary join. (At 100 TB the word-dictionary
+    * broadcast — tokenize DISTINCT words once, map words through the
+    * broadcast table — trades per-occurrence CPU for a build step; the
+    * inline form keeps the operator shuffle-free and the per-word cost
+    * is a few dozen ASCII scans.)
+    */
+  def tokenize(text: Column, merges: Seq[Merge]): Column = {
+    val words = filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"),
+      t => t =!= lit(""))
+    flatten(transform(words, w => {
+      val padded = concat(lit(" "), charSeq(w), lit(" "))
+      val merged = merges.sortBy(_.rank).foldLeft(padded)((s, m) =>
+        mergeOnce(s, m.a, m.b))
+      split(trim(merged), " ")
+    }))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed TRAINING for the hashed-feature linear quality
+  * classifier (§2.11 extensions): full-batch gradient descent on a
+  * logistic-style objective over hashed bag-of-words features — the
+  * trainer that makes the fastText-style score → funnel pipeline
+  * ([[HashedClassifier]], [[QualityFilter]]) end-to-end (Joulin et al.
+  * 2017, "Bag of Tricks for Efficient Text Classification").
+  *
+  * EXACT-ARITHMETIC quantization: weights, margins, and gradients are
+  * 64-bit integers in micro-units (1e6 = probability 1), and the link
+  * function is the HARD sigmoid σ̂(z) = clamp(z/4 + 1/2, 0, 1) — the
+  * piecewise-linear logistic surrogate (Courbariaux et al. 2016 use the
+  * same form for quantized training). Every update is therefore
+  * integer-exact and bit-identical across engines: a DuckDB oracle
+  * replays the full training schedule round for round, which no
+  * float sigmoid can promise (libm exp and float summation order both
+  * diverge across engines). Floor division is spelled
+  * (x − pmod(x, d)) / d: the remainder is subtracted first, so the
+  * quotient is exact under BOTH truncating and flooring integer
+  * division — engine-portable by construction.
+  *
+  * Scale shape: the token→bucket relation is built ONCE (one corpus
+  * scan + one (doc, bucket)-grain aggregation) and persisted; each
+  * epoch is (1) a broadcast join of the bucket-count relation with the
+  * `buckets`-row weight table + a doc-grain margin aggregation, and
+  * (2) a doc-grain residual join + a bucket-grain gradient aggregation
+  * — both map-side combinable, shuffles at doc grain only, gradient
+  * state exactly `buckets` rows (the tree-aggregation equivalent,
+  * expressed declaratively). No driver collect anywhere: weights stay
+  * a `localCheckpoint`ed `buckets`-row DataFrame between epochs.
+  *
+  * Learning rate = 1/(lrFactor × n_docs) in micro-units — the integer
+  * grid schedule. Deterministic by construction: full-batch (no
+  * sampling, no example order), integer arithmetic (no FP drift).
+  */
+object LinearTrainer {
+
+  /** Micro-unit scale: 1e6 = probability 1. */
+  val Scale = 1000000L
+
+  /** h60 bucket of a token: first 15 md5 hex digits as a 60-bit long,
+    * mod `buckets` — the [[graft.functions.HashedLinearOps]] hash, in
+    * its portable column spelling.
+    */
+  private def bucketOf(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Exact floor division (see object doc). */
+  private def fdiv(x: Column, d: Column): Column =
+    ((x - pmod(x, d)) / d).cast("long")
+
+  /** Hard sigmoid in micro-units: clamp(z/4 + Scale/2, 0, Scale). */
+  private def hardSigmoid(z: Column): Column =
+    least(greatest(fdiv(z, lit(4L)) + lit(Scale / 2), lit(0L)), lit(Scale))
+
+  /** Train `epochs` full-batch rounds; returns the weight trajectory
+    * (epoch, bucket, weight) — one row per epoch per feature bucket
+    * that occurs in the corpus, epoch 1..epochs, all BIGINT. The
+    * initial weights are zero; labelCol must be 0/1.
+    */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: Column,
+      buckets: Int = 64,
+      epochs: Int = 3,
+      lrFactor: Long = 16L): DataFrame = {
+    require(epochs >= 1 && buckets >= 1 && lrFactor >= 1,
+      s"bad config: epochs=$epochs buckets=$buckets lrFactor=$lrFactor")
+    // (doc, bucket, count): the feature matrix in COO form, one corpus
+    // scan, reused by every epoch.
+    val tok = graft.core.Caches.persistTracked(
+      df.select(col(idCol).as("__id"),
+          explode(filter(
+            split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+            t => t =!= lit(""))).as("__tok"))
+        .select(col("__id"), bucketOf(col("__tok"), buckets).as("__b"))
+        .groupBy(col("__id"), col("__b"))
+        .agg(count(lit(1)).as("__x")))
+    val lab = graft.core.Caches.persistTracked(
+      df.select(col(idCol).as("__id"), labelCol.cast("long").as("__y")))
+    // Integer-grid learning rate 1/(lrFactor*n). parquetRowCount-style
+    // metadata isn't available for an arbitrary frame, and one count
+    // job up front is the documented price of a deterministic
+    // denominator; max(1,_) keeps the empty corpus well-defined.
+    val lrd = lit(math.max(1L, lrFactor * df.count()))
+
+    var w = tok.select(col("__b")).distinct()
+      .select(col("__b"), lit(0L).as("__wt"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (e <- 1 to epochs) {
+      val z = tok.join(broadcast(w), Seq("__b"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__x") * col("__wt")).as("__z"))
+      val resid = z.join(lab, Seq("__id"))
+        .select(col("__id"),
+          (hardSigmoid(col("__z")) - col("__y") * lit(Scale)).as("__r"))
+      val grad = tok.join(resid, Seq("__id"))
+        .groupBy(col("__b"))
+        .agg(sum(col("__r") * col("__x")).as("__g"))
+      w = w.join(grad, Seq("__b"))
+        .select(col("__b"), (col("__wt") - fdiv(col("__g"), lrd)).as("__wt"))
+        .localCheckpoint()
+      val epochW = w.select(lit(e.toLong).as("epoch"),
+        col("__b").as("bucket"), col("__wt").as("weight"))
+      out = if (out == null) epochW else out.unionByName(epochW)
+    }
+    out.orderBy(col("epoch"), col("bucket"))
+  }
+
+  /** Score texts with a trained weight table (the FINAL epoch of
+    * [[train]]'s output, or any (bucket, weight) relation): the
+    * hard-sigmoid probability in micro-units, via a broadcast
+    * dictionary join at token grain. Composes with
+    * [[QualityFilter]]-style funnels: train → score → threshold.
+    */
+  def score(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      weights: DataFrame,
+      buckets: Int = 64): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+        explode(filter(
+          split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+          t => t =!= lit(""))).as("__tok"))
+      .select(col("__id"), bucketOf(col("__tok"), buckets).as("bucket"))
+    val z = tok.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("__id"))
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("__z"))
+    df.select(col(idCol).as("__id"))
+      .join(z, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        hardSigmoid(coalesce(col("__z"), lit(0L))).as("score_micro"))
+  }
+}

@@ -40,13 +40,24 @@ object SequencePack {
       textCol: String,
       idCol: String,
       seqLen: Int,
-      eodToken: String = "<eod>"): DataFrame = {
+      eodToken: String = "<eod>"): DataFrame =
+    packTokens(df, concat(
+      filter(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+        t => t =!= lit("")),
+      array(lit(eodToken))), idCol, seqLen)
+
+  /** [[pack]] over an ALREADY-TOKENIZED column (`array<string>`,
+    * separator included by the caller if wanted) — the entry point for
+    * trained tokenizers ([[Bpe.tokenize]]) and any non-whitespace
+    * tokenization. Same packing machinery, same output schema.
+    */
+  def packTokens(
+      df: DataFrame,
+      toksCol: org.apache.spark.sql.Column,
+      idCol: String,
+      seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    val toks = df.select(col(idCol).as("__id"),
-      concat(
-        filter(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
-          t => t =!= lit("")),
-        array(lit(eodToken))).as("__t"))
+    val toks = df.select(col(idCol).as("__id"), toksCol.as("__t"))
     val toksP = graft.core.Caches.persistTracked(toks)
     val offsets = Packing.exclusivePrefix(
       toksP.select(col("__id"), size(col("__t")).as("__w")), "__id", "__w")

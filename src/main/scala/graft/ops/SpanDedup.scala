@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-document repeated-span detection (§2.11 extensions): find
@@ -176,5 +177,84 @@ object SpanDedup {
         coalesce(col("n_segs"), lit(0L)).as("n_segs"),
         (coalesce(col("n_segs"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
           .as("n_removed"))
+  }
+
+  /** EXACT substring-duplication spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", §4's ExactSubstr):
+    * for every document, the MAXIMAL token ranges in which every
+    * position lies inside some `minLen`-token window that appears
+    * verbatim in at least one OTHER document — exactly the regions
+    * ExactSubstr removes.
+    *
+    * Why this is the exact form, not an approximation: a substring of
+    * length m >= minLen duplicated verbatim across documents has all of
+    * its minLen-grams duplicated, and conversely a duplicated
+    * minLen-gram IS a duplicated minLen-window — so "token covered by a
+    * duplicated minLen-gram" characterizes "token inside a duplicated
+    * run of length >= minLen" with no false positives or negatives.
+    * Lee et al. compute it with a corpus suffix array, a single-machine
+    * structure with poor parallel scaling; the gram-cover phrasing is
+    * its shuffle-friendly equivalent (the same observation underlies
+    * [[repeatedSpans]], which stops at the per-doc statistic — this
+    * operator recovers the exact span GEOMETRY).
+    *
+    * Grouping is on the GRAM STRING, not a hash — collision-free by
+    * construction, so the result is exact (the hashed form in
+    * [[perDocSpanCounts]] is the skinny-shuffle scale path when a
+    * ~2^-64 conflation is acceptable).
+    *
+    * Scale shape: one explode at gram grain (the irreducible inverted-
+    * index grain) with a map-side-combinable distinct-doc count; the
+    * duplicated-start probe is a semi-join; the interval merge is one
+    * doc-grain window pass (classic gaps-and-islands on a running max);
+    * span text reassembly is one doc-grain join. No all-pairs stage
+    * exists anywhere.
+    *
+    * Output: (id, span_start, span_end, span_len, span_text) — token
+    * positions 0-based inclusive, one row per maximal duplicated span,
+    * documents with none absent.
+    */
+  def maximalDuplicatedSpans(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val tokTable = graft.core.Caches.persistTracked(
+      docs.select(col(idCol).as("id"), Lexical.tokens(col(textCol)).as("__t")))
+    val grams = graft.core.Caches.persistTracked(
+      tokTable
+        .where(size(col("__t")) >= minLen)
+        .select(col("id"),
+          explode(transform(sequence(lit(0), size(col("__t")) - minLen), i =>
+            struct(i.as("pos"),
+              array_join(slice(col("__t"), i + 1, lit(minLen)), " ").as("g"))))
+            .as("__p"))
+        .select(col("id"), col("__p.pos").as("pos"), col("__p.g").as("g")))
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("id")).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("g"))
+    val starts = grams.join(dup, Seq("g"), "left_semi")
+      .select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val isl = starts
+      .withColumn("__pe", max(col("pos") + minLen - 1)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pe").isNull || col("pos") > col("__pe") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("id"), col("__isl"))
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + minLen - 1).as("__e"))
+    spans.join(tokTable, Seq("id"))
+      .select(col("id"),
+        col("__s").cast("long").as("span_start"),
+        col("__e").cast("long").as("span_end"),
+        (col("__e") - col("__s") + 1).cast("long").as("span_len"),
+        array_join(slice(col("__t"), col("__s") + 1, col("__e") - col("__s") + 1),
+          " ").as("span_text"))
   }
 }

@@ -1,0 +1,220 @@
+package graft
+
+import graft.ops.{Augment, Bpe, LinearTrainer, SequencePack, SpanDedup}
+import org.apache.spark.sql.functions._
+
+/** The round-9 training/tokenization family: BPE training + tokenize,
+  * the quantized linear-classifier trainer, MLM masking, and exact
+  * substring-duplication spans.
+  */
+class TrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- BPE
+
+  /** In-memory reference of the engine's merge semantics (two-pass
+    * padded replace) — the same fixpoint both engines implement.
+    */
+  private def refMerge(s: String, a: String, b: String): String = {
+    val pat = s" $a $b "
+    val rep = s" $a$b "
+    def once(x: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < x.length) {
+        if (x.startsWith(pat, i)) { sb ++= rep; i += pat.length }
+        else { sb += x.charAt(i); i += 1 }
+      }
+      sb.toString
+    }
+    once(once(s))
+  }
+
+  /** Driver-side reference BPE trainer over a word histogram. */
+  private def refTrain(
+      words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var tbl = words.map { case (w, f) => (w.toSeq.mkString(" "), f) }.toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var stop = false
+    while (r < rounds && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, f) <- tbl) {
+        val sym = w.split(" ")
+        for (i <- 0 until sym.length - 1)
+          counts((sym(i), sym(i + 1))) =
+            counts.getOrElse((sym(i), sym(i + 1)), 0L) + f
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b, c))
+        tbl = tbl.map { case (w, f) =>
+          (refMerge(s" $w ", a, b).trim, f)
+        }
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE training matches the driver-side reference round for round") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new lower"),
+      (3L, "low new low new wide")).toDF("doc_id", "text")
+    val wordFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val expected = refTrain(wordFreq, 10)
+    val got = Bpe.train(docs, "text", 10).map(m => (m.a, m.b, m.count))
+    assert(got == expected)
+  }
+
+  test("BPE tokenize composes the trained merges (concat inverse, no char lost)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "beta beta gamma delta")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 6)
+    assert(merges.nonEmpty && merges.map(_.rank) == (1 to merges.length))
+    val toks = docs.select(col("doc_id"),
+        Bpe.tokenize(col("text"), merges).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    // Concatenating a word's subword tokens must reproduce the word.
+    for ((id, text) <- Seq((1L, "alpha beta gamma alpha"),
+        (2L, "beta beta gamma delta"))) {
+      val words = text.split(" ")
+      val joined = toks(id).mkString
+      assert(joined == words.mkString, s"doc $id lost characters")
+    }
+  }
+
+  test("BPE training stops at pair exhaustion and on empty input") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = Bpe.train(tiny, "text", 50)
+    // "a b" merges once to "ab"; nothing is left to merge.
+    assert(m.length == 1 && m.head.a == "a" && m.head.b == "b")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, "text", 5).isEmpty)
+  }
+
+  test("BPE tokens feed sequence packing (token conservation)") {
+    val docs = Seq(
+      (1L, "pack these words"), (2L, "more words here")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 4)
+    val packed = SequencePack.packTokens(docs,
+      concat(Bpe.tokenize(col("text"), merges), array(lit("<eod>"))),
+      "doc_id", 5)
+    val total = packed.agg(sum("n_tokens")).as[Long].collect().head
+    val direct = docs.select(
+        size(Bpe.tokenize(col("text"), merges)) + 1)
+      .as[Int].collect().sum
+    assert(total == direct)
+  }
+
+  // ----------------------------------------------------- LinearTrainer
+
+  test("linear trainer separates a linearly-separable corpus and composes with score") {
+    // Positive docs speak one vocabulary, negative docs another — the
+    // hashed linear model must push their micro-unit scores apart.
+    val pos = (0 until 20).map(i => (i.toLong, "good clean prose text", 1L))
+    val neg = (20 until 40).map(i => (i.toLong, "spam junk noise garbage", 0L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val w = LinearTrainer.train(df, "text", "doc_id", col("y"),
+      buckets = 64, epochs = 4)
+    // Deterministic: same call, same trajectory.
+    val w2 = LinearTrainer.train(df, "text", "doc_id", col("y"),
+      buckets = 64, epochs = 4)
+    assert(w.collect().toSeq == w2.collect().toSeq)
+    val last = w.where(col("epoch") === 4)
+      .select(col("bucket"), col("weight"))
+    val scored = LinearTrainer.score(df, "text", "doc_id", last, buckets = 64)
+      .join(df.select(col("doc_id"), col("y")), "doc_id")
+    val classAvg = scored.groupBy("y")
+      .agg(org.apache.spark.sql.functions.avg(col("score_micro")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(classAvg(1L) > classAvg(0L) + 100000,
+      s"positive class must score clearly higher, got $classAvg")
+  }
+
+  test("linear trainer epoch-1 update matches the closed form") {
+    // One doc "a", label 1: z=0 -> sigma=S/2 -> r=-S/2; grad=-S/2;
+    // lr=1/(16*1) -> w1 = floor(S/2/16) = 31250.
+    val df = Seq((1L, "a", 1L)).toDF("doc_id", "text", "y")
+    val w = LinearTrainer.train(df, "text", "doc_id", col("y"),
+      buckets = 8, epochs = 1)
+    val rows = w.collect()
+    assert(rows.length == 1 && rows.head.getLong(2) == 31250L)
+  }
+
+  // --------------------------------------------------------- MLM mask
+
+  test("MLM mask is deterministic, ~maskPct, and only touches selected positions") {
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val out = Augment.mlmMask(df, "text", "doc_id")
+      .as[(Long, String, String, Long)].collect().head
+    val out2 = Augment.mlmMask(df, "text", "doc_id")
+      .as[(Long, String, String, Long)].collect().head
+    assert(out == out2)
+    val (_, masked, target, nMasked) = out
+    val mtoks = masked.split(" ")
+    assert(mtoks.length == 400, "masking must not change token count")
+    // 15% of 400 = 60 expected; md5 draws land near it.
+    assert(nMasked > 30 && nMasked < 90, s"n_masked=$nMasked")
+    assert(target.split(" ").length == nMasked)
+    // Unselected positions must be untouched; [MASK] appears only at
+    // masked ones. (Replacement draws pick in-document tokens, so any
+    // non-original token must be either [MASK] or a valid token.)
+    val orig = text.split(" ")
+    val changed = orig.indices.count(i => mtoks(i) != orig(i))
+    assert(changed <= nMasked)
+    assert(mtoks.count(_ == "[MASK]") > 0)
+    assert(mtoks.forall(t => t == "[MASK]" || orig.contains(t)))
+  }
+
+  test("MLM mask handles empty and null text") {
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "one"))
+      .toDF("doc_id", "text")
+    val out = Augment.mlmMask(df, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, String, String, Long)].collect()
+    assert(out(0) == ((1L, "", "", 0L)))
+    assert(out(1) == ((2L, "", "", 0L)))
+    assert(out(2)._4 >= 0L)
+  }
+
+  // ------------------------------------------- exact substring spans
+
+  test("maximal duplicated spans finds the planted shared run, exactly bounded") {
+    // Docs 1 and 2 share tokens p0..p19 (20 tokens) at different
+    // offsets; everything else is unique filler. minLen=5 must yield
+    // exactly one span per doc covering exactly the shared run.
+    val shared = (0 until 20).map(i => s"p$i").mkString(" ")
+    val d1 = s"u1 u2 u3 $shared v1 v2"
+    val d2 = s"w1 $shared x1 x2 x3"
+    val d3 = "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = SpanDedup.maximalDuplicatedSpans(df, "text", "doc_id", 5)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(spans.length == 2)
+    assert(spans(0) == ((1L, 3L, 22L, 20L, shared)))
+    assert(spans(1) == ((2L, 1L, 20L, 20L, shared)))
+  }
+
+  test("adjacent duplicated windows merge into one island; separated ones do not") {
+    // Doc 4 contains TWO disjoint copies of doc 5's runs with unique
+    // filler between them -> two spans in doc 4.
+    val runA = (0 until 6).map(i => s"a$i").mkString(" ")
+    val runB = (0 until 6).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (4L, s"$runA f1 f2 f3 f4 $runB"),
+      (5L, s"$runA z9 $runB")).toDF("doc_id", "text")
+    val spans = SpanDedup.maximalDuplicatedSpans(df, "text", "doc_id", 6)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val doc4 = spans.filter(_._1 == 4L).sortBy(_._2)
+    assert(doc4.length == 2)
+    assert(doc4(0)._5 == runA && doc4(1)._5 == runB)
+  }
+}
