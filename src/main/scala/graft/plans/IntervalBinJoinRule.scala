@@ -34,9 +34,12 @@ import org.apache.spark.sql.types.TimestampType
   * optimization of a matching join — including planning-only paths
   * like `df.explain()` — eagerly scans the interval side once per
   * distinct (subtree, bounds) per JVM. Sessions that must not run
-  * jobs at plan time should set an explicit
+  * jobs at plan time have three postures: set an explicit
   * `spark.graft.intervalJoin.binSeconds` (no derivation happens when
-  * the width is explicit) or disable the rewrite. At
+  * the width is explicit — the rewrite still engages), set
+  * `spark.graft.intervalJoin.deriveStats=false` (derivation-dependent
+  * joins stay as written; widths already memoized this JVM still
+  * serve), or disable the rewrite entirely. At
   * that width every interval explodes to at most TWO bin rows, so the
   * build side can never inflate; the cost of an over-wide bin (one
   * outlier interval stretching the max on a skew-heavy workload —
@@ -66,15 +69,22 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private[graft] val EnabledKey = "spark.graft.intervalJoin.rewrite"
   private[graft] val BinKey = "spark.graft.intervalJoin.binSeconds"
+  private[graft] val DeriveKey = "spark.graft.intervalJoin.deriveStats"
 
   /** One range conjunct read as (conjunct, point, bound). */
   private type Bound = (Expression, Expression, Expression)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
-    // Explicit width wins; otherwise derive per interval subtree.
+    // Explicit width wins; otherwise derive per interval subtree —
+    // unless the session forbids planning-time jobs (the explain-only /
+    // plan-inspection posture): with deriveStats=false and no explicit
+    // width, the join is left as written (always correct) and the
+    // memoized width cache is still consulted, so a width derived
+    // earlier in the session keeps serving.
     val explicit = Option(conf.getConfString(BinKey, null)).map(_.toLong)
     explicit.foreach(w => require(w > 0, s"$BinKey must be positive, got $w"))
+    val mayDerive = conf.getConfString(DeriveKey, "true").toBoolean
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), _)
           if cond.deterministic && !left.isStreaming && !right.isStreaming &&
@@ -82,7 +92,7 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         extract(j, cond).flatMap { m =>
           val (_, start, end, pointOnLeft) = m
           val intervalPlan = if (pointOnLeft) j.right else j.left
-          explicit.orElse(derivedBinSeconds(intervalPlan, start, end))
+          explicit.orElse(derivedBinSeconds(intervalPlan, start, end, mayDerive))
             .map(w => rewrite(j, cond, m, w))
         }.getOrElse(j)
     }
@@ -105,7 +115,8 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def derivedBinSeconds(
       intervalPlan: LogicalPlan,
       start: Expression,
-      end: Expression): Option[Long] = {
+      end: Expression,
+      mayDerive: Boolean): Option[Long] = {
     if (deriving.get()) return None
     // Bounded memo: a long-lived session planning many distinct
     // interval relations must not grow the cache without limit — a
@@ -115,6 +126,9 @@ object IntervalBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       start.canonicalized.semanticHash() + ":" + end.canonicalized.semanticHash()
     val cached = widthCache.get(key)
     if (cached != null) return Some(cached.longValue())
+    // deriveStats=false: never launch the stats job from this planning
+    // pass (cached widths above still apply).
+    if (!mayDerive) return None
     // The stats job runs OUTSIDE any map lock: two planner threads
     // racing on the same key may duplicate the 1-row aggregate
     // (harmless — both compute the same value, putIfAbsent keeps one),

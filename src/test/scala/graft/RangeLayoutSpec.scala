@@ -108,6 +108,47 @@ class RangeLayoutSpec extends SparkSpec {
     }
   }
 
+  test("interval join rule: deriveStats=false skips the planning-time job, explicit width still rewrites") {
+    GraftFunctions.registerOptimizations(spark)
+    // A FRESH interval relation (distinct wids -> distinct canonical
+    // subtree) so no width memoized by earlier tests can serve.
+    val ivs = intervalsDf.select((col("wid") + 9000L).as("wid"),
+      col("w_start"), col("w_end"))
+    def query() = pointsDf.join(ivs,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "wid")
+    try {
+      spark.conf.set(graft.plans.IntervalBinJoinRule.DeriveKey, "false")
+      // No explicit width + no derivation allowed -> the join must be
+      // LEFT AS WRITTEN (nested loop), proving no stats job ran; the
+      // result is still the correct naive answer.
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val plan = query().queryExecution.executedPlan.toString
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"deriveStats=false must decline the rewrite, got:\n$plan")
+      assert(jobsAfter == jobsBefore,
+        s"planning must launch no job under deriveStats=false " +
+          s"($jobsBefore -> $jobsAfter)")
+      // An explicit width needs no derivation -> the rewrite engages
+      // even with deriveStats=false.
+      spark.conf.set(graft.plans.IntervalBinJoinRule.BinKey, "1200")
+      val explicitDf = query()
+      val ep = explicitDf.queryExecution.executedPlan.toString
+      assert(!ep.contains("BroadcastNestedLoopJoin") && ep.contains("Generate"),
+        s"explicit width must still rewrite under deriveStats=false:\n$ep")
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.BinKey)
+      // Back to default: derivation allowed again -> rewrite engages.
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.DeriveKey)
+      val derivedPlan = query().queryExecution.executedPlan.toString
+      assert(!derivedPlan.contains("BroadcastNestedLoopJoin"),
+        s"derivation re-enabled must rewrite:\n$derivedPlan")
+    } finally {
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.DeriveKey)
+      spark.conf.unset(graft.plans.IntervalBinJoinRule.BinKey)
+    }
+  }
+
   test("interval join rule: an EMPTY interval relation still engages (unit bins)") {
     // The first batch of an incremental feed is often empty; the
     // derived-width stats job finds no rows. The rule must engage with
