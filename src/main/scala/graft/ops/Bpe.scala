@@ -76,13 +76,34 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
 
-  /** Train `numMerges` BPE merges over the corpus. Driver state is one
-    * row per round (the argmax) — bounded by `numMerges`, never by the
-    * corpus.
+  /** Train `numMerges` BPE merges over the corpus.
+    *
+    * Two paths, pinned equal (TrainSpec):
+    *  - histogram ≤ `driverCap` distinct words (checked with a
+    *    `limit(cap+1)` collect — bounded by construction, the
+    *    [[KCore]] finisher discipline): the merge loop runs on the
+    *    driver over the collected histogram, identical semantics, ONE
+    *    Spark job total instead of two per round. Real vocabularies
+    *    are well under the default cap; the corpus scan still happens
+    *    exactly once.
+    *  - larger histograms: the distributed loop — per-round map-side
+    *    pair counts + a ONE-row argmax collect, `localCheckpoint` per
+    *    round so N rounds cost O(N).
     */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  def train(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      driverCap: Int = 100000): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var words = wordCounts(df, textCol)
+    val hist = wordCounts(df, textCol)
+    if (driverCap > 0) {
+      val sample = hist.limit(driverCap + 1).collect()
+      if (sample.length <= driverCap)
+        return trainLocal(
+          sample.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    }
+    var words = hist
       .select(charSeq(col("word")).as("w"), col("freq"))
       .localCheckpoint()
     val out = ArrayBuffer.empty[Merge]
@@ -110,6 +131,69 @@ object Bpe {
           .select(trim(mergeOnce(
             concat(lit(" "), col("w"), lit(" ")), a, b)).as("w"), col("freq"))
           .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The driver-local merge loop — semantics IDENTICAL to the
+    * distributed one: freq-weighted overlapping adjacent-position pair
+    * counts, (count DESC, a, b) argmax under UTF-8 BYTE order (Spark's
+    * string comparison; Java's UTF-16 compareTo would diverge on
+    * supplementary characters), and the two-pass padded replace
+    * (Java's `String.replace` is the same left-to-right
+    * non-overlapping scan as Spark's and DuckDB's).
+    */
+  private def trainLocal(
+      hist: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+    def utf8Lt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    // Code-POINT split, matching Spark's regexp_replace "(.)" (Java
+    // regex `.` consumes a full surrogate pair) and RE2's UTF-8 dot.
+    var words = hist.map { case (w, f) =>
+      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+        .mkString(" "), f)
+    }
+    val out = ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((w, f) <- words if w.nonEmpty) {
+        val sym = w.split(" ")
+        var i = 0
+        while (i < sym.length - 1) {
+          val k = (sym(i), sym(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((a, b), c) = best
+        out += Merge(r, a, b, c)
+        val pat = s" $a $b "
+        val rep = s" $a$b "
+        words = words.map { case (w, f) =>
+          (s" $w ".replace(pat, rep).replace(pat, rep).trim, f)
+        }
         r += 1
       }
     }

@@ -71,6 +71,16 @@ class TrainSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("BPE driver-local and distributed training paths are pinned equal") {
+    val docs = Seq(
+      (1L, "low lower lowest low low wide wider"),
+      (2L, "new newer newest new lower widest"),
+      (3L, "low new low new wide zz zz zz")).toDF("doc_id", "text")
+    val local = Bpe.train(docs, "text", 12) // histogram far under the cap
+    val dist = Bpe.train(docs, "text", 12, driverCap = 0) // forced distributed
+    assert(local == dist)
+  }
+
   test("BPE tokenize composes the trained merges (concat inverse, no char lost)") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
