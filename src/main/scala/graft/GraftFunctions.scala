@@ -273,6 +273,59 @@ object GraftFunctions {
         strLit(args(1), "textCol"), strLit(args(2), "idCol"),
         longLit(args(3), "seqLen").toInt))
     },
+    // deterministic BERT-style MLM masking:
+    // (id, masked_text, target_text, n_masked)
+    "mlm_mask" -> { args =>
+      arity("mlm_mask", args, 5)
+      plan(graft.ops.Augment.mlmMask(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "maskPct").toInt, strLit(args(4), "salt")))
+    },
+    // exact maximal duplicated-substring spans (Lee et al. ExactSubstr):
+    // (id, span_start, span_end, span_len, span_text)
+    "duplicated_spans" -> { args =>
+      arity("duplicated_spans", args, 4)
+      plan(graft.ops.SpanDedup.maximalDuplicatedSpans(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "minLen").toInt))
+    },
+    // distributed BPE training (the merge loop runs at resolution, the
+    // kcore TVF precedent): (merge_rank, pair_a, pair_b, pair_count)
+    "bpe_train" -> { args =>
+      arity("bpe_train", args, 3)
+      val spark = SparkSession.active
+      val merges = graft.ops.Bpe.train(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), longLit(args(2), "numMerges").toInt)
+      import spark.implicits._
+      plan(merges.map(m => (m.rank.toLong, m.a, m.b, m.count))
+        .toDF("merge_rank", "pair_a", "pair_b", "pair_count"))
+    },
+    // train-then-pack composition (q154's shape): BPE vocab from the
+    // corpus, <eod>-joined token stream, fixed-length cuts.
+    "bpe_pack" -> { args =>
+      arity("bpe_pack", args, 5)
+      val docs = tableOf(strLit(args(0), "table"))
+      val textCol = strLit(args(1), "textCol")
+      val merges = graft.ops.Bpe.train(docs, textCol,
+        longLit(args(3), "numMerges").toInt)
+      plan(graft.ops.SequencePack.packTokens(docs,
+        org.apache.spark.sql.functions.concat(
+          graft.ops.Bpe.tokenize(
+            org.apache.spark.sql.functions.col(textCol), merges),
+          org.apache.spark.sql.functions.array(
+            org.apache.spark.sql.functions.lit("<eod>"))),
+        strLit(args(2), "idCol"), longLit(args(4), "seqLen").toInt))
+    },
+    // quantized linear-classifier training trajectory:
+    // (epoch, bucket, weight)
+    "train_classifier" -> { args =>
+      arity("train_classifier", args, 6)
+      plan(graft.ops.LinearTrainer.train(tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        org.apache.spark.sql.functions.col(strLit(args(3), "labelCol")),
+        longLit(args(4), "buckets").toInt, longLit(args(5), "epochs").toInt))
+    },
     // k-core membership over an edge table: (id, in_kcore, peel_round)
     "kcore" -> { args =>
       arity("kcore", args, 4)

@@ -101,6 +101,27 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.ops.KCore.kCore(edges, "ea", "eb", 2))
     pin("SELECT * FROM kcore_certified('tvf_edges', 'ea', 'eb', 2)",
       graft.ops.KCore.kCoreCertified(edges, "ea", "eb", 2))
+    // round-9 family: masking, exact spans, BPE, classifier training
+    pin("SELECT * FROM mlm_mask('tvf_docs', 'text', 'doc_id', 15, 'mlm1')",
+      graft.ops.Augment.mlmMask(docs, "text", "doc_id", 15, "mlm1"))
+    pin("SELECT * FROM duplicated_spans('tvf_docs', 'text', 'doc_id', 4)",
+      graft.ops.SpanDedup.maximalDuplicatedSpans(docs, "text", "doc_id", 4))
+    pin("SELECT * FROM bpe_train('tvf_docs', 'text', 6)", {
+      val m = graft.ops.Bpe.train(docs, "text", 6)
+      m.map(x => (x.rank.toLong, x.a, x.b, x.count))
+        .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
+    })
+    pin("SELECT * FROM bpe_pack('tvf_docs', 'text', 'doc_id', 6, 8)", {
+      val m = graft.ops.Bpe.train(docs, "text", 6)
+      graft.ops.SequencePack.packTokens(docs,
+        concat(graft.ops.Bpe.tokenize(col("text"), m),
+          array(lit("<eod>"))), "doc_id", 8)
+    })
+    docs.withColumn("y", (col("doc_id") % 2).cast("long"))
+      .createOrReplaceTempView("tvf_labeled")
+    pin("SELECT * FROM train_classifier('tvf_labeled', 'text', 'doc_id', 'y', 32, 2)",
+      graft.ops.LinearTrainer.train(spark.table("tvf_labeled"),
+        "text", "doc_id", col("y"), buckets = 32, epochs = 2))
     // TVFs compose with ordinary SQL (filter/aggregate over the TVF).
     val n = spark.sql(
       """SELECT count(*) AS n FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.5, 3)
