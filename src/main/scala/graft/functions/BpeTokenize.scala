@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE tokenization as ONE native pass per row with a per-vocabulary
+  * WORD CACHE ([[graft.ops.Bpe.tokenize]]'s fast path).
+  *
+  * The fold spelling (nested `replace` over the char-split word inside
+  * a `transform` lambda) re-applies every merge to every word
+  * OCCURRENCE — ~27M occurrences × 20 merges × 2 passes measured 117 s
+  * of pure scan CPU at sf10m. But BPE is a pure per-WORD function and
+  * real vocabularies are tiny next to the corpus (3.1k distinct words
+  * under 27M occurrences there), so this expression memoizes
+  * word → subword tokens per (vocabulary, JVM): each distinct word
+  * pays the merge fold once, every other occurrence is one hash
+  * lookup. Semantics are bit-identical to the fold (TrainSpec pins
+  * expression == fold): same UTF8String lowercase, same `\s` split,
+  * same code-point char split, same two-pass literal replace.
+  *
+  * Cache discipline: keyed by the exact merge list (no fingerprint
+  * collisions), size-bounded — a vocabulary explosion (adversarial
+  * high-entropy corpus) clears and refills rather than growing without
+  * limit, degrading to the fold's per-occurrence cost in the worst
+  * case, never OOM.
+  */
+case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.graftbridge.GraftExpectsInputTypes {
+  override def acceptedTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokenize"
+
+  @transient private lazy val table = BpeTokenizeOps.tableFor(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenizeOps.tokenize(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeTokenizeOps.Table].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeTokenizeOps$$.MODULE$$.tokenize($c, $tableRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =
+    copy(child = newChild)
+}
+
+object BpeTokenizeOps {
+
+  /** Per-vocabulary state: the merge list plus the word cache. */
+  final class Table(val merges: Array[(String, String)]) extends Serializable {
+    @transient lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
+  }
+
+  // One Table per distinct merge list per JVM, so every expression
+  // instance (and every task) shares the word cache. Keyed by the
+  // exact merge sequence — no fingerprint collisions possible.
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], Table]()
+
+  def tableFor(merges: Seq[(String, String)]): Table = {
+    if (tables.size() > 64) tables.clear()
+    tables.computeIfAbsent(merges, m => new Table(m.toArray))
+  }
+
+  /** The merge fold for ONE word — identical semantics to
+    * [[graft.ops.Bpe]]'s column fold: code-point char split, then per
+    * merge the two-pass left-to-right literal replace on the padded
+    * symbol string.
+    */
+  def applyMerges(word: String, merges: Array[(String, String)]): Array[UTF8String] = {
+    val sb = new java.lang.StringBuilder(word.length * 2 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.appendCodePoint(cp).append(' ')
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var m = 0
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      val pat = " " + a + " " + b + " "
+      val rep = " " + a + b + " "
+      s = s.replace(pat, rep).replace(pat, rep)
+      m += 1
+    }
+    val t = s.trim
+    if (t.isEmpty) Array.empty
+    else t.split(" ").map(UTF8String.fromString)
+  }
+
+  def tokenize(text: UTF8String, table: Table): ArrayData = {
+    val cache = table.cache
+    // Bound: an adversarial vocabulary clears and refills (degrades to
+    // per-occurrence cost, never OOM). 4M words ≈ well past any real
+    // subword-training vocabulary.
+    if (cache.size() > 4000000) cache.clear()
+    // UTF8String.toLowerCase = Spark's lower() exactly (HashedLinearOps
+    // precedent; Java's full case mapping can diverge on e.g. U+0130).
+    val s = text.toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    val len = s.length
+    // Exactly the Java-regex \s class the fold's split(\\s+) uses.
+    def ws(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    while (i < len) {
+      while (i < len && ws(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !ws(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = s.substring(start, i)
+        var toks = cache.get(w)
+        if (toks == null) {
+          toks = applyMerges(w, table.merges)
+          cache.putIfAbsent(w, toks)
+        }
+        out ++= toks
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}

@@ -206,14 +206,25 @@ object Bpe {
     * symbols the final training word table holds). Returns
     * `array<string>` of subword tokens in document order.
     *
-    * Map-only: the fold compiles to nested codegen'd `replace` calls —
-    * no shuffle, no dictionary join. (At 100 TB the word-dictionary
-    * broadcast — tokenize DISTINCT words once, map words through the
-    * broadcast table — trades per-occurrence CPU for a build step; the
-    * inline form keeps the operator shuffle-free and the per-word cost
-    * is a few dozen ASCII scans.)
+    * Map-only, via [[graft.functions.BpeTokenizeExpr]] — a native
+    * one-pass expression with a per-vocabulary WORD cache, so each
+    * distinct word pays the merge fold once per JVM instead of once
+    * per occurrence (117 s → scan-bound at sf10m's 27M occurrences /
+    * 3.1k words). No shuffle, no dictionary join; [[tokenizeFold]] is
+    * the pure-Column reference spelling, pinned equal in TrainSpec.
     */
-  def tokenize(text: Column, merges: Seq[Merge]): Column = {
+  def tokenize(text: Column, merges: Seq[Merge]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeTokenizeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          coalesce(text, lit(""))),
+        merges.sortBy(_.rank).map(m => (m.a, m.b))))
+
+  /** The pure-Column reference spelling of [[tokenize]] (nested
+    * codegen'd `replace` per occurrence — the semantics contract the
+    * native expression is pinned against).
+    */
+  def tokenizeFold(text: Column, merges: Seq[Merge]): Column = {
     val words = filter(split(lower(trim(coalesce(text, lit("")))), "\\s+"),
       t => t =!= lit(""))
     flatten(transform(words, w => {

@@ -81,6 +81,21 @@ class TrainSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("BPE native cached tokenize expression == the Column fold spelling") {
+    val docs = Seq(
+      (1L, "low lower lowest low low wide"),
+      (2L, "new newer newest new lower"),
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "  padded   spacing\tand\nnewlines  ")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    val both = docs.select(col("doc_id"),
+        Bpe.tokenize(col("text"), merges).as("fast"),
+        Bpe.tokenizeFold(col("text"), merges).as("ref"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    for ((id, fast, ref) <- both)
+      assert(fast == ref, s"doc $id: $fast != $ref")
+  }
+
   test("BPE tokenize composes the trained merges (concat inverse, no char lost)") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
