@@ -326,6 +326,17 @@ object GraftFunctions {
         org.apache.spark.sql.functions.col(strLit(args(3), "labelCol")),
         longLit(args(4), "buckets").toInt, longLit(args(5), "epochs").toInt))
     },
+    // RLHF/DPO preference pairs from a scored relation; keys as a
+    // comma-separated literal (the event_funnel steps convention):
+    // (keys..., chosen_id, rejected_id, chosen/rejected_score, margin)
+    "preference_pairs" -> { args =>
+      arity("preference_pairs", args, 5)
+      plan(graft.ops.PreferencePairs.fromScores(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "keyCols").split(",").toIndexedSeq.map(_.trim),
+        strLit(args(2), "idCol"), strLit(args(3), "scoreCol"),
+        longLit(args(4), "minMargin")))
+    },
     // k-core membership over an edge table: (id, in_kcore, peel_round)
     "kcore" -> { args =>
       arity("kcore", args, 4)

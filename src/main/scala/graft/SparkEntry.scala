@@ -2789,6 +2789,23 @@ object SparkEntry {
       // recomputes every masked string, target list, and count.
       graft.ops.Augment.mlmMask(documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
+    "q160_preference_pairs" -> ((s, d) => {
+      // §2.11 post-training data: RLHF/DPO preference-pair
+      // construction — per (source, lang) prompt-surrogate group, the
+      // best/worst documents under the integer-exact hashed linear
+      // score with (score, id) total-order tie-break; pairs below a
+      // 1-micro margin (and degenerate groups) drop. One group-grain
+      // shuffle, two windows on the same partitioning, group-grain
+      // join. Oracle: q127's scorer CTE + the same windows.
+      val docs = documents(s, d)
+      val scored = graft.ops.HashedClassifier.score(docs, "text", "doc_id")
+      val keyed = docs.select(col("doc_id").as("id"),
+          col("source"), col("lang"))
+        .join(scored.select(col("id"), col("score_micro")), Seq("id"))
+      graft.ops.PreferencePairs.fromScores(keyed,
+          Seq("source", "lang"), "id", "score_micro", minMargin = 1L)
+        .orderBy(col("source"), col("lang"))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -4920,6 +4937,37 @@ Hosts: %s
            coalesce(m.target_text, '') AS target_text,
            coalesce(m.n_masked, 0) AS n_masked
          FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""",
+    // q160: q127's scorer CTE carrying (source, lang), then the same
+    // (score DESC/ASC, id) row_number windows and group-grain join.
+    "q160_preference_pairs" ->
+      """WITH toks AS (SELECT doc_id AS id, source, lang,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         w AS (SELECT id, source, lang, len(t) AS n_tokens,
+           COALESCE(list_sum(list_transform(t, tk ->
+             (('0x' || substr(md5('hc1' || CAST(
+                 (('0x' || substr(md5(tk), 1, 15))::BIGINT % 4096)
+                 AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000)), 0)
+             AS w_total FROM toks),
+         sc AS (SELECT id, source, lang,
+             CAST(CASE WHEN n_tokens = 0 THEN 0
+               ELSE w_total // n_tokens END AS BIGINT) AS s FROM w),
+         rk AS (SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY s DESC, id) AS rb,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY s ASC, id) AS rw FROM sc),
+         best AS (SELECT source, lang, id AS chosen_id,
+             s AS chosen_score FROM rk WHERE rb = 1),
+         worst AS (SELECT source, lang, id AS rejected_id,
+             s AS rejected_score FROM rk WHERE rw = 1)
+         SELECT b.source, b.lang, b.chosen_id, wo.rejected_id,
+           b.chosen_score, wo.rejected_score,
+           b.chosen_score - wo.rejected_score AS margin
+         FROM best b JOIN worst wo USING (source, lang)
+         WHERE b.chosen_id <> wo.rejected_id
+           AND b.chosen_score - wo.rejected_score >= 1
+         ORDER BY source, lang""",
   )
 
   /** The q153/q154 training replay: w0 = the distinct-word histogram

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PREFERENCE-PAIR construction (§2.11 extensions, post-training data
+  * family): turn a scored corpus into (chosen, rejected) training pairs
+  * for preference optimization — the data-prep step RLHF reward
+  * modeling and DPO consume (Ouyang et al. 2022 collect ranked
+  * completions per prompt; Rafailov et al. 2023 train directly on the
+  * (chosen, rejected) pairs). Grouping key = the prompt surrogate
+  * (here: any column set); chosen/rejected = the group's best/worst
+  * row under a deterministic score with a total-order tie-break
+  * (score, then id), so the pairing is reproducible across engines and
+  * runs.
+  *
+  * Margin discipline: pairs with score margin below `minMargin` are
+  * dropped — a pair whose sides the scorer cannot separate carries no
+  * preference signal (the annotator-agreement threshold in ranked-
+  * completion collection). Degenerate groups (single row, or all
+  * scores equal, where both extremes resolve to the same min-id row)
+  * drop out via the chosen != rejected guard.
+  *
+  * Scale shape: ONE hash shuffle at group grain; both extremes come
+  * from row_number windows over the SAME partitioning (two in-memory
+  * sorts of each group, no second shuffle), and the best/worst join is
+  * group-grain (one row per group per side). Nothing touches text —
+  * callers score first (e.g. [[HashedClassifier.score]] at scan cost,
+  * or [[LinearTrainer.score]] with trained weights) and pass the
+  * skinny (keys, id, score) relation.
+  */
+object PreferencePairs {
+
+  /** One pair per group: (keyCols..., chosen_id, rejected_id,
+    * chosen_score, rejected_score, margin), margin >= minMargin only.
+    */
+  def fromScores(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      minMargin: Long = 1L): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one grouping key")
+    val keys = keyCols.map(col)
+    val wBest = Window.partitionBy(keys: _*)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wWorst = Window.partitionBy(keys: _*)
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ranked = df.select(keys :+ col(idCol) :+ col(scoreCol): _*)
+      .withColumn("__rb", row_number().over(wBest))
+      .withColumn("__rw", row_number().over(wWorst))
+    val best = ranked.where(col("__rb") === 1)
+      .select(keys :+ col(idCol).as("chosen_id") :+
+        col(scoreCol).cast("long").as("chosen_score"): _*)
+    val worst = ranked.where(col("__rw") === 1)
+      .select(keys :+ col(idCol).as("rejected_id") :+
+        col(scoreCol).cast("long").as("rejected_score"): _*)
+    best.join(worst, keyCols)
+      .where(col("chosen_id") =!= col("rejected_id"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .where(col("margin") >= minMargin)
+  }
+}

@@ -122,6 +122,12 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM train_classifier('tvf_labeled', 'text', 'doc_id', 'y', 32, 2)",
       graft.ops.LinearTrainer.train(spark.table("tvf_labeled"),
         "text", "doc_id", col("y"), buckets = 32, epochs = 2))
+    Seq(("p1", 1L, 50L), ("p1", 2L, 10L), ("p1", 3L, 30L),
+        ("p2", 4L, 7L), ("p2", 5L, 7L), ("p3", 6L, 9L))
+      .toDF("grp", "id", "s").createOrReplaceTempView("tvf_scored")
+    pin("SELECT * FROM preference_pairs('tvf_scored', 'grp', 'id', 's', 1)",
+      graft.ops.PreferencePairs.fromScores(spark.table("tvf_scored"),
+        Seq("grp"), "id", "s", 1L))
     // TVFs compose with ordinary SQL (filter/aggregate over the TVF).
     val n = spark.sql(
       """SELECT count(*) AS n FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.5, 3)

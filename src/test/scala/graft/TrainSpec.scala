@@ -209,6 +209,30 @@ class TrainSpec extends SparkSpec {
     assert(out(2)._4 >= 0L)
   }
 
+  // ------------------------------------------- preference pairs
+
+  test("preference pairs: best/worst per group, margin + degenerate-group filters") {
+    val df = Seq(
+      ("p1", 1L, 50L), ("p1", 2L, 10L), ("p1", 3L, 30L), // spread -> pair
+      ("p2", 4L, 7L), ("p2", 5L, 7L),                    // all equal -> drop
+      ("p3", 6L, 9L),                                    // singleton -> drop
+      ("p4", 7L, 5L), ("p4", 8L, 4L))                    // margin 1 -> keep
+      .toDF("grp", "id", "s")
+    val pairs = graft.ops.PreferencePairs
+      .fromScores(df, Seq("grp"), "id", "s", 1L)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq(
+      ("p1", 1L, 50L, 2L, 10L, 40L),
+      ("p4", 7L, 5L, 8L, 4L, 1L)))
+    // Tie-break: equal top scores -> smallest id is chosen.
+    val tie = Seq(("t", 9L, 5L), ("t", 8L, 5L), ("t", 1L, 2L))
+      .toDF("grp", "id", "s")
+    val p = graft.ops.PreferencePairs.fromScores(tie, Seq("grp"), "id", "s", 1L)
+      .select("chosen_id", "rejected_id").as[(Long, Long)].collect()
+    assert(p.toSeq == Seq((8L, 1L)))
+  }
+
   // ------------------------------------------- exact substring spans
 
   test("maximal duplicated spans finds the planted shared run, exactly bounded") {
