@@ -337,6 +337,15 @@ object GraftFunctions {
         strLit(args(2), "idCol"), strLit(args(3), "scoreCol"),
         longLit(args(4), "minMargin")))
     },
+    // contrastive (anchor, positive, hard-negative) triplets:
+    // (anchor_id, positive_id, negative_id, pos_cos, neg_cos)
+    "contrastive_triplets" -> { args =>
+      arity("contrastive_triplets", args, 5)
+      plan(graft.ops.ContrastivePairs.hardTriplets(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "embCol"), strLit(args(2), "idCol"),
+        strLit(args(3), "blockCol"), doubleLit(args(4), "posThreshold")))
+    },
     // k-core membership over an edge table: (id, in_kcore, peel_round)
     "kcore" -> { args =>
       arity("kcore", args, 4)

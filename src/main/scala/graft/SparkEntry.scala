@@ -2806,6 +2806,18 @@ object SparkEntry {
           Seq("source", "lang"), "id", "score_micro", minMargin = 1L)
         .orderBy(col("source"), col("lang"))
     }),
+    "q161_contrastive_triplets" -> ((s, d) =>
+      // §2.11 training-data: contrastive (anchor, positive,
+      // hard-negative) triplet mining — per anchor the strongest
+      // same-label neighbor at cosine >= 0.4 and the hardest one
+      // below it, ranked (cosine DESC, id) — q28/q29's tie
+      // discipline, q59's label blocking (LSH buckets / ANN probes
+      // are the documented corpus-scale stand-ins). Oracle recomputes
+      // both extremes with the same windows; cosines on the 4-decimal
+      // grid.
+      graft.ops.ContrastivePairs.hardTriplets(embeddings(s, d),
+          "embedding", "vec_id", "label", posThreshold = 0.4)
+        .orderBy(col("anchor_id"))),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -4968,6 +4980,26 @@ Hosts: %s
          WHERE b.chosen_id <> wo.rejected_id
            AND b.chosen_score - wo.rejected_score >= 1
          ORDER BY source, lang""",
+    // q161: same label-blocked pair set (q59's), same
+    // (cosine DESC, id) windows for both extremes, 4-decimal grid.
+    "q161_contrastive_triplets" ->
+      """WITH p AS (SELECT a.vec_id AS anchor_id, b.vec_id AS idb,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS c
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id <> b.vec_id),
+         pos AS (SELECT anchor_id, idb, c, row_number() OVER (
+             PARTITION BY anchor_id ORDER BY c DESC, idb) AS rn
+           FROM p WHERE c >= 0.4),
+         neg AS (SELECT anchor_id, idb, c, row_number() OVER (
+             PARTITION BY anchor_id ORDER BY c DESC, idb) AS rn
+           FROM p WHERE c < 0.4)
+         SELECT pos.anchor_id, pos.idb AS positive_id,
+           neg.idb AS negative_id, round(pos.c, 4) AS pos_cos,
+           round(neg.c, 4) AS neg_cos
+         FROM pos JOIN neg USING (anchor_id)
+         WHERE pos.rn = 1 AND neg.rn = 1
+         ORDER BY anchor_id""",
   )
 
   /** The q153/q154 training replay: w0 = the distinct-word histogram

@@ -128,6 +128,13 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM preference_pairs('tvf_scored', 'grp', 'id', 's', 1)",
       graft.ops.PreferencePairs.fromScores(spark.table("tvf_scored"),
         Seq("grp"), "id", "s", 1L))
+    Seq((1L, "x", Seq(1f, 0f)), (2L, "x", Seq(1f, 0.1f)),
+        (3L, "x", Seq(-1f, 2f)), (4L, "y", Seq(0f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+      .createOrReplaceTempView("tvf_vecs")
+    pin("SELECT * FROM contrastive_triplets('tvf_vecs', 'embedding', 'vec_id', 'label', 0.5)",
+      graft.ops.ContrastivePairs.hardTriplets(spark.table("tvf_vecs"),
+        "embedding", "vec_id", "label", 0.5))
     // TVFs compose with ordinary SQL (filter/aggregate over the TVF).
     val n = spark.sql(
       """SELECT count(*) AS n FROM dedup_cascade('tvf_docs', 'text', 'doc_id', 0.5, 3)

@@ -233,6 +233,32 @@ class TrainSpec extends SparkSpec {
     assert(p.toSeq == Seq((8L, 1L)))
   }
 
+  // ------------------------------------------- contrastive triplets
+
+  test("contrastive triplets: strongest positive, hardest negative, half-triplets drop") {
+    // Block "x": anchor 1 has positive 2 (cos 1.0) and 3 (cos ~0.707),
+    // plus a clear negative 4 (orthogonal-ish). Block "y": 5 and 6 are
+    // positives of each other but have NO negative -> no triplet.
+    val df = Seq(
+      (1L, "x", Seq(1f, 0f)), (2L, "x", Seq(1f, 0f)),
+      (3L, "x", Seq(1f, 1f)), (4L, "x", Seq(-1f, 5f)),
+      (5L, "y", Seq(0f, 1f)), (6L, "y", Seq(0f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val t = graft.ops.ContrastivePairs
+      .hardTriplets(df, "embedding", "vec_id", "label", 0.5)
+      .orderBy("anchor_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    // Anchor 3 has NO negative (cos(3,4)=4/(sqrt2*sqrt26)≈0.55 >= 0.5,
+    // so 4 is a positive of 3) and drops; 5/6 likewise have no
+    // negative. Anchors 1, 2, 4 form triplets.
+    assert(t.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(t(0)._2 == 2L && t(0)._3 == 4L) // 1: strongest pos 2, hard neg 4
+    assert(t.forall(x => x._4 >= 0.5 && x._5 < 0.5))
+    // Anchor 4: positive 3 (0.55); negatives 1 and 2 TIE at equal
+    // cosine -> the (cosine DESC, id ASC) discipline picks id 1.
+    assert(t(2)._2 == 3L && t(2)._3 == 1L)
+  }
+
   // ------------------------------------------- exact substring spans
 
   test("maximal duplicated spans finds the planted shared run, exactly bounded") {
