@@ -99,10 +99,6 @@ object BpeTokenizeOps {
 
   def tokenize(text: UTF8String, table: Table): ArrayData = {
     val cache = table.cache
-    // Bound: an adversarial vocabulary clears and refills (degrades to
-    // per-occurrence cost, never OOM). 4M words ≈ well past any real
-    // subword-training vocabulary.
-    if (cache.size() > 4000000) cache.clear()
     // UTF8String.toLowerCase = Spark's lower() exactly (HashedLinearOps
     // precedent; Java's full case mapping can diverge on e.g. U+0130).
     val s = text.toLowerCase.toString
@@ -121,6 +117,13 @@ object BpeTokenizeOps {
         var toks = cache.get(w)
         if (toks == null) {
           toks = applyMerges(w, table.merges)
+          // Bound check on the MISS path only — CHM.size() sums
+          // counter cells and is a measurable contention point when
+          // called per row under 32 scan threads (suite row 168s vs
+          // 21s floor before this moved). An adversarial vocabulary
+          // clears and refills (degrades to per-occurrence cost,
+          // never OOM); 4M words ≈ well past any real subword vocab.
+          if (cache.size() > 4000000) cache.clear()
           cache.putIfAbsent(w, toks)
         }
         out ++= toks
