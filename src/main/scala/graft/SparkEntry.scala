@@ -2806,6 +2806,54 @@ object SparkEntry {
           Seq("source", "lang"), "id", "score_micro", minMargin = 1L)
         .orderBy(col("source"), col("lang"))
     }),
+    "q162_family_store_updates" -> ((s, d) => {
+      // §2.11: the STORE-UPDATE relation of the incremental family
+      // assignment (assignToFamiliesWithUpdates._2) — one row per
+      // standing family pulled into the batch closure, with its new
+      // family id and the merged family's final size/bitmask; the
+      // relation the streaming family-store sink applies to stay
+      // consistent. Oracle: full recompute — a standing (corpus-only
+      // closure) family appears iff its full-closure component
+      // contains a batch doc, new_family/size/signals read from the
+      // full closure. Exact by the same supernode argument q150 pins.
+      import graft.functions.VectorFunctions.vecCosine
+      val docs = documents(s, d)
+      val emb = embeddings(s, d)
+      val isBatch = (c: Column) => c % 10 >= 8
+      val corpus = docs.where(!isBatch(col("doc_id")))
+      val batch = docs.where(isBatch(col("doc_id")))
+      val prior = graft.ops.EnsembleDedup.standardDupFamilies(
+        corpus, "text", "doc_id",
+        emb.where(!isBatch(col("vec_id"))), "embedding", "vec_id", "label",
+        jaccardThreshold = 0.8, cosineThreshold = 0.4)
+      val bh = batch.select(col("doc_id").as("id_a"),
+        xxhash64(col("text")).as("__h"))
+      val ah = docs.select(col("doc_id").as("id_b"),
+        xxhash64(col("text")).as("__h"))
+      val exactPairs = bh.join(ah, Seq("__h"))
+        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
+      val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
+          "text", "doc_id", 0.8)
+        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
+        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
+          .select(col("id_a"), col("id_b")))
+      val ea = emb.where(isBatch(col("vec_id")))
+        .select(col("label").as("blk"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      val cosPairs = ea.join(eb, Seq("blk"))
+        .where(col("id_a") =!= col("id_b"))
+        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.EnsembleDedup.assignToFamiliesWithUpdates(
+          batch, "doc_id", prior, Seq(
+            graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
+            graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
+            graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+        ._2
+        .orderBy(col("old_family"))
+    }),
     "q161_contrastive_triplets" -> ((s, d) =>
       // §2.11 training-data: contrastive (anchor, positive,
       // hard-negative) triplet mining — per anchor the strongest
@@ -5000,6 +5048,54 @@ Hosts: %s
          FROM pos JOIN neg USING (anchor_id)
          WHERE pos.rn = 1 AND neg.rn = 1
          ORDER BY anchor_id""",
+    // q162: q150's full-closure CTEs + a SECOND corpus-only closure
+    // for the standing families; a standing family emits an update
+    // row iff its full component holds a batch doc (every signal edge
+    // has a batch endpoint, so that IS "pulled into the closure").
+    "q162_family_store_updates" ->
+      s"""WITH RECURSIVE src AS (SELECT doc_id AS id, text FROM documents),
+         ${jaccardPrefixSelfCtes("src", 0.8)},
+         e_jac AS (SELECT id_a, id_b, 2 AS sig FROM pv WHERE jac >= 0.8),
+         e_exact AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS sig
+           FROM documents a JOIN documents b
+             ON a.text = b.text AND a.doc_id < b.doc_id),
+         e_cos AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, 4 AS sig
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         edges AS (SELECT id_a, id_b, bit_or(sig) AS signals FROM (
+             SELECT * FROM e_exact UNION ALL SELECT * FROM e_jac
+             UNION ALL SELECT * FROM e_cos) u
+           GROUP BY 1, 2),
+         sym AS (SELECT id_a AS u, id_b AS v FROM edges
+                 UNION SELECT id_b, id_a FROM edges),
+         reach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT reach.v, sym.v FROM reach JOIN sym ON reach.r = sym.u),
+         comp AS (SELECT v AS doc_id, min(r) AS family FROM reach GROUP BY v),
+         sz AS (SELECT family, count(*) AS family_size FROM comp GROUP BY 1),
+         fs AS (SELECT c.family, bit_or(e.signals) AS signals
+           FROM edges e JOIN comp c ON e.id_a = c.doc_id GROUP BY 1),
+         csym AS (SELECT u, v FROM sym WHERE u % 10 < 8 AND v % 10 < 8),
+         creach(v, r) AS (
+           SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 < 8
+           UNION
+           SELECT creach.v, csym.v FROM creach JOIN csym
+             ON creach.r = csym.u),
+         pfam AS (SELECT v AS doc_id, min(r) AS old_family
+           FROM creach GROUP BY v),
+         pids AS (SELECT DISTINCT old_family FROM pfam),
+         bfam AS (SELECT DISTINCT family FROM comp WHERE doc_id % 10 >= 8)
+         SELECT pids.old_family, comp.family AS new_family,
+           sz.family_size,
+           CAST(coalesce(fs.signals, 0) AS INTEGER) AS signals
+         FROM pids JOIN comp ON pids.old_family = comp.doc_id
+         JOIN sz ON sz.family = comp.family
+         LEFT JOIN fs ON fs.family = comp.family
+         WHERE comp.family IN (SELECT family FROM bfam)
+         ORDER BY old_family""",
   )
 
   /** The q153/q154 training replay: w0 = the distinct-word histogram
