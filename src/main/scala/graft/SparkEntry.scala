@@ -2585,43 +2585,14 @@ object SparkEntry {
       // id, so the collapsed closure IS the full closure). The oracle
       // is the FULL q149 recompute over all documents restricted to
       // batch rows — incremental == from-scratch is the equivalence
-      // that makes daily appends trustworthy. In-query the prior is
-      // recomputed (a deployment reads it from the store, so only the
-      // batch-grain stages remain).
-      import graft.functions.VectorFunctions.vecCosine
+      // that makes daily appends trustworthy. The prior is the
+      // SESSION-SHARED relation (built once per session/dir, see
+      // familyPrior) — a deployment reads it from the store, so only
+      // the batch-grain stages remain per batch.
       val docs = documents(s, d)
-      val emb = embeddings(s, d)
-      val isBatch = (c: Column) => c % 10 >= 8
-      val corpus = docs.where(!isBatch(col("doc_id")))
-      val batch = docs.where(isBatch(col("doc_id")))
-      val prior = graft.ops.EnsembleDedup.standardDupFamilies(
-        corpus, "text", "doc_id",
-        emb.where(!isBatch(col("vec_id"))), "embedding", "vec_id", "label",
-        jaccardThreshold = 0.8, cosineThreshold = 0.4)
-      val bh = batch.select(col("doc_id").as("id_a"),
-        xxhash64(col("text")).as("__h"))
-      val ah = docs.select(col("doc_id").as("id_b"),
-        xxhash64(col("text")).as("__h"))
-      val exactPairs = bh.join(ah, Seq("__h"))
-        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
-      val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
-          "text", "doc_id", 0.8)
-        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
-        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
-          .select(col("id_a"), col("id_b")))
-      val ea = emb.where(isBatch(col("vec_id")))
-        .select(col("label").as("blk"), col("vec_id").as("id_a"),
-          col("embedding").as("emb_a"))
-      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"))
-      val cosPairs = ea.join(eb, Seq("blk"))
-        .where(col("id_a") =!= col("id_b"))
-        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
-        .select(col("id_a"), col("id_b"))
-      graft.ops.EnsembleDedup.assignToFamilies(batch, "doc_id", prior, Seq(
-          graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
-          graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
-          graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+      val batch = docs.where(isFamilyBatch(col("doc_id")))
+      graft.ops.EnsembleDedup.assignToFamilies(batch, "doc_id",
+          familyPrior(s, d), familyBatchSignals(s, d))
         .drop("n_absorbed")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
@@ -2701,46 +2672,18 @@ object SparkEntry {
       // ensemble is computed once, written to parquet, and the
       // returned plan reads that table — the assign arm's plan
       // contains NO prior recompute (the store build runs eagerly at
-      // construction; a deployment amortizes it across batches).
-      // Same oracle as q150: store-backed == in-query == from-scratch.
-      import graft.functions.VectorFunctions.vecCosine
+      // construction, FROM the session-shared prior — one write of a
+      // skinny id-grain relation; a deployment amortizes it across
+      // batches). Same oracle as q150: store-backed == in-query ==
+      // from-scratch.
       val docs = documents(s, d)
-      val emb = embeddings(s, d)
-      val isBatch = (c: Column) => c % 10 >= 8
-      val corpus = docs.where(!isBatch(col("doc_id")))
-      val batch = docs.where(isBatch(col("doc_id")))
+      val batch = docs.where(isFamilyBatch(col("doc_id")))
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_fam_q156_" +
         java.lang.Integer.toHexString(d.hashCode)
-      graft.ops.EnsembleDedup.standardDupFamilies(
-          corpus, "text", "doc_id",
-          emb.where(!isBatch(col("vec_id"))), "embedding", "vec_id", "label",
-          jaccardThreshold = 0.8, cosineThreshold = 0.4)
-        .write.mode("overwrite").parquet(base)
+      familyPrior(s, d).write.mode("overwrite").parquet(base)
       val prior = s.read.parquet(base)
-      val bh = batch.select(col("doc_id").as("id_a"),
-        xxhash64(col("text")).as("__h"))
-      val ah = docs.select(col("doc_id").as("id_b"),
-        xxhash64(col("text")).as("__h"))
-      val exactPairs = bh.join(ah, Seq("__h"))
-        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
-      val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
-          "text", "doc_id", 0.8)
-        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
-        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
-          .select(col("id_a"), col("id_b")))
-      val ea = emb.where(isBatch(col("vec_id")))
-        .select(col("label").as("blk"), col("vec_id").as("id_a"),
-          col("embedding").as("emb_a"))
-      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"))
-      val cosPairs = ea.join(eb, Seq("blk"))
-        .where(col("id_a") =!= col("id_b"))
-        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
-        .select(col("id_a"), col("id_b"))
-      graft.ops.EnsembleDedup.assignToFamilies(batch, "doc_id", prior, Seq(
-          graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
-          graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
-          graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+      graft.ops.EnsembleDedup.assignToFamilies(batch, "doc_id", prior,
+          familyBatchSignals(s, d))
         .drop("n_absorbed")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
@@ -2752,13 +2695,18 @@ object SparkEntry {
       // form that survives 100 TB (and the only one that does if more
       // than one key is ever read). Same oracle as q19: the rewrite
       // must be value-identical, malformed/missing keys -> 0.
+      // k is read as STRING and cast — get_json_object (q19) and the
+      // oracle's json_extract_string + CAST both coerce a quoted
+      // numeric like {"k":"5"} to 5, which from_json(LongType) would
+      // silently null out; StringType + cast matches that coercion on
+      // every input, not just the generator's unquoted numerics.
       events(s, d)
         .select(col("event_id"),
           coalesce(from_json(col("props"),
             org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("k",
-                org.apache.spark.sql.types.LongType))))
-            .getField("k"), lit(0L)).as("k"))
+                org.apache.spark.sql.types.StringType))))
+            .getField("k").cast("long"), lit(0L)).as("k"))
         .orderBy(col("event_id"))),
     "q158_exact_substring_spans" -> ((s, d) => {
       // §2.11 span dedup, EXACT form (Lee et al. 2022 ExactSubstr):
@@ -2816,41 +2764,11 @@ object SparkEntry {
       // closure) family appears iff its full-closure component
       // contains a batch doc, new_family/size/signals read from the
       // full closure. Exact by the same supernode argument q150 pins.
-      import graft.functions.VectorFunctions.vecCosine
+      // Prior = the session-shared relation (familyPrior).
       val docs = documents(s, d)
-      val emb = embeddings(s, d)
-      val isBatch = (c: Column) => c % 10 >= 8
-      val corpus = docs.where(!isBatch(col("doc_id")))
-      val batch = docs.where(isBatch(col("doc_id")))
-      val prior = graft.ops.EnsembleDedup.standardDupFamilies(
-        corpus, "text", "doc_id",
-        emb.where(!isBatch(col("vec_id"))), "embedding", "vec_id", "label",
-        jaccardThreshold = 0.8, cosineThreshold = 0.4)
-      val bh = batch.select(col("doc_id").as("id_a"),
-        xxhash64(col("text")).as("__h"))
-      val ah = docs.select(col("doc_id").as("id_b"),
-        xxhash64(col("text")).as("__h"))
-      val exactPairs = bh.join(ah, Seq("__h"))
-        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
-      val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
-          "text", "doc_id", 0.8)
-        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
-        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
-          .select(col("id_a"), col("id_b")))
-      val ea = emb.where(isBatch(col("vec_id")))
-        .select(col("label").as("blk"), col("vec_id").as("id_a"),
-          col("embedding").as("emb_a"))
-      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"))
-      val cosPairs = ea.join(eb, Seq("blk"))
-        .where(col("id_a") =!= col("id_b"))
-        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
-        .select(col("id_a"), col("id_b"))
+      val batch = docs.where(isFamilyBatch(col("doc_id")))
       graft.ops.EnsembleDedup.assignToFamiliesWithUpdates(
-          batch, "doc_id", prior, Seq(
-            graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
-            graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
-            graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4)))
+          batch, "doc_id", familyPrior(s, d), familyBatchSignals(s, d))
         ._2
         .orderBy(col("old_family"))
     }),
@@ -2870,6 +2788,71 @@ object SparkEntry {
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
   private val bpeRounds = 20
+
+  /** The corpus/batch split shared by the q150/q156/q162 incremental
+    * family suite (batch = doc_id % 10 >= 8).
+    */
+  private def isFamilyBatch(c: Column): Column = c % 10 >= 8
+
+  /** SESSION-SHARED standing-family prior for the incremental family
+    * suite: the corpus-only (doc_id % 10 < 8) q149 ensemble, built and
+    * persisted ONCE per (session, data dir) via [[graft.core.Caches
+    * .shared]] — the `Affinity.supportPairs` discipline. q150 (in-query
+    * prior), q156 (store-backed prior — it WRITES this relation), and
+    * q162 (store-update relation) all consume the same standing
+    * families; before the share each rebuilt the full ensemble closure
+    * in-suite (3× the dominant stage, ~35% of the sf0.1 suite).
+    * Keyed by the data dir (the inputs' identity here — the same
+    * production contract as supportPairs: a corpus that changes under
+    * the same path requires releaseShared). OpsSpec pins shared ==
+    * fresh-unshared row-for-row.
+    */
+  private[graft] def familyPrior(s: SparkSession, d: String): DataFrame =
+    graft.core.Caches.shared(s"ensemble-family-prior:$d:0.8:0.4") {
+      graft.ops.EnsembleDedup.standardDupFamilies(
+        documents(s, d).where(!isFamilyBatch(col("doc_id"))), "text", "doc_id",
+        embeddings(s, d).where(!isFamilyBatch(col("vec_id"))),
+        "embedding", "vec_id", "label",
+        jaccardThreshold = 0.8, cosineThreshold = 0.4)
+    }
+
+  /** The batch-incident signal relations (exact bit 1, Jaccard bit 2,
+    * label-blocked cosine bit 4) shared VERBATIM by q150/q156/q162 —
+    * built per call (each is batch-grain and cheap next to the prior;
+    * the three queries consume them inside different downstream plans).
+    */
+  private def familyBatchSignals(
+      s: SparkSession, d: String): Seq[graft.ops.EnsembleDedup.Signal] = {
+    import graft.functions.VectorFunctions.vecCosine
+    val docs = documents(s, d)
+    val emb = embeddings(s, d)
+    val corpus = docs.where(!isFamilyBatch(col("doc_id")))
+    val batch = docs.where(isFamilyBatch(col("doc_id")))
+    val bh = batch.select(col("doc_id").as("id_a"),
+      xxhash64(col("text")).as("__h"))
+    val ah = docs.select(col("doc_id").as("id_b"),
+      xxhash64(col("text")).as("__h"))
+    val exactPairs = bh.join(ah, Seq("__h"))
+      .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
+    val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
+        "text", "doc_id", 0.8)
+      .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
+      .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
+        .select(col("id_a"), col("id_b")))
+    val ea = emb.where(isFamilyBatch(col("vec_id")))
+      .select(col("label").as("blk"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+    val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val cosPairs = ea.join(eb, Seq("blk"))
+      .where(col("id_a") =!= col("id_b"))
+      .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+    Seq(
+      graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
+      graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
+      graft.ops.EnsembleDedup.Signal(cosPairs, "id_a", "id_b", 4))
+  }
 
   /** q148's phrase lexicon (shared verbatim with its oracle's list
     * literal): nested patterns (batch / batch batch / batch batch
@@ -5107,7 +5090,7 @@ Hosts: %s
     */
   private def bpeTrainCtes(n: Int): String = {
     val sb = new StringBuilder
-    sb ++= """w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS w, freq FROM (
+    sb ++= """w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(?s)(.)', '\1 ', 'g')) AS w, freq FROM (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
           SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '')) AS w
           FROM documents) GROUP BY 1))"""

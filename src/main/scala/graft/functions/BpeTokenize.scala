@@ -40,10 +40,21 @@ case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
     BpeTokenizeOps.tokenize(input.asInstanceOf[UTF8String], table)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val tableRef = ctx.addReferenceObj("bpeTable", table,
-      classOf[BpeTokenizeOps.Table].getName)
+    // Reference the MERGE LIST, not the Table: codegen references are
+    // java-serialized per task, so embedding the Table would give every
+    // task its own private word cache (cold for the whole task, defeating
+    // the per-JVM sharing). Resolving through tableFor at generated-class
+    // init instead lands every task of every stage on the ONE JVM-shared
+    // Table for this vocabulary — the same instance the interpreted path
+    // uses.
+    val mergesRef = ctx.addReferenceObj("bpeMerges", merges,
+      "scala.collection.immutable.Seq")
+    val tableVar = ctx.addMutableState(
+      classOf[BpeTokenizeOps.Table].getName, "bpeTable",
+      v => s"$v = graft.functions.BpeTokenizeOps$$.MODULE$$.tableFor(" +
+        s"(scala.collection.immutable.Seq) $mergesRef);")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeTokenizeOps$$.MODULE$$.tokenize($c, $tableRef)")
+      s"graft.functions.BpeTokenizeOps$$.MODULE$$.tokenize($c, $tableVar)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenizeExpr =

@@ -52,10 +52,16 @@ object Bpe {
   final case class Merge(rank: Int, a: String, b: String, count: Long)
 
   /** A word as its initial symbol sequence: characters joined by single
-    * spaces ("the" -> "t h e"). DuckDB mirror:
-    * `trim(regexp_replace(w, '(.)', '\1 ', 'g'))`.
+    * spaces ("the" -> "t h e"). DOTALL `(?s)` because Java's bare `.`
+    * excludes the line terminators U+0085/U+2028/U+2029, which are NOT
+    * in `\s` and so can appear INSIDE a word — without the flag the
+    * distributed path would leave such characters un-split while
+    * [[trainLocal]]'s codePoints split and the native tokenizer split
+    * every code point, breaking the pinned three-way equivalence on
+    * non-ASCII input. DuckDB mirror (RE2's bare dot already excludes
+    * only \n): `trim(regexp_replace(w, '(?s)(.)', '\1 ', 'g'))`.
     */
-  def charSeq(w: Column): Column = trim(regexp_replace(w, "(.)", "$1 "))
+  def charSeq(w: Column): Column = trim(regexp_replace(w, "(?s)(.)", "$1 "))
 
   /** Two-pass `replace` of " a b " with " ab " on an already-padded
     * symbol string — the fixpoint merge application (see object doc).

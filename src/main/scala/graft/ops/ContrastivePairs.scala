@@ -46,10 +46,16 @@ object ContrastivePairs {
       col(embCol).as("__ea"))
     val b = df.select(col(blockCol).as("blk"), col(idCol).as("__idb"),
       col(embCol).as("__eb"))
-    val pairs = a.join(b, Seq("blk"))
-      .where(col("anchor_id") =!= col("__idb"))
-      .select(col("anchor_id"), col("__idb"),
-        vecCosine(col("__ea"), col("__eb")).as("__c"))
+    // The blocked self-join + cosine is the dominant Σ|block|² stage and
+    // BOTH extreme windows consume it — persist so it executes once per
+    // query (released by the caller's Caches.releaseAll, the operator
+    // norm). TrainSpec pins the physical plan: the cosine join lives
+    // only inside the cached relation.
+    val pairs = graft.core.Caches.persistTracked(
+      a.join(b, Seq("blk"))
+        .where(col("anchor_id") =!= col("__idb"))
+        .select(col("anchor_id"), col("__idb"),
+          vecCosine(col("__ea"), col("__eb")).as("__c")))
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("__c").desc, col("__idb").asc)
     val pos = pairs.where(col("__c") >= posThreshold)

@@ -50,12 +50,17 @@ object PreferencePairs {
     val ranked = df.select(keys :+ col(idCol) :+ col(scoreCol): _*)
       .withColumn("__rb", row_number().over(wBest))
       .withColumn("__rw", row_number().over(wWorst))
+    // Scores and margin keep the input column's type UNTRUNCATED — a
+    // long cast here would silently drop near-tie pairs under a
+    // fractional scorer (5.9 vs 5.1 truncates to margin 0 < minMargin)
+    // and misreport the pair's scores. Integral scorers (the micro-unit
+    // convention) are unaffected.
     val best = ranked.where(col("__rb") === 1)
       .select(keys :+ col(idCol).as("chosen_id") :+
-        col(scoreCol).cast("long").as("chosen_score"): _*)
+        col(scoreCol).as("chosen_score"): _*)
     val worst = ranked.where(col("__rw") === 1)
       .select(keys :+ col(idCol).as("rejected_id") :+
-        col(scoreCol).cast("long").as("rejected_score"): _*)
+        col(scoreCol).as("rejected_score"): _*)
     best.join(worst, keyCols)
       .where(col("chosen_id") =!= col("rejected_id"))
       .withColumn("margin", col("chosen_score") - col("rejected_score"))

@@ -2188,4 +2188,30 @@ class OpsSpec extends SparkSpec {
       assert(out.forall(r => r._4 >= 1 && r._4 <= 17))
     }
   }
+
+  test("session-shared family prior == a fresh unshared ensemble build") {
+    // The q150/q156/q162 suite consumes ONE Caches.shared relation
+    // (SparkEntry.familyPrior) instead of rebuilding the corpus-only
+    // q149 ensemble per query; this pins shared == unshared row for
+    // row, and that a second call returns the SAME cached instance
+    // (no rebuild).
+    import graft.ops.EnsembleDedup
+    val d = "/root/testdata/sf0.001"
+    val shared = SparkEntry.familyPrior(spark, d)
+    val again = SparkEntry.familyPrior(spark, d)
+    assert(shared eq again, "second lookup must hit the shared cache")
+    val docs = graft.core.Tables.documents(spark, d)
+      .where(col("doc_id") % 10 < 8)
+    val emb = graft.core.Tables.embeddings(spark, d)
+      .where(col("vec_id") % 10 < 8)
+    val fresh = EnsembleDedup.standardDupFamilies(docs, "text", "doc_id",
+      emb, "embedding", "vec_id", "label",
+      jaccardThreshold = 0.8, cosineThreshold = 0.4)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val a = shared.collect().sortBy(key).toSeq
+    val b = fresh.collect().sortBy(key).toSeq
+    assert(a == b, "shared prior must equal the unshared build")
+    graft.core.Caches.releaseAll()
+    graft.core.Caches.releaseShared()
+  }
 }

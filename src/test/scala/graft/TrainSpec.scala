@@ -114,6 +114,30 @@ class TrainSpec extends SparkSpec {
     }
   }
 
+  test("BPE paths agree on non-\\s line terminators inside words (DOTALL charSeq)") {
+    // U+2028 (LINE SEPARATOR) is NOT in Java's \s, so it survives the
+    // whitespace split and sits INSIDE a word. Java's bare regex `.`
+    // would skip it in charSeq — the (?s) flag keeps the distributed
+    // split, the driver-local codePoints split, and the native
+    // tokenizer's code-point split identical on such input.
+    val weird = "ab\u2028cd"
+    val docs = Seq(
+      (1L, s"$weird $weird plain plain plain"),
+      (2L, s"plain $weird extra")).toDF("doc_id", "text")
+    val local = Bpe.train(docs, "text", 6)
+    val dist = Bpe.train(docs, "text", 6, driverCap = 0)
+    assert(local == dist, s"local $local != distributed $dist")
+    val both = docs.select(col("doc_id"),
+        Bpe.tokenize(col("text"), local).as("fast"),
+        Bpe.tokenizeFold(col("text"), local).as("ref"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    for ((id, fast, ref) <- both) assert(fast == ref, s"doc $id: $fast != $ref")
+    // The terminator is a symbol of its own, not glued to a neighbor
+    // at round 0: no trained merge may contain it unless learned.
+    val joined = both.map(_._2.mkString).mkString
+    assert(joined.contains("\u2028"), "terminator must survive tokenize")
+  }
+
   test("BPE training stops at pair exhaustion and on empty input") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = Bpe.train(tiny, "text", 50)
@@ -233,7 +257,56 @@ class TrainSpec extends SparkSpec {
     assert(p.toSeq == Seq((8L, 1L)))
   }
 
+  test("preference pairs keep fractional scores untruncated") {
+    // 6.5 vs 5.1: margin 1.4 >= 1 keeps the pair and the reported
+    // scores are the raw doubles (a long cast would report 6/5 and
+    // margin 1); 5.9 vs 5.1: margin 0.8 < 1 drops (a trunc-then-diff
+    // would also drop it, but for the wrong reason — and 6.9 vs 6.05
+    // would KEEP under trunc-diff while the true margin 0.85 drops).
+    val df = Seq(
+      ("p1", 1L, 6.5), ("p1", 2L, 5.1),
+      ("p2", 3L, 5.9), ("p2", 4L, 5.1),
+      ("p3", 5L, 6.9), ("p3", 6L, 6.05))
+      .toDF("grp", "id", "s")
+    val pairs = graft.ops.PreferencePairs
+      .fromScores(df, Seq("grp"), "id", "s", 1L)
+      .orderBy("grp")
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p._1 == "p1" && p._2 == 1L && p._4 == 2L)
+    assert(p._3 == 6.5 && p._5 == 5.1 && math.abs(p._6 - 1.4) < 1e-9)
+  }
+
   // ------------------------------------------- contrastive triplets
+
+  test("contrastive triplets compute the blocked cosine pair relation once (persisted)") {
+    val df = Seq(
+      (1L, "x", Seq(1f, 0f)), (2L, "x", Seq(1f, 0f)),
+      (3L, "x", Seq(1f, 1f)), (4L, "x", Seq(-1f, 5f)))
+      .toDF("vec_id", "label", "embedding")
+    val t = graft.ops.ContrastivePairs
+      .hardTriplets(df, "embedding", "vec_id", "label", 0.5)
+    try {
+      // The blocked self-join + cosine lives ONLY inside the cached
+      // relation: in the optimized logical plan (where InMemoryRelation
+      // is a LEAF — the cached subtree is not re-walked) both window
+      // arms must read the SAME cache and the cosine expression must
+      // not appear anywhere outside it.
+      val lp = t.queryExecution.optimizedPlan
+      val cached = lp.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+      }
+      assert(cached.length == 2, s"both arms must read the cache:\n$lp")
+      val cosineOutside = lp.collect {
+        case p if p.expressions.exists(
+          _.find(_.prettyName == "vec_cosine").isDefined) => p
+      }
+      assert(cosineOutside.isEmpty,
+        s"cosine must be computed once inside the cache, plan:\n$lp")
+      assert(t.count() >= 1)
+    } finally graft.core.Caches.releaseAll()
+  }
 
   test("contrastive triplets: strongest positive, hardest negative, half-triplets drop") {
     // Block "x": anchor 1 has positive 2 (cos 1.0) and 3 (cos ~0.707),
