@@ -337,6 +337,16 @@ object GraftFunctions {
         strLit(args(2), "idCol"), strLit(args(3), "scoreCol"),
         longLit(args(4), "minMargin")))
     },
+    // k-pair form: pair i = (i-th best, i-th worst), + pair_rank column.
+    "preference_pairs_topk" -> { args =>
+      arity("preference_pairs_topk", args, 6)
+      plan(graft.ops.PreferencePairs.fromScoresTopK(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "keyCols").split(",").toIndexedSeq.map(_.trim),
+        strLit(args(2), "idCol"), strLit(args(3), "scoreCol"),
+        longLit(args(4), "pairsPerGroup").toInt,
+        longLit(args(5), "minMargin")))
+    },
     // contrastive (anchor, positive, hard-negative) triplets:
     // (anchor_id, positive_id, negative_id, pos_cos, neg_cos)
     "contrastive_triplets" -> { args =>

@@ -2784,6 +2784,25 @@ object SparkEntry {
       graft.ops.ContrastivePairs.hardTriplets(embeddings(s, d),
           "embedding", "vec_id", "label", posThreshold = 0.4)
         .orderBy(col("anchor_id"))),
+    "q163_preference_pairs_topk" -> ((s, d) => {
+      // §2.11 post-training data: k-pair DPO mining — pair i = (i-th
+      // best, i-th worst) per (source, lang) group, the outside-in
+      // rank pairing of ranked-completion collection (k=3 here), same
+      // integer scorer and margin discipline as q160. Crossed pairs
+      // (i past the middle of a small group) and self-pairs drop via
+      // the margin/identity guards. Same one-shuffle shape: both
+      // rank-k windows share one group-grain partitioning and
+      // WindowGroupLimit prunes past rank k before the pair join.
+      val docs = documents(s, d)
+      val scored = graft.ops.HashedClassifier.score(docs, "text", "doc_id")
+      val keyed = docs.select(col("doc_id").as("id"),
+          col("source"), col("lang"))
+        .join(scored.select(col("id"), col("score_micro")), Seq("id"))
+      graft.ops.PreferencePairs.fromScoresTopK(keyed,
+          Seq("source", "lang"), "id", "score_micro", pairsPerGroup = 3,
+          minMargin = 1L)
+        .orderBy(col("source"), col("lang"), col("pair_rank"))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -5011,6 +5030,37 @@ Hosts: %s
          WHERE b.chosen_id <> wo.rejected_id
            AND b.chosen_score - wo.rejected_score >= 1
          ORDER BY source, lang""",
+    // q163: q160's scorer + rank-k windows joined on pair_rank —
+    // the outside-in (i-th best, i-th worst) pairing.
+    "q163_preference_pairs_topk" ->
+      """WITH toks AS (SELECT doc_id AS id, source, lang,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         w AS (SELECT id, source, lang, len(t) AS n_tokens,
+           COALESCE(list_sum(list_transform(t, tk ->
+             (('0x' || substr(md5('hc1' || CAST(
+                 (('0x' || substr(md5(tk), 1, 15))::BIGINT % 4096)
+                 AS VARCHAR)), 1, 15))::BIGINT % 2000001) - 1000000)), 0)
+             AS w_total FROM toks),
+         sc AS (SELECT id, source, lang,
+             CAST(CASE WHEN n_tokens = 0 THEN 0
+               ELSE w_total // n_tokens END AS BIGINT) AS s FROM w),
+         rk AS (SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY s DESC, id) AS rb,
+             row_number() OVER (PARTITION BY source, lang
+               ORDER BY s ASC, id) AS rw FROM sc),
+         best AS (SELECT source, lang, CAST(rb AS INTEGER) AS pair_rank,
+             id AS chosen_id, s AS chosen_score FROM rk WHERE rb <= 3),
+         worst AS (SELECT source, lang, CAST(rw AS INTEGER) AS pair_rank,
+             id AS rejected_id, s AS rejected_score FROM rk WHERE rw <= 3)
+         SELECT b.source, b.lang, b.pair_rank, b.chosen_id,
+           wo.rejected_id, b.chosen_score, wo.rejected_score,
+           b.chosen_score - wo.rejected_score AS margin
+         FROM best b JOIN worst wo USING (source, lang, pair_rank)
+         WHERE b.chosen_id <> wo.rejected_id
+           AND b.chosen_score - wo.rejected_score >= 1
+         ORDER BY source, lang, pair_rank""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.
     "q161_contrastive_triplets" ->

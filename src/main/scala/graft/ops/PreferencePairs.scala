@@ -40,8 +40,41 @@ object PreferencePairs {
       keyCols: Seq[String],
       idCol: String,
       scoreCol: String,
+      minMargin: Long = 1L): DataFrame =
+    fromScoresTopK(df, keyCols, idCol, scoreCol, pairsPerGroup = 1, minMargin)
+      .drop("pair_rank")
+
+  /** k pairs per group — pair i = (i-th best, i-th worst), the
+    * outside-in rank pairing real DPO collection mines from ranked
+    * completions (rank 1 vs rank n, 2 vs n-1, …): maximal margins
+    * first, every row used at most once per side. Output adds
+    * `pair_rank` (1..k). Pairs whose sides cross (i past the middle of
+    * a small group: chosen score <= rejected score + minMargin) and
+    * self-pairs drop via the same margin/identity guards — so k is an
+    * UPPER bound, group size the natural limiter.
+    *
+    * Scale shape identical to the single-pair form: the two row_number
+    * windows share ONE group-grain hash partitioning (two in-group
+    * sorts, no extra shuffle), rows beyond rank k prune BEFORE the
+    * group-grain pair join (WindowGroupLimit pushes the k-filter into
+    * the sort at scan side).
+    *
+    * Scores and margin keep the input column's type UNTRUNCATED — a
+    * long cast here would silently drop near-tie pairs under a
+    * fractional scorer (5.9 vs 5.1 truncates to margin 0 < minMargin)
+    * and misreport the pair's scores. Integral scorers (the micro-unit
+    * convention) are unaffected.
+    */
+  def fromScoresTopK(
+      df: DataFrame,
+      keyCols: Seq[String],
+      idCol: String,
+      scoreCol: String,
+      pairsPerGroup: Int,
       minMargin: Long = 1L): DataFrame = {
     require(keyCols.nonEmpty, "need at least one grouping key")
+    require(pairsPerGroup >= 1,
+      s"pairsPerGroup must be >= 1, got $pairsPerGroup")
     val keys = keyCols.map(col)
     val wBest = Window.partitionBy(keys: _*)
       .orderBy(col(scoreCol).desc, col(idCol).asc)
@@ -50,18 +83,15 @@ object PreferencePairs {
     val ranked = df.select(keys :+ col(idCol) :+ col(scoreCol): _*)
       .withColumn("__rb", row_number().over(wBest))
       .withColumn("__rw", row_number().over(wWorst))
-    // Scores and margin keep the input column's type UNTRUNCATED — a
-    // long cast here would silently drop near-tie pairs under a
-    // fractional scorer (5.9 vs 5.1 truncates to margin 0 < minMargin)
-    // and misreport the pair's scores. Integral scorers (the micro-unit
-    // convention) are unaffected.
-    val best = ranked.where(col("__rb") === 1)
-      .select(keys :+ col(idCol).as("chosen_id") :+
+    val best = ranked.where(col("__rb") <= pairsPerGroup)
+      .select(keys :+ col("__rb").as("pair_rank") :+
+        col(idCol).as("chosen_id") :+
         col(scoreCol).as("chosen_score"): _*)
-    val worst = ranked.where(col("__rw") === 1)
-      .select(keys :+ col(idCol).as("rejected_id") :+
+    val worst = ranked.where(col("__rw") <= pairsPerGroup)
+      .select(keys :+ col("__rw").as("pair_rank") :+
+        col(idCol).as("rejected_id") :+
         col(scoreCol).as("rejected_score"): _*)
-    best.join(worst, keyCols)
+    best.join(worst, keyCols :+ "pair_rank")
       .where(col("chosen_id") =!= col("rejected_id"))
       .withColumn("margin", col("chosen_score") - col("rejected_score"))
       .where(col("margin") >= minMargin)

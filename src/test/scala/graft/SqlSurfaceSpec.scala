@@ -128,6 +128,9 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM preference_pairs('tvf_scored', 'grp', 'id', 's', 1)",
       graft.ops.PreferencePairs.fromScores(spark.table("tvf_scored"),
         Seq("grp"), "id", "s", 1L))
+    pin("SELECT * FROM preference_pairs_topk('tvf_scored', 'grp', 'id', 's', 2, 1)",
+      graft.ops.PreferencePairs.fromScoresTopK(spark.table("tvf_scored"),
+        Seq("grp"), "id", "s", 2, 1L))
     Seq((1L, "x", Seq(1f, 0f)), (2L, "x", Seq(1f, 0.1f)),
         (3L, "x", Seq(-1f, 2f)), (4L, "y", Seq(0f, 1f)))
       .toDF("vec_id", "label", "embedding")

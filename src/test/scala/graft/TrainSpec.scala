@@ -257,6 +257,33 @@ class TrainSpec extends SparkSpec {
     assert(p.toSeq == Seq((8L, 1L)))
   }
 
+  test("top-k preference pairs: outside-in rank pairing, crossed pairs drop, k=1 == single") {
+    // Group g1 has 6 rows scored 60..10: k=3 must yield (60,10),
+    // (50,20), (40,30). Group g2 has 3 rows 9,5,1: pair 1 = (9,1),
+    // pair 2 = (5,5) self-pair drops, pair 3 absent (rank > size).
+    val df = Seq(
+      ("g1", 1L, 60L), ("g1", 2L, 50L), ("g1", 3L, 40L),
+      ("g1", 4L, 30L), ("g1", 5L, 20L), ("g1", 6L, 10L),
+      ("g2", 7L, 9L), ("g2", 8L, 5L), ("g2", 9L, 1L))
+      .toDF("grp", "id", "s")
+    val got = graft.ops.PreferencePairs
+      .fromScoresTopK(df, Seq("grp"), "id", "s", pairsPerGroup = 3, 1L)
+      .orderBy("grp", "pair_rank")
+      .select("grp", "pair_rank", "chosen_id", "rejected_id", "margin")
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("g1", 1, 1L, 6L, 50L), ("g1", 2, 2L, 5L, 30L), ("g1", 3, 3L, 4L, 10L),
+      ("g2", 1, 7L, 9L, 8L)))
+    // k=1 through the top-k path == the single-pair API.
+    val single = graft.ops.PreferencePairs
+      .fromScores(df, Seq("grp"), "id", "s", 1L)
+      .orderBy("grp").collect().toSeq
+    val top1 = graft.ops.PreferencePairs
+      .fromScoresTopK(df, Seq("grp"), "id", "s", 1, 1L)
+      .drop("pair_rank").orderBy("grp").collect().toSeq
+    assert(single == top1)
+  }
+
   test("preference pairs keep fractional scores untruncated") {
     // 6.5 vs 5.1: margin 1.4 >= 1 keeps the pair and the reported
     // scores are the raw doubles (a long cast would report 6/5 and
