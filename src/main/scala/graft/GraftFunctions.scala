@@ -326,6 +326,17 @@ object GraftFunctions {
         org.apache.spark.sql.functions.col(strLit(args(3), "labelCol")),
         longLit(args(4), "buckets").toInt, longLit(args(5), "epochs").toInt))
     },
+    // deterministic mini-batch SGD trajectory:
+    // (epoch, batch, bucket, weight)
+    "train_classifier_minibatch" -> { args =>
+      arity("train_classifier_minibatch", args, 7)
+      plan(graft.ops.LinearTrainer.trainMiniBatch(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        org.apache.spark.sql.functions.col(strLit(args(3), "labelCol")),
+        longLit(args(4), "buckets").toInt, longLit(args(5), "epochs").toInt,
+        longLit(args(6), "numBatches").toInt))
+    },
     // RLHF/DPO preference pairs from a scored relation; keys as a
     // comma-separated literal (the event_funnel steps convention):
     // (keys..., chosen_id, rejected_id, chosen/rejected_score, margin)

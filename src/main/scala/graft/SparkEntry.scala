@@ -2803,6 +2803,19 @@ object SparkEntry {
           minMargin = 1L)
         .orderBy(col("source"), col("lang"), col("pair_rank"))
     }),
+    "q164_classifier_minibatch" -> ((s, d) =>
+      // §2.11 training: q155's integer-exact trainer in deterministic
+      // MINI-BATCH form — each epoch is 4 sequential gradient steps
+      // over md5-hash-assigned batches (no sampling, no example
+      // order), learning rate 1/(16 × batch size), weights of buckets
+      // absent from a batch carried unchanged (left-join update). The
+      // oracle replays the full 2-epoch × 4-batch schedule in BIGINT
+      // CTEs; numBatches=1 reduces exactly to q155's path (TrainSpec
+      // pin).
+      graft.ops.LinearTrainer.trainMiniBatch(documents(s, d), "text",
+        "doc_id",
+        when(length(col("text")) >= 250, lit(1L)).otherwise(lit(0L)),
+        buckets = 64, epochs = 2, numBatches = 4)),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -4932,6 +4945,57 @@ Hosts: %s
            s"SELECT CAST($e AS BIGINT) AS epoch, b AS bucket, " +
              s"wt AS weight FROM w$e").mkString(" UNION ALL ")})
          ORDER BY epoch, bucket""",
+    // q164: q155's replay at (epoch, batch) step grain — batch
+    // membership an md5 hash of the id, per-step lrd from the batch's
+    // doc count, LEFT-join weight carry for untouched buckets. w CTEs
+    // MATERIALIZED: each step references the previous weight table
+    // twice (margin + update), which would inline 2^8 ways otherwise.
+    "q164_classifier_minibatch" ->
+      s"""WITH tok AS MATERIALIZED (SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+             CAST(count(*) AS BIGINT) AS x FROM (
+             SELECT doc_id, unnest(list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), s -> s <> '')) AS t
+             FROM documents) GROUP BY 1, 2),
+         mb AS MATERIALIZED (SELECT doc_id,
+             ('0x' || substr(md5('mb1:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 4 AS m FROM documents),
+         lab AS (SELECT doc_id,
+             CASE WHEN length(text) >= 250 THEN 1 ELSE 0 END AS y
+           FROM documents),
+         nb AS MATERIALIZED (SELECT m, greatest(16 * count(*), 1) AS lrd
+           FROM mb GROUP BY 1),
+         w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wt FROM tok),
+         ${(1 to 8).map { st =>
+           val bs = (st - 1) % 4
+           val es = (st - 1) / 4 + 1
+           s"""
+         z$st AS (SELECT t.doc_id, CAST(SUM(t.x * w.wt) AS BIGINT) AS z
+           FROM tok t JOIN mb ON t.doc_id = mb.doc_id
+           JOIN w${st - 1} w USING (b) WHERE mb.m = $bs GROUP BY 1),
+         r$st AS (SELECT z$st.doc_id,
+             least(greatest((z - ((z % 4) + 4) % 4) // 4 + 500000, 0),
+               1000000) - lab.y * 1000000 AS r
+           FROM z$st JOIN lab USING (doc_id)),
+         g$st AS (SELECT t.b, CAST(SUM(r$st.r * t.x) AS BIGINT) AS g
+           FROM tok t JOIN mb ON t.doc_id = mb.doc_id
+           JOIN r$st ON r$st.doc_id = t.doc_id
+           WHERE mb.m = $bs GROUP BY 1),
+         w$st AS MATERIALIZED (SELECT w.b, CAST(w.wt - CASE
+             WHEN g.g IS NULL THEN 0
+             ELSE (g.g - ((g.g % n.lrd) + n.lrd) % n.lrd) // n.lrd END
+             AS BIGINT) AS wt
+           FROM w${st - 1} w
+           LEFT JOIN g$st g USING (b)
+           LEFT JOIN nb n ON n.m = $bs)"""
+         }.mkString(",")}
+         SELECT * FROM (${(1 to 8).map { st =>
+           val bs = (st - 1) % 4
+           val es = (st - 1) / 4 + 1
+           s"SELECT CAST($es AS BIGINT) AS epoch, CAST($bs AS BIGINT) " +
+             s"AS batch, b AS bucket, wt AS weight FROM w$st"
+         }.mkString(" UNION ALL ")})
+         ORDER BY epoch, batch, bucket""",
     // q157: q19's oracle verbatim — the schema'd rewrite must be
     // value-identical.
     "q157_json_schema" ->

@@ -114,6 +114,89 @@ object LinearTrainer {
     out.orderBy(col("epoch"), col("bucket"))
   }
 
+  /** Deterministic MINI-BATCH SGD variant of [[train]]: each epoch is
+    * `numBatches` sequential gradient steps, batch membership = an md5
+    * hash bucket of the document id (the q75 hash-order discipline —
+    * no sampling, no example order, engine-replayable), arithmetic
+    * identical to the full-batch path (integer micro-units, hard
+    * sigmoid, pmod floor division). Learning rate per step =
+    * 1/(lrFactor × batch doc count), so `numBatches = 1` reduces
+    * EXACTLY to [[train]] (pinned in TrainSpec).
+    *
+    * Returns the step trajectory (epoch, batch, bucket, weight) — one
+    * weight-table snapshot per gradient step, all BIGINT, so a DuckDB
+    * oracle replays the full epochs × batches schedule bit for bit.
+    *
+    * Scale shape: same as [[train]] — the COO feature relation is
+    * built once and persisted with the batch id as a rider column;
+    * each step filters it to one hash bucket (a scan-side predicate,
+    * no extra shuffle), joins the broadcast `buckets`-row weight
+    * table, and aggregates at doc then bucket grain. Per-batch doc
+    * counts are ONE bounded collect (`numBatches` rows, the argmax
+    * discipline). The weight update is a LEFT join: buckets absent
+    * from a batch keep their weights.
+    */
+  def trainMiniBatch(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: Column,
+      buckets: Int = 64,
+      epochs: Int = 3,
+      numBatches: Int = 4,
+      lrFactor: Long = 16L,
+      salt: String = "mb1"): DataFrame = {
+    require(epochs >= 1 && buckets >= 1 && numBatches >= 1 && lrFactor >= 1,
+      s"bad config: epochs=$epochs buckets=$buckets " +
+        s"numBatches=$numBatches lrFactor=$lrFactor")
+    // Batch id: h60 of the salted id string, mod numBatches — the same
+    // portable hash spelling as the feature buckets.
+    def batchOf(id: Column): Column =
+      conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
+        1, 15), 16, 10).cast("long") % numBatches
+    val tok = graft.core.Caches.persistTracked(
+      df.select(col(idCol).as("__id"),
+          explode(filter(
+            split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+            t => t =!= lit(""))).as("__tok"))
+        .select(col("__id"), bucketOf(col("__tok"), buckets).as("__b"))
+        .groupBy(col("__id"), col("__b"))
+        .agg(count(lit(1)).as("__x"))
+        .withColumn("__mb", batchOf(col("__id"))))
+    val lab = graft.core.Caches.persistTracked(
+      df.select(col(idCol).as("__id"), labelCol.cast("long").as("__y"),
+        batchOf(col(idCol)).as("__mb")))
+    // numBatches rows — bounded by construction.
+    val batchN = lab.groupBy(col("__mb")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var w = tok.select(col("__b")).distinct()
+      .select(col("__b"), lit(0L).as("__wt"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for (e <- 1 to epochs; b <- 0 until numBatches) {
+      val lrd = lit(math.max(1L, lrFactor * batchN.getOrElse(b.toLong, 0L)))
+      val btok = tok.where(col("__mb") === b)
+      val z = btok.join(broadcast(w), Seq("__b"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__x") * col("__wt")).as("__z"))
+      val resid = z.join(lab, Seq("__id"))
+        .select(col("__id"),
+          (hardSigmoid(col("__z")) - col("__y") * lit(Scale)).as("__r"))
+      val grad = btok.join(resid, Seq("__id"))
+        .groupBy(col("__b"))
+        .agg(sum(col("__r") * col("__x")).as("__g"))
+      w = w.join(grad, Seq("__b"), "left")
+        .select(col("__b"), (col("__wt") -
+          fdiv(coalesce(col("__g"), lit(0L)), lrd)).as("__wt"))
+        .localCheckpoint()
+      val snap = w.select(lit(e.toLong).as("epoch"), lit(b.toLong).as("batch"),
+        col("__b").as("bucket"), col("__wt").as("weight"))
+      out = if (out == null) snap else out.unionByName(snap)
+    }
+    out.orderBy(col("epoch"), col("batch"), col("bucket"))
+  }
+
   /** Score texts with a trained weight table (the FINAL epoch of
     * [[train]]'s output, or any (bucket, weight) relation): the
     * hard-sigmoid probability in micro-units, via a broadcast

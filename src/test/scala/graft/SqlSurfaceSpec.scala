@@ -122,6 +122,9 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM train_classifier('tvf_labeled', 'text', 'doc_id', 'y', 32, 2)",
       graft.ops.LinearTrainer.train(spark.table("tvf_labeled"),
         "text", "doc_id", col("y"), buckets = 32, epochs = 2))
+    pin("SELECT * FROM train_classifier_minibatch('tvf_labeled', 'text', 'doc_id', 'y', 32, 2, 2)",
+      graft.ops.LinearTrainer.trainMiniBatch(spark.table("tvf_labeled"),
+        "text", "doc_id", col("y"), buckets = 32, epochs = 2, numBatches = 2))
     Seq(("p1", 1L, 50L), ("p1", 2L, 10L), ("p1", 3L, 30L),
         ("p2", 4L, 7L), ("p2", 5L, 7L), ("p3", 6L, 9L))
       .toDF("grp", "id", "s").createOrReplaceTempView("tvf_scored")

@@ -186,6 +186,42 @@ class TrainSpec extends SparkSpec {
       s"positive class must score clearly higher, got $classAvg")
   }
 
+  test("mini-batch SGD with numBatches=1 reduces exactly to full-batch train") {
+    val pos = (0 until 12).map(i => (i.toLong, "good clean prose text", 1L))
+    val neg = (12 until 24).map(i => (i.toLong, "spam junk noise words", 0L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val full = LinearTrainer.train(df, "text", "doc_id", col("y"),
+        buckets = 32, epochs = 3)
+      .collect().toSeq
+    val mini = LinearTrainer.trainMiniBatch(df, "text", "doc_id", col("y"),
+        buckets = 32, epochs = 3, numBatches = 1)
+      .drop("batch").collect().toSeq
+    assert(full == mini)
+    graft.core.Caches.releaseAll()
+  }
+
+  test("mini-batch SGD: batches partition the corpus, untouched buckets carry weights") {
+    val df = (0 until 30).map(i =>
+      (i.toLong, if (i % 2 == 0) "alpha beta" else "gamma delta",
+        (i % 2).toLong)).toDF("doc_id", "text", "y")
+    val traj = LinearTrainer.trainMiniBatch(df, "text", "doc_id", col("y"),
+        buckets = 16, epochs = 2, numBatches = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // One snapshot per (epoch, batch) step, same bucket set each time.
+    val steps = traj.map(t => (t._1, t._2)).distinct.sorted
+    assert(steps == Seq((1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (2L, 2L)))
+    val bucketSets = traj.groupBy(t => (t._1, t._2)).values
+      .map(_.map(_._3).toSet).toSeq
+    assert(bucketSets.distinct.size == 1, "every snapshot covers all buckets")
+    // Determinism: identical call, identical trajectory.
+    val traj2 = LinearTrainer.trainMiniBatch(df, "text", "doc_id", col("y"),
+        buckets = 16, epochs = 2, numBatches = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(traj == traj2)
+    graft.core.Caches.releaseAll()
+  }
+
   test("linear trainer epoch-1 update matches the closed form") {
     // One doc "a", label 1: z=0 -> sigma=S/2 -> r=-S/2; grad=-S/2;
     // lr=1/(16*1) -> w1 = floor(S/2/16) = 31250.
