@@ -2816,6 +2816,43 @@ object SparkEntry {
         "doc_id",
         when(length(col("text")) >= 250, lit(1L)).otherwise(lit(0L)),
         buckets = 64, epochs = 2, numBatches = 4)),
+    "q165_bpe_dict_packing" -> ((s, d) => {
+      // §2.11 tokenization: q154's train → tokenize → pack through the
+      // BROADCAST-DICTIONARY tokenize path — distinct words pay the
+      // merge fold ONCE in a distributed dictionary stage (cost ∝
+      // vocabulary, not corpus), occurrences resolve by word join;
+      // the large-vocabulary posture (a 50k-merge vocab degrades the
+      // per-JVM word cache, never the dictionary join). Same oracle
+      // as q154: native cache == dictionary == SQL word-table replay.
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val toked = graft.ops.Bpe.tokenizeByDict(docs, "text", "doc_id", merges)
+      graft.ops.SequencePack.packTokens(toked,
+          concat(col("tokens"), array(lit("<eod>"))), "doc_id", 64)
+        .orderBy(col("seq_id"))
+    }),
+    "q166_bpe_budget_shards" -> ((s, d) => {
+      // §2.11 end-to-end trained-tokenizer stream: train (q153) →
+      // native tokenize → per-source token-budget cap (q128's op on
+      // BPE counts instead of the whitespace convention) → shard
+      // packing of the kept prefix (q78's two-phase exclusive scan,
+      // weighted by BPE tokens). One window shuffle for the cap, one
+      // range shuffle for the shards; the oracle replays training and
+      // recomputes both prefix sums in window form.
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val toked = docs.select(col("doc_id"), col("source"),
+        graft.ops.Bpe.tokenize(col("text"), merges).as("__toks"))
+      val capped = graft.ops.BudgetCap.capByCount(toked,
+        size(col("__toks")), "doc_id", "source", budgetTokens = 2000L)
+      val kept = capped.where(col("kept"))
+      val shards = graft.ops.Packing.assignShards(
+        kept.select(col("id"), col("n_tokens")), "id", "n_tokens", 5000L)
+      kept.join(shards, Seq("id"))
+        .select(col("grp"), col("id"), col("n_tokens"), col("cum_tokens"),
+          col("shard"))
+        .orderBy(col("grp"), col("id"))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -4887,32 +4924,40 @@ Hosts: %s
     // q154: tokenize via the FINAL training word table (the per-word
     // merge fold equals the training composition, so join-by-word is
     // exact), then q152's window-prefix packing over the BPE stream.
-    "q154_bpe_sequence_packing" ->
+    "q154_bpe_sequence_packing" -> bpeSequencePackingOracle,
+    // q165: the dictionary-join tokenize path — the oracle's join-by-
+    // word form IS this plan's shape, so q154's oracle pins it
+    // verbatim (native-cache path == dictionary path == SQL replay).
+    "q165_bpe_dict_packing" -> bpeSequencePackingOracle,
+    // q166: train replay, per-doc BPE token counts via the final word
+    // table (subword count per word, summed per doc), q128's ordered
+    // prefix cap per source in window form, then the kept prefix's
+    // exclusive scan // shardSize — the full trained-tokenizer stream.
+    "q166_bpe_budget_shards" ->
       s"""WITH ${bpeTrainCtes(bpeRounds)},
-         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+         wx AS (SELECT doc_id, dw.ws[u.i+1] AS word FROM (
              SELECT doc_id, list_filter(string_split_regex(
                lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS ws
              FROM documents) dw,
            LATERAL unnest(range(len(dw.ws))) AS u(i)),
-         mt AS (SELECT wx.doc_id, wx.wi, wr.w AS mw
-           FROM wx JOIN w$bpeRounds wr USING (word)),
-         dstr AS (SELECT doc_id, string_agg(mw, ' ' ORDER BY wi) AS s
-           FROM mt GROUP BY doc_id),
-         toks AS (SELECT d.doc_id,
-             list_concat(list_filter(string_split(coalesce(ds.s, ''), ' '),
-               t -> t <> ''), ['<eod>']) AS t
-           FROM documents d LEFT JOIN dstr ds ON d.doc_id = ds.doc_id),
-         off AS (SELECT doc_id, coalesce(SUM(len(t)) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
-           FROM toks),
-         tok AS (SELECT toks.doc_id, off.o + u.i AS pos, toks.t[u.i+1] AS tk
-           FROM toks JOIN off USING (doc_id),
-           LATERAL unnest(range(len(toks.t))) AS u(i))
-         SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
-           string_agg(tk, ' ' ORDER BY pos) AS seq_text,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-         FROM tok GROUP BY 1 ORDER BY 1""",
+         nt AS (SELECT d.doc_id, d.source,
+             CAST(coalesce(m.s, 0) AS BIGINT) AS n_tokens
+           FROM documents d LEFT JOIN (
+             SELECT wx.doc_id, SUM(len(string_split(wr.w, ' '))) AS s
+             FROM wx JOIN w$bpeRounds wr USING (word) GROUP BY 1) m
+           USING (doc_id)),
+         cap AS (SELECT source AS grp, doc_id AS id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+           FROM nt),
+         kept AS (SELECT * FROM cap WHERE cum_tokens <= 2000),
+         sh AS (SELECT id, CAST(coalesce(SUM(n_tokens) OVER (ORDER BY id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 5000
+             AS BIGINT) AS shard FROM kept)
+         SELECT k.grp, k.id, k.n_tokens, k.cum_tokens, sh.shard
+         FROM kept k JOIN sh USING (id) ORDER BY grp, id""",
     // q155: the exact 3-epoch integer replay — h60-hashed buckets,
     // hard-sigmoid margins, pmod-spelled floor division (exact under
     // both engines' integer division since the remainder is removed
@@ -5194,6 +5239,37 @@ Hosts: %s
          WHERE comp.family IN (SELECT family FROM bfam)
          ORDER BY old_family""",
   )
+
+  /** Shared by q154 (native cached tokenize) and q165 (dictionary-join
+    * tokenize): train replay, join-by-word tokenization via the final
+    * word table, q152's window-prefix packing.
+    */
+  private lazy val bpeSequencePackingOracle: String =
+    s"""WITH ${bpeTrainCtes(bpeRounds)},
+         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+             SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS ws
+             FROM documents) dw,
+           LATERAL unnest(range(len(dw.ws))) AS u(i)),
+         mt AS (SELECT wx.doc_id, wx.wi, wr.w AS mw
+           FROM wx JOIN w$bpeRounds wr USING (word)),
+         dstr AS (SELECT doc_id, string_agg(mw, ' ' ORDER BY wi) AS s
+           FROM mt GROUP BY doc_id),
+         toks AS (SELECT d.doc_id,
+             list_concat(list_filter(string_split(coalesce(ds.s, ''), ' '),
+               t -> t <> ''), ['<eod>']) AS t
+           FROM documents d LEFT JOIN dstr ds ON d.doc_id = ds.doc_id),
+         off AS (SELECT doc_id, coalesce(SUM(len(t)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+           FROM toks),
+         tok AS (SELECT toks.doc_id, off.o + u.i AS pos, toks.t[u.i+1] AS tk
+           FROM toks JOIN off USING (doc_id),
+           LATERAL unnest(range(len(toks.t))) AS u(i))
+         SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+           string_agg(tk, ' ' ORDER BY pos) AS seq_text,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         FROM tok GROUP BY 1 ORDER BY 1"""
 
   /** The q153/q154 training replay: w0 = the distinct-word histogram
     * with words as space-joined character sequences; round r = pair

@@ -226,6 +226,57 @@ object Bpe {
           coalesce(text, lit(""))),
         merges.sortBy(_.rank).map(m => (m.a, m.b))))
 
+  /** BROADCAST-DICTIONARY tokenize — the form that survives a 50k-merge
+    * vocabulary at 100 TB: the corpus's distinct words are tokenized
+    * ONCE each through the pure merge fold (a distributed, cache-free
+    * stage whose cost is ∝ |vocabulary| × |merges|, NOT corpus size),
+    * and every occurrence resolves by an equi-join on the word (AQE
+    * broadcasts the dictionary when it is small — the common case:
+    * vocabularies are orders of magnitude below the corpus). Exactly
+    * the training composition ([[tokenize]]'s semantics, pinned equal
+    * in TrainSpec), and the same join-by-word form the q154 oracle
+    * replays in SQL.
+    *
+    * Versus [[tokenize]] (the native cached expression): the per-JVM
+    * word cache is ideal while the vocabulary fits memory and the fold
+    * is cheap (tens of merges); with a 50k-merge vocabulary each cache
+    * MISS pays 50k two-pass replaces, and a high-entropy corpus
+    * degrades to per-occurrence cost. The dictionary join pays the
+    * fold exactly once per distinct word regardless of JVM count,
+    * cache pressure, or merge count — at the price of one token-grain
+    * shuffle (the groupBy that reassembles documents).
+    *
+    * Returns (idCol, tokens array<string>) — one row per input row;
+    * empty/null text yields the empty array, matching [[tokenize]].
+    * idCol must be unique (a doc id).
+    */
+  def tokenizeByDict(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = df.select(col(idCol).as("__id"),
+        posexplode(filter(
+          split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+          t => t =!= lit(""))))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__w"))
+    // The dictionary: each distinct word through the merge fold ONCE
+    // (tokenizeFold over a single word = its subword array — no
+    // whitespace survives the split). Persisted: the join probes it
+    // and AQE sizes the broadcast from the materialized relation.
+    val dict = graft.core.Caches.persistTracked(
+      words.select(col("__w")).distinct()
+        .select(col("__w"), tokenizeFold(col("__w"), merges).as("__t")))
+    val toks = words.join(dict, Seq("__w"))
+      .groupBy(col("__id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__p").as("p"), col("__t").as("t")))),
+        s => s.getField("t"))).as("tokens"))
+    df.select(col(idCol))
+      .join(toks, df(idCol) === toks("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("tokens"),
+          array().cast("array<string>")).as("tokens"))
+  }
+
   /** The pure-Column reference spelling of [[tokenize]] (nested
     * codegen'd `replace` per occurrence — the semantics contract the
     * native expression is pinned against).

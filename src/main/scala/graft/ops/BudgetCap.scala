@@ -44,13 +44,29 @@ object BudgetCap {
       textCol: String,
       idCol: String,
       grpCol: String,
+      budgetTokens: Long): DataFrame =
+    capByCount(docs, TextAnalysis.tokenCount(col(textCol)), idCol, grpCol,
+      budgetTokens)
+
+  /** [[tokenBudgetCap]] parameterized over an arbitrary token-COUNT
+    * column — the hook that runs the cap on a TRAINED tokenizer's
+    * output instead of the whitespace convention (pass
+    * `size(Bpe.tokenize(...))`, or `size` of any `array<string>`
+    * tokens column). Same one-shuffle ordered-prefix shape, same
+    * output contract.
+    */
+  def capByCount(
+      docs: DataFrame,
+      nTokensCol: Column,
+      idCol: String,
+      grpCol: String,
       budgetTokens: Long): DataFrame = {
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("n_tokens").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(grpCol).as("grp"), col(idCol).as("id"),
-        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+        nTokensCol.cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("kept", col("cum_tokens") <= lit(budgetTokens))
   }

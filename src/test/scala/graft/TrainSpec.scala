@@ -138,6 +138,26 @@ class TrainSpec extends SparkSpec {
     assert(joined.contains("\u2028"), "terminator must survive tokenize")
   }
 
+  test("BPE dictionary-join tokenize == the native cached expression on every doc") {
+    val docs = Seq(
+      (1L, "low lower lowest low low wide"),
+      (2L, "new newer newest new lower"),
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "  padded   spacing\tand\nnewlines  "),
+      (6L, "low lower lowest low low wide")) // duplicate content: join must stay 1 row/doc
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    try {
+      val dict = Bpe.tokenizeByDict(docs, "text", "doc_id", merges)
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val native = docs.select(col("doc_id"),
+          Bpe.tokenize(col("text"), merges).as("tokens"))
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      assert(dict == native)
+      assert(dict.length == 6, "one output row per input row")
+    } finally graft.core.Caches.releaseAll()
+  }
+
   test("BPE training stops at pair exhaustion and on empty input") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = Bpe.train(tiny, "text", 50)
