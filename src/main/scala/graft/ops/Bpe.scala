@@ -259,12 +259,15 @@ object Bpe {
           t => t =!= lit(""))))
       .select(col("__id"), col("pos").as("__p"), col("col").as("__w"))
     // The dictionary: each distinct word through the merge fold ONCE
-    // (tokenizeFold over a single word = its subword array — no
-    // whitespace survives the split). Persisted: the join probes it
+    // (tokenize of a single word = its subword array — no whitespace
+    // survives the split). The NATIVE expression, not tokenizeFold:
+    // the fold spelling nests 2x|merges| replace expressions, which
+    // overflows Catalyst analysis beyond a few hundred merges — the
+    // exact regime this path exists for. Persisted: the join probes it
     // and AQE sizes the broadcast from the materialized relation.
     val dict = graft.core.Caches.persistTracked(
       words.select(col("__w")).distinct()
-        .select(col("__w"), tokenizeFold(col("__w"), merges).as("__t")))
+        .select(col("__w"), tokenize(col("__w"), merges).as("__t")))
     val toks = words.join(dict, Seq("__w"))
       .groupBy(col("__id"))
       .agg(flatten(transform(
