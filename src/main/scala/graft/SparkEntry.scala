@@ -2853,6 +2853,54 @@ object SparkEntry {
           col("shard"))
         .orderBy(col("grp"), col("id"))
     }),
+    "q167_contrastive_ann" -> ((s, d) => {
+      // §2.11 training-data, CORPUS-SCALE form of q161: triplets for a
+      // bounded anchor set with NO label blocking and NO Σ|block|²
+      // stage — positives probed from LSH sign buckets (anchor-side
+      // multi-probe R-S join), hard negatives from the materialized
+      // IVF index (best probed neighbor below the threshold). Pair
+      // volume ∝ anchors × bucket size + anchors × corpus × nprobe /
+      // nlist. LSH/IVF recall < 1 by design, so the oracle is the
+      // q67-discipline SOUNDNESS envelope: every emitted triplet
+      // re-verified against the raw embeddings (cosines exact on the
+      // 4-decimal grid, positive >= threshold > negative, ids
+      // distinct, one triplet per anchor); the exact-parameter
+      // equivalence to the blocked form is TrainSpec's pin.
+      import graft.functions.VectorFunctions.vecCosine
+      val emb = embeddings(s, d)
+      val anchors = emb.where(col("vec_id") % 50 === 0)
+      val prefix = "graft_idx_q167"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q167_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val trip = graft.ops.ContrastivePairs.hardTripletsAnn(
+        emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+        numPlanes = adaptivePlanes(parquetRowCount(s, s"$d/embeddings.parquet")),
+        nlist = 16, nprobe = 4, k = 64,
+        tablePrefix = prefix, basePath = base)
+      val ver = trip
+        .join(emb.select(col("vec_id").as("anchor_id"),
+          col("embedding").as("__ea")), "anchor_id")
+        .join(emb.select(col("vec_id").as("positive_id"),
+          col("embedding").as("__ep")), "positive_id")
+        .join(emb.select(col("vec_id").as("negative_id"),
+          col("embedding").as("__en")), "negative_id")
+        .select(col("anchor_id"),
+          (round(vecCosine(col("__ea"), col("__ep")), 4) === col("pos_cos") &&
+            vecCosine(col("__ea"), col("__ep")) >= 0.4).as("__pos_ok"),
+          (round(vecCosine(col("__ea"), col("__en")), 4) === col("neg_cos") &&
+            vecCosine(col("__ea"), col("__en")) < 0.4).as("__neg_ok"),
+          (col("anchor_id") =!= col("positive_id") &&
+            col("anchor_id") =!= col("negative_id") &&
+            col("positive_id") =!= col("negative_id")).as("__ids_ok"))
+      anchors.agg(count(lit(1)).as("n_anchors"))
+        .crossJoin(ver.agg(
+          coalesce(every(col("__pos_ok")), lit(true)).as("pos_sound"),
+          coalesce(every(col("__neg_ok")), lit(true)).as("neg_sound"),
+          coalesce(every(col("__ids_ok")), lit(true)).as("ids_distinct"),
+          (count_distinct(col("anchor_id")) === count(lit(1)))
+            .as("anchors_unique"),
+          (count(lit(1)) > 0).as("has_triplets")))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -5170,6 +5218,15 @@ Hosts: %s
          WHERE b.chosen_id <> wo.rejected_id
            AND b.chosen_score - wo.rejected_score >= 1
          ORDER BY source, lang, pair_rank""",
+    // q167: the ANN-triplet soundness envelope — booleans hold by
+    // construction when the op is sound; n_anchors pins the anchor
+    // set; has_triplets pins non-vacuous recall on the gate corpora.
+    "q167_contrastive_ann" ->
+      """SELECT CAST(count(*) FILTER (WHERE vec_id % 50 = 0) AS BIGINT)
+           AS n_anchors,
+         TRUE AS pos_sound, TRUE AS neg_sound, TRUE AS ids_distinct,
+         TRUE AS anchors_unique, TRUE AS has_triplets
+         FROM embeddings""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.
     "q161_contrastive_triplets" ->

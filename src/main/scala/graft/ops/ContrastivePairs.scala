@@ -72,4 +72,91 @@ object ContrastivePairs {
       .select(col("anchor_id"), col("positive_id"), col("negative_id"),
         col("pos_cos"), col("neg_cos"))
   }
+
+  /** CORPUS-SCALE triplet mining — the documented ANN stand-ins wired
+    * end to end, no label column and no Σ|block|² stage:
+    *
+    *  - POSITIVES from LSH sign-pattern buckets
+    *    ([[Dedup.embeddingNearDuplicatesLsh]]'s geometry), probed from
+    *    the ANCHOR side only (R-S shape): each anchor explodes its
+    *    bucket plus every Hamming-1 neighbor and joins the corpus's
+    *    single stored bucket — candidate volume ∝ |anchors| × (planes+1)
+    *    × bucket size, exactly-once per pair (one row's probe values
+    *    are pairwise distinct, the q67 argument). Strongest candidate
+    *    at cosine ≥ `posThreshold` wins; LSH recall < 1 by design
+    *    (soundness is oracle-pinned; recall floors live in the spec).
+    *  - HARD NEGATIVES from a materialized IVF probe
+    *    ([[VectorIndex.searchIvfIndex]]): per anchor the top-`k`
+    *    neighbors over `nprobe` of `nlist` lists; the hardest negative
+    *    is the best-scoring probed neighbor BELOW the threshold —
+    *    candidate volume ∝ |anchors| × corpus × nprobe/nlist.
+    *
+    * On a fixture where banding provably loses nothing (numPlanes = 1
+    * makes multi-probe cover BOTH buckets; nprobe = nlist and k ≥ n
+    * make the probe exact) this equals [[hardTriplets]] with a
+    * constant block — the TrainSpec pin. Ranking discipline identical:
+    * (cosine DESC, id ASC), cosines on the 4-decimal grid.
+    *
+    * `anchors` is the (idCol, embCol) subset to mine triplets FOR —
+    * training pipelines mine per batch, never all-anchors-at-once at
+    * corpus scale. Builds the IVF index eagerly at `tablePrefix` /
+    * `basePath` (the q144 hermetic-tables discipline).
+    */
+  def hardTripletsAnn(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      anchors: DataFrame,
+      posThreshold: Double,
+      numPlanes: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      tablePrefix: String,
+      basePath: String): DataFrame = {
+    import graft.functions.VectorFunctions.vecCosine
+    require(numPlanes >= 1 && nlist >= 1 && nprobe >= 1 && k >= 1,
+      s"bad config: numPlanes=$numPlanes nlist=$nlist nprobe=$nprobe k=$k")
+    val corpus = graft.core.Caches.persistTracked(
+      df.select(col(idCol).cast("long").as("__idb"), col(embCol).as("__eb"),
+        Similarity.lshBucket(embCol, 0, numPlanes).as("__bkt")))
+    val anch = graft.core.Caches.persistTracked(
+      anchors.select(col(idCol).cast("long").as("anchor_id"),
+        col(embCol).as("__ea"),
+        Similarity.lshBucket(embCol, 0, numPlanes).as("__bkt0")))
+    val probes = array(col("__bkt0") +: (0 until numPlanes).map(p =>
+      col("__bkt0").bitwiseXOR(lit(1L << p))): _*)
+    val posW = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("__c").desc, col("__idb").asc)
+    val pos = anch
+      .select(col("anchor_id"), col("__ea"), explode(probes).as("__bkt"))
+      .join(corpus, Seq("__bkt"))
+      .where(col("anchor_id") =!= col("__idb"))
+      .select(col("anchor_id"), col("__idb"),
+        vecCosine(col("__ea"), col("__eb")).as("__c"))
+      .where(col("__c") >= posThreshold)
+      .withColumn("__rn", row_number().over(posW))
+      .where(col("__rn") === 1)
+      .select(col("anchor_id"), col("__idb").as("positive_id"),
+        round(col("__c"), 4).as("pos_cos"))
+    VectorIndex.writeIvfIndex(df, embCol, idCol, nlist = nlist,
+      refineIters = 1, tablePrefix = tablePrefix, basePath = basePath)
+    val hits = VectorIndex.searchIvfIndex(
+      anchors.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, tablePrefix = tablePrefix)
+    val negW = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val neg = hits
+      .select(col("__qid").cast("long").as("anchor_id"), col("vec_id"),
+        col("score"))
+      .where(col("vec_id") =!= col("anchor_id") &&
+        col("score") < posThreshold)
+      .withColumn("__rn", row_number().over(negW))
+      .where(col("__rn") === 1)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        round(col("score"), 4).as("neg_cos"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+        col("pos_cos"), col("neg_cos"))
+  }
 }

@@ -415,6 +415,35 @@ class TrainSpec extends SparkSpec {
     assert(t(2)._2 == 3L && t(2)._3 == 1L)
   }
 
+  test("ANN triplets == blocked-exact form when banding provably loses nothing") {
+    // numPlanes = 1: multi-probe covers BOTH sign buckets, so the LSH
+    // positive candidates are ALL pairs; nprobe = nlist and k >= n
+    // make the IVF probe exact top-all. Under those parameters the
+    // ANN path must equal hardTriplets with a constant block.
+    val df = Seq(
+      (0L, Seq(1f, 0f)), (50L, Seq(0.9f, 0.1f)),
+      (100L, Seq(-1f, 4f)), (150L, Seq(0f, 1f)),
+      (200L, Seq(0.8f, 0.3f)), (250L, Seq(-0.5f, -1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit("all"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-trip").toString
+    try {
+      val exact = graft.ops.ContrastivePairs
+        .hardTriplets(df, "embedding", "vec_id", "label", 0.5)
+        .orderBy("anchor_id")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      val ann = graft.ops.ContrastivePairs
+        .hardTripletsAnn(df, "embedding", "vec_id",
+          df.select(col("vec_id"), col("embedding")), 0.5,
+          numPlanes = 1, nlist = 2, nprobe = 2, k = 10,
+          tablePrefix = "t_trip_spec", basePath = s"$dir/idx")
+        .orderBy("anchor_id")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      assert(exact.nonEmpty, "fixture must yield triplets")
+      assert(ann == exact, s"ann $ann != exact $exact")
+    } finally graft.core.Caches.releaseAll()
+  }
+
   // ------------------------------------------- exact substring spans
 
   test("maximal duplicated spans finds the planted shared run, exactly bounded") {
