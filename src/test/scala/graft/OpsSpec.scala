@@ -1833,14 +1833,14 @@ class OpsSpec extends SparkSpec {
       ("a", 4L, words(4)), ("b", 5L, words(2)))
       .toDF("source", "doc_id", "text")
     val got = BudgetCap.tokenBudgetCap(df, "text", "doc_id", "source", 20L)
-      .as[(String, Long, Int, Long, Boolean)].collect()
+      .as[(String, Long, Long, Long, Boolean)].collect()
       .sortBy(r => (r._1, r._2)).toSeq
     // Priority in 'a': id2(9), id3(9), id1(5), id4(4) -> cum 9,18,23,27:
     // only the two 9-token docs fit the 20-token budget.
     assert(got == Seq(
-      ("a", 1L, 5, 23L, false), ("a", 2L, 9, 9L, true),
-      ("a", 3L, 9, 18L, true), ("a", 4L, 4, 27L, false),
-      ("b", 5L, 2, 2L, true)))
+      ("a", 1L, 5L, 23L, false), ("a", 2L, 9L, 9L, true),
+      ("a", 3L, 9L, 18L, true), ("a", 4L, 4L, 27L, false),
+      ("b", 5L, 2L, 2L, true)))
   }
 
   // Scala reference of the CDC rule (md5-residue cuts) — the semantics
