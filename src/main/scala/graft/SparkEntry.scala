@@ -2935,8 +2935,10 @@ object SparkEntry {
 
   /** The batch-incident signal relations (exact bit 1, Jaccard bit 2,
     * label-blocked cosine bit 4) shared VERBATIM by q150/q156/q162 —
-    * built per call (each is batch-grain and cheap next to the prior;
-    * the three queries consume them inside different downstream plans).
+    * each pair relation is SESSION-SHARED like the prior (they are
+    * skinny (id_a, id_b) relations; the Jaccard arm's prefix-filtered
+    * joins are the expensive piece, and the three consumers otherwise
+    * rebuild all three relations per query).
     */
   private def familyBatchSignals(
       s: SparkSession, d: String): Seq[graft.ops.EnsembleDedup.Signal] = {
@@ -2945,26 +2947,31 @@ object SparkEntry {
     val emb = embeddings(s, d)
     val corpus = docs.where(!isFamilyBatch(col("doc_id")))
     val batch = docs.where(isFamilyBatch(col("doc_id")))
-    val bh = batch.select(col("doc_id").as("id_a"),
-      xxhash64(col("text")).as("__h"))
-    val ah = docs.select(col("doc_id").as("id_b"),
-      xxhash64(col("text")).as("__h"))
-    val exactPairs = bh.join(ah, Seq("__h"))
-      .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
-    val jacPairs = Dedup.jaccardJoinAgainst(batch, corpus,
-        "text", "doc_id", 0.8)
-      .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
-      .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
-        .select(col("id_a"), col("id_b")))
-    val ea = emb.where(isFamilyBatch(col("vec_id")))
-      .select(col("label").as("blk"), col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"))
-    val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
-    val cosPairs = ea.join(eb, Seq("blk"))
-      .where(col("id_a") =!= col("id_b"))
-      .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
-      .select(col("id_a"), col("id_b"))
+    val exactPairs = graft.core.Caches.shared(s"family-batch-exact:$d") {
+      val bh = batch.select(col("doc_id").as("id_a"),
+        xxhash64(col("text")).as("__h"))
+      val ah = docs.select(col("doc_id").as("id_b"),
+        xxhash64(col("text")).as("__h"))
+      bh.join(ah, Seq("__h"))
+        .where(col("id_a") =!= col("id_b")).select(col("id_a"), col("id_b"))
+    }
+    val jacPairs = graft.core.Caches.shared(s"family-batch-jaccard:$d") {
+      Dedup.jaccardJoinAgainst(batch, corpus, "text", "doc_id", 0.8)
+        .select(col("id_in").as("id_a"), col("id_corpus").as("id_b"))
+        .unionByName(Dedup.jaccardJoinExact(batch, "text", "doc_id", 0.8)
+          .select(col("id_a"), col("id_b")))
+    }
+    val cosPairs = graft.core.Caches.shared(s"family-batch-cosine:$d") {
+      val ea = emb.where(isFamilyBatch(col("vec_id")))
+        .select(col("label").as("blk"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"))
+      val eb = emb.select(col("label").as("blk"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      ea.join(eb, Seq("blk"))
+        .where(col("id_a") =!= col("id_b"))
+        .where(vecCosine(col("emb_a"), col("emb_b")) >= 0.4)
+        .select(col("id_a"), col("id_b"))
+    }
     Seq(
       graft.ops.EnsembleDedup.Signal(exactPairs, "id_a", "id_b", 1),
       graft.ops.EnsembleDedup.Signal(jacPairs, "id_a", "id_b", 2),
