@@ -326,6 +326,27 @@ object GraftFunctions {
         org.apache.spark.sql.functions.col(strLit(args(3), "labelCol")),
         longLit(args(4), "buckets").toInt, longLit(args(5), "epochs").toInt))
     },
+    // trained BPE vocabulary with integer ids: (token, token_id)
+    "bpe_vocab" -> { args =>
+      arity("bpe_vocab", args, 3)
+      val docs = tableOf(strLit(args(0), "table"))
+      val textCol = strLit(args(1), "textCol")
+      plan(graft.ops.Bpe.vocabTable(docs, textCol,
+        graft.ops.Bpe.train(docs, textCol,
+          longLit(args(2), "numMerges").toInt)))
+    },
+    // Gopher repetition funnel verdicts: (id, n_words, verdict, passed)
+    "repetition_funnel" -> { args =>
+      arity("repetition_funnel", args, 5)
+      val textCol = strLit(args(1), "textCol")
+      plan(graft.ops.QualityFilter.funnel(
+        tableOf(strLit(args(0), "table")), textCol,
+        strLit(args(2), "idCol"),
+        graft.ops.QualityFilter.repetitionRules(
+          org.apache.spark.sql.functions.col(textCol),
+          longLit(args(3), "maxDupLinePct").toInt,
+          longLit(args(4), "maxTop2gramPct").toInt)))
+    },
     // deterministic mini-batch SGD trajectory:
     // (epoch, batch, bucket, weight)
     "train_classifier_minibatch" -> { args =>

@@ -2901,6 +2901,66 @@ object SparkEntry {
             .as("anchors_unique"),
           (count(lit(1)) > 0).as("has_triplets")))
     }),
+    "q168_bpe_vocab" -> ((s, d) => {
+      // §2.11 tokenization: the trained VOCABULARY as (token, token_id)
+      // — GPT-2's id convention re-derived: base symbols 0..B-1 in
+      // binary order, merge r's symbol at B+r-1, duplicate merge
+      // strings keep the earliest id. Both relations vocabulary-sized
+      // (bounded id-assignment window, never corpus-proportional).
+      // The oracle rebuilds the same ids from the training replay.
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      graft.ops.Bpe.vocabTable(docs, "text", merges)
+        .orderBy(col("token_id"), col("token"))
+    }),
+    "q169_bpe_token_ids" -> ((s, d) => {
+      // §2.11 tokenization: encode to INTEGER IDS — the artifact the
+      // training loader consumes: dictionary-join tokenize with the
+      // per-word subword arrays mapped through the broadcast q168
+      // vocabulary at DICTIONARY grain (the occurrence join pays
+      // nothing extra). n_unk pins total coverage on the training
+      // corpus (every emitted subword is a composition of base
+      // symbols through the merge table, so -1 never appears here).
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val vocab = graft.ops.Bpe.vocabTable(docs, "text", merges)
+      graft.ops.Bpe.tokenizeToIds(docs, "text", "doc_id", merges, vocab)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), i => i.cast("string")),
+            " ").as("ids_str"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i < 0)).cast("long")
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+    "q170_repetition_filter" -> ((s, d) => {
+      // §2.11 quality: the Gopher REPETITION signals (Rae et al. 2021
+      // Table A1) the length/stopword rules don't see — duplicate-line
+      // fraction and top-2-gram occurrence fraction, all integers,
+      // map-only (the bigram mode = longest equal-run of the sorted
+      // bigram array, one linear HOF pass). PLANTED repeated-line docs
+      // (doc_id+800000, the first-6-token line repeated 5x) guarantee
+      // both flags fire on the gate corpora; flags cross-multiply
+      // exactly (Gopher's 30% / 20% cuts).
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val toks = graft.ops.Lexical.tokens(col("text"))
+      val planted = docs0.where(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          array_join(array_repeat(array_join(slice(toks, 1, 6), " "), 5),
+            "\n").as("text"))
+      val st = graft.ops.QualityFilter.repetitionStats(col("text"))
+      docs0.unionByName(planted)
+        .select(col("doc_id"),
+          st.getField("n_lines").as("n_lines"),
+          st.getField("dup_lines").as("dup_lines"),
+          st.getField("n_2grams").as("n_2grams"),
+          st.getField("top_2gram_n").as("top_2gram_n"))
+        .withColumn("dup_line_flag",
+          col("dup_lines") * 100 > lit(30L) * col("n_lines"))
+        .withColumn("top_2gram_flag",
+          col("top_2gram_n") * 100 > lit(20L) * col("n_2grams"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -5096,6 +5156,105 @@ Hosts: %s
              s"AS batch, b AS bucket, wt AS weight FROM w$st"
          }.mkString(" UNION ALL ")})
          ORDER BY epoch, batch, bucket""",
+    // q168: base symbols from w0's char split (row_number ids in
+    // binary order — DuckDB's default collation = Spark's UTF-8
+    // comparison on this corpus), merge symbols at nb + r - 1 with
+    // duplicate strings keeping the earliest id.
+    "q168_bpe_vocab" ->
+      s"""WITH ${bpeTrainCtes(bpeRounds)},
+         base AS (SELECT DISTINCT tk AS token FROM (
+             SELECT unnest(string_split(w, ' ')) AS tk FROM w0)
+           WHERE tk <> ''),
+         nb AS (SELECT count(*) AS n FROM base),
+         bi AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1
+             AS BIGINT) AS token_id FROM base),
+         mg AS (${(1 to bpeRounds).map(r =>
+           s"SELECT a || b AS token, $r AS r FROM m$r")
+           .mkString(" UNION ALL ")}),
+         mi AS (SELECT token, CAST(min(nb.n + r - 1) AS BIGINT) AS token_id
+           FROM mg, nb GROUP BY token)
+         SELECT token, token_id FROM bi
+         UNION ALL SELECT token, token_id FROM mi
+         ORDER BY token_id, token""",
+    // q169: q154's word-table tokenize, each subword mapped through
+    // the q168 vocabulary, ids string-aggregated in (word, subword)
+    // order — the exact document-order id stream.
+    "q169_bpe_token_ids" ->
+      s"""WITH ${bpeTrainCtes(bpeRounds)},
+         base AS (SELECT DISTINCT tk AS token FROM (
+             SELECT unnest(string_split(w, ' ')) AS tk FROM w0)
+           WHERE tk <> ''),
+         nb AS (SELECT count(*) AS n FROM base),
+         bi AS (SELECT token, CAST(row_number() OVER (ORDER BY token) - 1
+             AS BIGINT) AS token_id FROM base),
+         mg AS (${(1 to bpeRounds).map(r =>
+           s"SELECT a || b AS token, $r AS r FROM m$r")
+           .mkString(" UNION ALL ")}),
+         mi AS (SELECT token, CAST(min(nb.n + r - 1) AS BIGINT) AS token_id
+           FROM mg, nb GROUP BY token),
+         voc AS (SELECT token, token_id FROM bi
+           UNION ALL SELECT token, token_id FROM mi),
+         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+             SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS ws
+             FROM documents) dw,
+           LATERAL unnest(range(len(dw.ws))) AS u(i)),
+         mt AS (SELECT wx.doc_id, wx.wi, wr.w AS mw
+           FROM wx JOIN w$bpeRounds wr USING (word)),
+         sub AS (SELECT sp.doc_id, sp.wi, u.i AS si, sp.s[u.i+1] AS token
+           FROM (SELECT doc_id, wi, string_split(mw, ' ') AS s FROM mt) sp,
+           LATERAL unnest(range(len(sp.s))) AS u(i)),
+         ids AS (SELECT sub.doc_id, sub.wi, sub.si,
+             coalesce(voc.token_id, -1) AS tid
+           FROM sub LEFT JOIN voc ON voc.token = sub.token),
+         agg AS (SELECT doc_id,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wi, si)
+               AS ids_str,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE tid < 0) AS BIGINT) AS n_unk
+           FROM ids GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.ids_str, '') AS ids_str,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_unk, 0) AS n_unk
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+    // q170: same planted union, lines via chr(10) split/trim/filter,
+    // bigram mode via unnest + GROUP BY (Spark computes it as the
+    // longest equal-run of the sorted array — same value), flags
+    // cross-multiplied.
+    "q170_repetition_filter" ->
+      """WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '') AS t
+           FROM documents),
+         pl AS (SELECT doc_id + 800000 AS doc_id,
+             array_to_string([ln, ln, ln, ln, ln], chr(10)) AS text FROM (
+             SELECT doc_id, array_to_string(t[1:6], ' ') AS ln
+             FROM toks0 WHERE doc_id % 23 = 1)),
+         src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pl),
+         lines AS (SELECT doc_id, list_filter(list_transform(
+             string_split(coalesce(text, ''), chr(10)), l -> trim(l)),
+             l -> l <> '') AS ls FROM src),
+         toks AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '') AS t
+           FROM src),
+         gr AS (SELECT toks.doc_id, toks.t[u.i+1] || ' ' || toks.t[u.i+2] AS g
+           FROM toks, LATERAL unnest(range(greatest(len(t) - 1, 0))) AS u(i)),
+         top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_2gram_n FROM (
+             SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2)
+           GROUP BY 1),
+         sig AS (SELECT l.doc_id,
+             CAST(len(l.ls) AS BIGINT) AS n_lines,
+             CAST(len(l.ls) - len(list_distinct(l.ls)) AS BIGINT)
+               AS dup_lines,
+             CAST(greatest(len(t.t) - 1, 0) AS BIGINT) AS n_2grams
+           FROM lines l JOIN toks t USING (doc_id))
+         SELECT sig.doc_id, sig.n_lines, sig.dup_lines, sig.n_2grams,
+           coalesce(top.top_2gram_n, 0) AS top_2gram_n,
+           sig.dup_lines * 100 > 30 * sig.n_lines AS dup_line_flag,
+           coalesce(top.top_2gram_n, 0) * 100 > 20 * sig.n_2grams
+             AS top_2gram_flag
+         FROM sig LEFT JOIN top USING (doc_id) ORDER BY sig.doc_id""",
     // q157: q19's oracle verbatim — the schema'd rewrite must be
     // value-identical.
     "q157_json_schema" ->

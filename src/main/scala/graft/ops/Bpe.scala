@@ -253,31 +253,118 @@ object Bpe {
   def tokenizeByDict(
       df: DataFrame, textCol: String, idCol: String,
       merges: Seq[Merge]): DataFrame = {
+    val (words, dict) = wordsAndDict(df, textCol, idCol, merges)
+    reassemble(df, idCol, words, dict.select(col("__w"), col("__t")),
+      "tokens", "array<string>")
+  }
+
+  /** The word-occurrence relation (one row per word position) and the
+    * persisted per-distinct-word subword dictionary shared by the
+    * dictionary-join paths. The dictionary folds each distinct word
+    * through the NATIVE expression, not tokenizeFold: the fold
+    * spelling nests 2x|merges| replace expressions, which overflows
+    * Catalyst analysis beyond a few hundred merges — the exact regime
+    * these paths exist for. Persisted: the join probes it and AQE
+    * sizes the broadcast from the materialized relation.
+    */
+  private def wordsAndDict(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge]): (DataFrame, DataFrame) = {
     val words = df.select(col(idCol).as("__id"),
         posexplode(filter(
           split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
           t => t =!= lit(""))))
       .select(col("__id"), col("pos").as("__p"), col("col").as("__w"))
-    // The dictionary: each distinct word through the merge fold ONCE
-    // (tokenize of a single word = its subword array — no whitespace
-    // survives the split). The NATIVE expression, not tokenizeFold:
-    // the fold spelling nests 2x|merges| replace expressions, which
-    // overflows Catalyst analysis beyond a few hundred merges — the
-    // exact regime this path exists for. Persisted: the join probes it
-    // and AQE sizes the broadcast from the materialized relation.
     val dict = graft.core.Caches.persistTracked(
       words.select(col("__w")).distinct()
         .select(col("__w"), tokenize(col("__w"), merges).as("__t")))
+    (words, dict)
+  }
+
+  /** Join word occurrences to a per-word array dictionary and rebuild
+    * document-order arrays: ONE token-grain shuffle (the doc-grain
+    * groupBy), empty/null docs yield the empty array.
+    */
+  private def reassemble(
+      df: DataFrame, idCol: String, words: DataFrame, dict: DataFrame,
+      outCol: String, outType: String): DataFrame = {
     val toks = words.join(dict, Seq("__w"))
       .groupBy(col("__id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__p").as("p"), col("__t").as("t")))),
-        s => s.getField("t"))).as("tokens"))
+        s => s.getField("t"))).as(outCol))
     df.select(col(idCol))
       .join(toks, df(idCol) === toks("__id"), "left")
       .select(col(idCol),
-        coalesce(col("tokens"),
-          array().cast("array<string>")).as("tokens"))
+        coalesce(col(outCol), array().cast(outType)).as(outCol))
+  }
+
+  /** The trained VOCABULARY as (token, token_id) — the integer-id
+    * artifact a training pipeline ships with the merge table (GPT-2's
+    * id convention re-derived): base symbols (the corpus's distinct
+    * single-codepoint symbols under the charSeq split) take ids
+    * 0..B-1 in binary string order, merge r's symbol `a||b` takes id
+    * B + r - 1; if two merges produce the same string (possible:
+    * (a, bc) and (ab, c) both yield "abc") the EARLIEST id wins.
+    * Every token [[tokenize]] can emit over this corpus is covered:
+    * subword sequences are compositions of base symbols through the
+    * merge table.
+    *
+    * Scale: both relations are VOCABULARY-sized (base alphabet +
+    * |merges| rows), so the single-partition id-assignment windows
+    * are bounded by construction — the k-core finisher discipline,
+    * never corpus-proportional.
+    */
+  def vocabTable(
+      df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = wordCounts(df, textCol)
+      .select(explode(split(charSeq(col("word")), " ")).as("token"))
+      .where(col("token") =!= lit(""))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
+    val baseIds = base
+      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+    val nBase = base.count() // vocabulary-sized job, bounded
+    val mergedIds = merges.sortBy(_.rank)
+      .map(m => (m.a + m.b, nBase + m.rank - 1L))
+      .toDF("token", "__id")
+      .groupBy(col("token")).agg(min(col("__id")).as("token_id"))
+    baseIds.unionByName(mergedIds)
+      .select(col("token"), col("token_id"))
+  }
+
+  /** Tokenize to INTEGER IDS — the form the training loader consumes:
+    * the dictionary-join path with the per-word subword arrays mapped
+    * through `vocab` (a (token, token_id) relation, normally
+    * [[vocabTable]]'s output; broadcast — it is vocabulary-sized).
+    * Tokens absent from the vocabulary (possible when tokenizing a
+    * DIFFERENT corpus than the vocabulary's) encode as -1, the
+    * conventional unk sentinel. Returns (idCol, token_ids
+    * array<long>); same one-token-grain-shuffle shape as
+    * [[tokenizeByDict]].
+    */
+  def tokenizeToIds(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge], vocab: DataFrame): DataFrame = {
+    val (words, dict) = wordsAndDict(df, textCol, idCol, merges)
+    // Per-distinct-word id arrays: explode the (vocabulary-sized)
+    // dictionary, map each subword through the broadcast vocab, and
+    // re-assemble in subword order — all at dictionary grain, so the
+    // occurrence join below pays nothing extra.
+    val dictIds = dict
+      .select(col("__w"), posexplode(col("__t")))
+      .select(col("__w"), col("pos").as("__sp"), col("col").as("__tok"))
+      .join(broadcast(vocab.select(col("token").as("__tok"),
+        col("token_id"))), Seq("__tok"), "left")
+      .groupBy(col("__w"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__sp").as("p"),
+          coalesce(col("token_id"), lit(-1L)).as("t")))),
+        s => s.getField("t")).as("__t"))
+    reassemble(df, idCol, words, dictIds.select(col("__w"), col("__t")),
+      "token_ids", "array<bigint>")
   }
 
   /** The pure-Column reference spelling of [[tokenize]] (nested

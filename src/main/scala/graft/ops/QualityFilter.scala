@@ -61,6 +61,69 @@ object QualityFilter {
       Rule("low_stopword", stops < minStopwords))
   }
 
+  /** Gopher REPETITION signals (Rae et al. 2021, Table A1 — the
+    * within-document repetition family the length rules don't see):
+    * a struct of
+    *  - n_lines / dup_lines: non-empty trimmed newline-split lines and
+    *    how many are repeats of an earlier line (n - n_distinct);
+    *  - n_2grams / top_2gram_n: word-bigram count and the occurrence
+    *    count of the MOST FREQUENT bigram — computed per row as the
+    *    longest equal-run of the SORTED bigram array (one linear
+    *    codegen'd aggregate-HOF pass; the naive per-gram recount is
+    *    quadratic in document length).
+    * All integers, map-only, zero shuffle — the oracle recomputes each
+    * via unnest + GROUP BY and the verdicts cross-multiply exactly.
+    */
+  def repetitionStats(textCol: Column): Column = {
+    val lines = filter(
+      transform(split(coalesce(textCol, lit("")), "\n"), l => trim(l)),
+      l => l =!= lit(""))
+    val toks = Lexical.tokens(textCol)
+    // sequence(1, 0) runs BACKWARD (the q20 lesson) — guard the
+    // sub-2-token case to an empty bigram array explicitly.
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val topRun = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    struct(
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long")
+        .as("dup_lines"),
+      greatest(size(toks) - 1, lit(0)).cast("long").as("n_2grams"),
+      topRun.as("top_2gram_n"))
+  }
+
+  /** The Gopher repetition RULES over [[repetitionStats]], integer-exact
+    * (percent thresholds cross-multiplied — Gopher's published cuts:
+    * duplicate-line fraction > 0.30, top-2-gram fraction > 0.20):
+    *  - dup_lines: dup_lines × 100 > maxDupLinePct × n_lines;
+    *  - top_2gram: top_2gram_n × 100 > maxTop2gramPct × n_2grams.
+    * Empty documents (0 lines / 0 bigrams) fail neither (0 > 0 false).
+    */
+  def repetitionRules(
+      textCol: Column,
+      maxDupLinePct: Int = 30,
+      maxTop2gramPct: Int = 20): Seq[Rule] = {
+    val st = repetitionStats(textCol)
+    Seq(
+      Rule("dup_lines",
+        st.getField("dup_lines") * 100 >
+          lit(maxDupLinePct.toLong) * st.getField("n_lines")),
+      Rule("top_2gram",
+        st.getField("top_2gram_n") * 100 >
+          lit(maxTop2gramPct.toLong) * st.getField("n_2grams")))
+  }
+
   /** Per-document funnel verdict: (id, n_words, verdict, passed). The
     * relation a pipeline writes for provenance; filter `passed` to
     * apply, group by `verdict` for the published funnel report.

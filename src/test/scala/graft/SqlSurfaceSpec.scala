@@ -117,6 +117,13 @@ class SqlSurfaceSpec extends SparkSpec {
         concat(graft.ops.Bpe.tokenize(col("text"), m),
           array(lit("<eod>"))), "doc_id", 8)
     })
+    pin("SELECT * FROM bpe_vocab('tvf_docs', 'text', 6)", {
+      val m = graft.ops.Bpe.train(docs, "text", 6)
+      graft.ops.Bpe.vocabTable(docs, "text", m)
+    })
+    pin("SELECT * FROM repetition_funnel('tvf_docs', 'text', 'doc_id', 30, 20)",
+      graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
+        graft.ops.QualityFilter.repetitionRules(col("text"), 30, 20)))
     docs.withColumn("y", (col("doc_id") % 2).cast("long"))
       .createOrReplaceTempView("tvf_labeled")
     pin("SELECT * FROM train_classifier('tvf_labeled', 'text', 'doc_id', 'y', 32, 2)",

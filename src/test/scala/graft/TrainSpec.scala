@@ -158,6 +158,41 @@ class TrainSpec extends SparkSpec {
     } finally graft.core.Caches.releaseAll()
   }
 
+  test("BPE vocabulary ids: base 0..B-1 in binary order, merges at B+r-1, ids decode back to tokens") {
+    val docs = Seq(
+      (1L, "low lower lowest low low wide"),
+      (2L, "new newer newest new lower"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 8)
+    try {
+      val vocab = Bpe.vocabTable(docs, "text", merges)
+      val rows = vocab.orderBy("token_id").as[(String, Long)].collect().toSeq
+      val (base, merged) = rows.partition(_._1.length == 1)
+      // Base symbols: contiguous 0..B-1 in binary string order.
+      assert(base.map(_._2) == base.indices.map(_.toLong))
+      assert(base.map(_._1) == base.map(_._1).sorted)
+      // Merge symbols: ids at B + rank - 1, duplicates keep earliest.
+      assert(merged.forall(_._2 >= base.length))
+      assert(rows.map(_._1).distinct.length == rows.length, "tokens unique")
+      // Ids decode: tokenizeToIds joined back through the vocab equals
+      // the token stream; no unks on the training corpus.
+      val ids = Bpe.tokenizeToIds(docs, "text", "doc_id", merges, vocab)
+        .orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+      val toks = Bpe.tokenizeByDict(docs, "text", "doc_id", merges)
+        .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+      val byId = rows.map(_.swap).toMap
+      assert(ids.forall(_._2.forall(_ >= 0L)), "no unk on training corpus")
+      assert(ids.map { case (d, is) => (d, is.map(byId)) } == toks)
+      // Novel subwords of an out-of-corpus word encode as -1; known
+      // words in the same doc still resolve.
+      val other = Seq((9L, "zzz low")).toDF("doc_id", "text")
+      val oIds = Bpe.tokenizeToIds(other, "text", "doc_id", merges, vocab)
+        .as[(Long, Seq[Long])].collect().head._2
+      assert(oIds.takeWhile(_ == -1L).nonEmpty, s"zzz must be unk: $oIds")
+      assert(oIds.exists(_ >= 0L), s"low must resolve: $oIds")
+    } finally graft.core.Caches.releaseAll()
+  }
+
   test("BPE training stops at pair exhaustion and on empty input") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val m = Bpe.train(tiny, "text", 50)
@@ -179,6 +214,39 @@ class TrainSpec extends SparkSpec {
         size(Bpe.tokenize(col("text"), merges)) + 1)
       .as[Int].collect().sum
     assert(total == direct)
+  }
+
+  // ------------------------------------------- repetition signals
+
+  test("Gopher repetition stats: duplicate lines and bigram mode, rules cross-multiply") {
+    import graft.ops.QualityFilter
+    val df = Seq(
+      // 5 lines, 4 duplicates (80% > 30% -> dup_lines fires); bigram
+      // mode "spam spam" appears 2x per line * 5... within-line grams.
+      (1L, Seq.fill(5)("spam spam spam").mkString("\n")),
+      // distinct lines, no repeated bigram
+      (2L, "one two three\nfour five six"),
+      (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "a"), // single token: 0 bigrams, flags must not fire on 0>0
+      (6L, "x y x y x y")) // "x y" 3x of 5 grams = 60% > 20%
+      .toDF("doc_id", "text")
+    val st = QualityFilter.repetitionStats(col("text"))
+    val got = df.select(col("doc_id"),
+        st.getField("n_lines").as("nl"), st.getField("dup_lines").as("dl"),
+        st.getField("n_2grams").as("ng"), st.getField("top_2gram_n").as("tg"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((1L, 5L, 4L, 14L, 14L))) // 15 toks -> 14 grams, all "spam spam"
+    assert(got(1) == ((2L, 2L, 0L, 5L, 1L)))
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0L)))
+    assert(got(4) == ((5L, 1L, 0L, 0L, 0L)))
+    assert(got(5) == ((6L, 1L, 0L, 5L, 3L)))
+    // Rules == the cross-multiplied flags over the same stats.
+    val rules = QualityFilter.repetitionRules(col("text"))
+    val v = df.select(col("doc_id"), QualityFilter.verdict(rules).as("v"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(v == Seq((1L, "dup_lines"), (2L, "pass"), (3L, "pass"),
+      (4L, "pass"), (5L, "pass"), (6L, "top_2gram")))
   }
 
   // ----------------------------------------------------- LinearTrainer
