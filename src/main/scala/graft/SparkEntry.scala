@@ -2939,13 +2939,14 @@ object SparkEntry {
       // fraction and top-2-gram occurrence fraction, all integers,
       // map-only (the bigram mode = longest equal-run of the sorted
       // bigram array, one linear HOF pass). PLANTED repeated-line docs
-      // (doc_id+800000, the first-6-token line repeated 5x) guarantee
-      // both flags fire on the gate corpora; flags cross-multiply
-      // exactly (Gopher's 30% / 20% cuts).
+      // (doc_id + 2^40 — disjoint from any scaled id space, unlike a
+      // small constant organic ScaleUp ids can reach; the first-6-token
+      // line repeated 5x) guarantee both flags fire on the gate
+      // corpora; flags cross-multiply exactly (Gopher's 30%/20% cuts).
       val docs0 = documents(s, d).select(col("doc_id"), col("text"))
       val toks = graft.ops.Lexical.tokens(col("text"))
       val planted = docs0.where(col("doc_id") % 23 === 1)
-        .select((col("doc_id") + 800000L).as("doc_id"),
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
           array_join(array_repeat(array_join(slice(toks, 1, 6), " "), 5),
             "\n").as("text"))
       val st = graft.ops.QualityFilter.repetitionStats(col("text"))
@@ -5226,7 +5227,7 @@ Hosts: %s
       """WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(
              lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '') AS t
            FROM documents),
-         pl AS (SELECT doc_id + 800000 AS doc_id,
+         pl AS (SELECT doc_id + 1099511627776 AS doc_id,
              array_to_string([ln, ln, ln, ln, ln], chr(10)) AS text FROM (
              SELECT doc_id, array_to_string(t[1:6], ' ') AS ln
              FROM toks0 WHERE doc_id % 23 = 1)),

@@ -47,9 +47,25 @@ object Caches {
     * the production discipline of materializing a discovery relation
     * once per corpus version and running every consumer against it.
     */
-  def shared(key: String)(build: => DataFrame): DataFrame =
-    sharedMap.computeIfAbsent(key, _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  def shared(key: String)(build: => DataFrame): DataFrame = {
+    // get-then-putIfAbsent, NOT computeIfAbsent: builders legitimately
+    // call shared() for their own sub-relations (the family prior's
+    // ensemble build resolves the shared jaccard-exact pairs), and a
+    // recursive computeIfAbsent on one ConcurrentHashMap is documented
+    // undefined behavior (IllegalStateException or livelock depending
+    // on bin collisions — input-path-dependent, so tests can pass
+    // while a new corpus path crashes). The race window (two threads
+    // building the same key) at worst persists a duplicate relation;
+    // the loser stays registered until releaseShared, never unpersisted
+    // here — unpersisting it could evict the winner's identical
+    // cached plan from the CacheManager.
+    val existing = sharedMap.get(key)
+    if (existing != null) return existing
+    val built =
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raced = sharedMap.putIfAbsent(key, built)
+    if (raced != null) raced else built
+  }
 
   /** Unpersist every shared relation and clear the registry. */
   def releaseShared(): Unit = {

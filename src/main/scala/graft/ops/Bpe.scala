@@ -151,21 +151,27 @@ object Bpe {
     * (Java's `String.replace` is the same left-to-right
     * non-overlapping scan as Spark's and DuckDB's).
     */
+  /** UTF-8 byte comparison — Spark's string order (Java's UTF-16
+    * compareTo diverges on supplementary characters). Used by the
+    * driver-local argmax tie-break and the vocabulary id sort.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   private def trainLocal(
       hist: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
-    def utf8Lt(x: String, y: String): Boolean = {
-      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < a.length && i < b.length) {
-        val d = (a(i) & 0xff) - (b(i) & 0xff)
-        if (d != 0) return d < 0
-        i += 1
-      }
-      a.length < b.length
-    }
-    // Code-POINT split, matching Spark's regexp_replace "(.)" (Java
-    // regex `.` consumes a full surrogate pair) and RE2's UTF-8 dot.
+    // Code-POINT split, matching Spark's regexp_replace "(?s)(.)" (Java
+    // regex `.` under DOTALL consumes a full surrogate pair, any
+    // character) and RE2's UTF-8 dot under (?s).
     var words = hist.map { case (w, f) =>
       (w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
         .mkString(" "), f)
@@ -319,14 +325,22 @@ object Bpe {
       df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = wordCounts(df, textCol)
+    // ONE corpus aggregation, collected: the base alphabet is distinct
+    // single code points — bounded by Unicode itself (≤ ~1.1M rows),
+    // never corpus-proportional. Collecting also removes the
+    // id-assignment window AND the second scan a count + window plan
+    // would pay (the window form re-executed the uncached histogram).
+    // Driver sort = UTF-8 byte order, exactly Spark's and DuckDB's
+    // binary string comparison.
+    val baseToks = wordCounts(df, textCol)
       .select(explode(split(charSeq(col("word")), " ")).as("token"))
       .where(col("token") =!= lit(""))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
-    val baseIds = base
-      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
-    val nBase = base.count() // vocabulary-sized job, bounded
+      .collect().map(_.getString(0)).sortWith(utf8Lt)
+    val nBase = baseToks.length.toLong
+    val baseIds = baseToks.zipWithIndex.toSeq
+      .map { case (t, i) => (t, i.toLong) }
+      .toDF("token", "token_id")
     val mergedIds = merges.sortBy(_.rank)
       .map(m => (m.a + m.b, nBase + m.rank - 1L))
       .toDF("token", "__id")
