@@ -326,6 +326,15 @@ object GraftFunctions {
         org.apache.spark.sql.functions.col(strLit(args(3), "labelCol")),
         longLit(args(4), "buckets").toInt, longLit(args(5), "epochs").toInt))
     },
+    // cross-document boilerplate line removal:
+    // (id, clean_text, n_kept, n_removed)
+    "remove_boilerplate" -> { args =>
+      arity("remove_boilerplate", args, 4)
+      plan(graft.ops.Boilerplate.removeCommonLines(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), strLit(args(2), "idCol"),
+        longLit(args(3), "minDocs")))
+    },
     // trained BPE vocabulary with integer ids: (token, token_id)
     "bpe_vocab" -> { args =>
       arity("bpe_vocab", args, 3)

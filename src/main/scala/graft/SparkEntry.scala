@@ -2962,6 +2962,54 @@ object SparkEntry {
           col("top_2gram_n") * 100 > lit(20L) * col("n_2grams"))
         .orderBy(col("doc_id"))
     }),
+    "q171_boilerplate_lines" -> ((s, d) => {
+      // §2.11 quality: CROSS-DOCUMENT boilerplate line removal (the
+      // C4/MassiveText/RefinedWeb line filter) — lines in >= 3
+      // distinct documents strip, order-preserving rebuild, decision
+      // keyed on xxhash64 line hashes end to end (skinny shuffle; the
+      // oracle replays the identical hash convention via the planted
+      // footers' known text). PLANTED footer lines (appended to
+      // doc_id % 7 == 2 and % 5 == 3 — two overlapping boilerplate
+      // populations) guarantee removals on the gate corpora; organic
+      // lines are a per-corpus question the lineStats relation
+      // answers.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val withFooters = docs0.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 2,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 3,
+            lit("\nall rights reserved worldwide")).otherwise(lit("")))
+          .as("text"))
+      graft.ops.Boilerplate.removeCommonLines(
+          withFooters, "text", "doc_id", minDocs = 3L)
+        .orderBy(col("doc_id"))
+    }),
+    "q172_topngram_filter" -> ((s, d) => {
+      // §2.11 quality: Gopher's FULL top-n-gram family (Table A1 cuts
+      // 20/18/16% for n = 2/3/4) — the within-document mode fraction
+      // at each n, all integers, one linear sorted-run pass per n,
+      // map-only. Planted docs repeat the FIRST-2-TOKEN line 8x (an
+      // alternating a-b token stream whose mode fraction exceeds all
+      // three cuts — q170's 6-token/5x shape lands BETWEEN the 18%
+      // and 20% cuts and fires only some flags).
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val toks = graft.ops.Lexical.tokens(col("text"))
+      val planted = docs0.where(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          array_join(array_repeat(array_join(slice(toks, 1, 2), " "), 8),
+            "\n").as("text"))
+      val sts = Seq(2, 3, 4).map(n =>
+        n -> graft.ops.QualityFilter.topNgramStats(col("text"), n))
+      docs0.unionByName(planted)
+        .select(col("doc_id") +: sts.flatMap { case (n, st) => Seq(
+          st.getField("n_ngrams").as(s"n_${n}grams"),
+          st.getField("top_ngram_n").as(s"top_${n}gram_n")) }: _*)
+        .withColumn("flag_2", col("top_2gram_n") * 100 > lit(20L) * col("n_2grams"))
+        .withColumn("flag_3", col("top_3gram_n") * 100 > lit(18L) * col("n_3grams"))
+        .withColumn("flag_4", col("top_4gram_n") * 100 > lit(16L) * col("n_4grams"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -5256,6 +5304,82 @@ Hosts: %s
            coalesce(top.top_2gram_n, 0) * 100 > 20 * sig.n_2grams
              AS top_2gram_flag
          FROM sig LEFT JOIN top USING (doc_id) ORDER BY sig.doc_id""",
+    // q171: same planted footers, line counts by the line STRING (the
+    // Spark side keys on xxhash64 of the line — identical decision up
+    // to a 2^-64 collision, the documented grouping trade), NULL-
+    // skipping string_agg rebuild in position order.
+    "q171_boilerplate_lines" ->
+      """WITH src AS (SELECT doc_id,
+           coalesce(text, '') ||
+           CASE WHEN doc_id % 7 = 2
+             THEN chr(10) || 'subscribe to our newsletter today'
+             ELSE '' END ||
+           CASE WHEN doc_id % 5 = 3
+             THEN chr(10) || 'all rights reserved worldwide'
+             ELSE '' END AS text
+           FROM documents),
+         dl AS (SELECT t.doc_id, u.i AS p, t.ls[u.i+1] AS l FROM (
+             SELECT doc_id, list_filter(list_transform(
+               string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+             FROM src) t,
+           LATERAL unnest(range(len(t.ls))) AS u(i)),
+         cnt AS (SELECT l, count(DISTINCT doc_id) AS n_docs
+           FROM dl GROUP BY 1),
+         fl AS (SELECT dl.doc_id, dl.p, dl.l, cnt.n_docs >= 3 AS rm
+           FROM dl JOIN cnt USING (l)),
+         agg AS (SELECT doc_id,
+             string_agg(CASE WHEN NOT rm THEN l END, chr(10) ORDER BY p)
+               AS clean_text,
+             CAST(count(*) FILTER (WHERE NOT rm) AS BIGINT) AS n_kept,
+             CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+           FROM fl GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           coalesce(agg.n_removed, 0) AS n_removed
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
+    // q172: q170's planted union; per n the mode via unnest + GROUP BY
+    // (Spark: longest equal-run of the sorted n-gram array), flags
+    // cross-multiplied at Gopher's 20/18/16% cuts.
+    "q172_topngram_filter" ->
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS t
+           FROM documents),
+         pl AS (SELECT doc_id + 1099511627776 AS doc_id,
+             array_to_string([ln, ln, ln, ln, ln, ln, ln, ln], chr(10))
+               AS text FROM (
+             SELECT doc_id, array_to_string(t[1:2], ' ') AS ln
+             FROM toks0 WHERE doc_id % 23 = 1)),
+         src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pl),
+         toks AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS t
+           FROM src),
+         ${Seq(2, 3, 4).map { n =>
+           val parts = (1 to n).map(k => s"toks.t[u.i+$k]").mkString(" || ' ' || ")
+           s"""gr$n AS (SELECT toks.doc_id, $parts AS g
+           FROM toks, LATERAL unnest(range(greatest(len(t) - ${n - 1}, 0)))
+             AS u(i)),
+         top$n AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS tg FROM (
+             SELECT doc_id, g, count(*) AS c FROM gr$n GROUP BY 1, 2)
+           GROUP BY 1)"""
+         }.mkString(",\n         ")},
+         sig AS (SELECT doc_id,
+             ${Seq(2, 3, 4).map(n =>
+               s"CAST(greatest(len(t) - ${n - 1}, 0) AS BIGINT) AS n_${n}grams")
+               .mkString(", ")}
+           FROM toks)
+         SELECT sig.doc_id,
+           ${Seq(2, 3, 4).map(n =>
+             s"sig.n_${n}grams, coalesce(top$n.tg, 0) AS top_${n}gram_n")
+             .mkString(", ")},
+           ${Seq((2, 20), (3, 18), (4, 16)).map { case (n, pct) =>
+             s"coalesce(top$n.tg, 0) * 100 > $pct * sig.n_${n}grams AS flag_$n"
+           }.mkString(", ")}
+         FROM sig
+         ${Seq(2, 3, 4).map(n => s"LEFT JOIN top$n USING (doc_id)")
+           .mkString(" ")}
+         ORDER BY sig.doc_id""",
     // q157: q19's oracle verbatim — the schema'd rewrite must be
     // value-identical.
     "q157_json_schema" ->

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CROSS-DOCUMENT boilerplate line removal (§2.11 extensions, quality
+  * family): strip lines that repeat across many documents — navigation
+  * chrome, cookie banners, footers, license headers — the corpus-level
+  * counterpart of [[QualityFilter.repetitionStats]]'s within-document
+  * signals (C4 removes boilerplate at the line level; MassiveText and
+  * Dolma both ship a min-documents line filter; Penedo et al. 2023
+  * (RefinedWeb) document the same pass).
+  *
+  * Semantics: a LINE is a trimmed, non-empty newline segment of the
+  * document; a line is boilerplate when it occurs in at least
+  * `minDocs` DISTINCT documents (occurrence count within one document
+  * does not qualify it — a poem's repeated refrain is repetition, not
+  * boilerplate). Cleaning preserves the relative order of surviving
+  * lines and re-joins with a single newline; a document whose every
+  * line is boilerplate cleans to the empty string (and is the caller's
+  * drop candidate).
+  *
+  * Scale shape: ONE line-grain explode feeding a map-side-combined
+  * (line → distinct-doc count) aggregation over line HASHES (xxhash64
+  * — the skinny shuffle; full line strings never shuffle for the
+  * count), a semi-join of the document's lines against the boilerplate
+  * hash set (AQE broadcasts it when small — the common case: the
+  * boilerplate vocabulary is tiny next to the corpus), and one
+  * doc-grain reassembly. Hash collisions: a collision can only
+  * over-count a line toward boilerplate (two lines sharing a 64-bit
+  * hash pool their doc counts) — at 2^-64 per pair this is the
+  * established xxhash64 grouping trade ([[Dedup]]'s exact families use
+  * the same key); the REMOVAL join rechecks nothing because the
+  * decision is hash-keyed end to end, keeping the oracle replay exact
+  * under the identical convention.
+  */
+object Boilerplate {
+
+  /** The trimmed non-empty lines of a text column, with position. */
+  private def lines(textCol: Column): Column =
+    filter(transform(split(coalesce(textCol, lit("")), "\n"), l => trim(l)),
+      l => l =!= lit(""))
+
+  /** Per-line corpus stats: (line_hash, n_docs, n_occurrences) — the
+    * relation a curation pipeline inspects to pick `minDocs` (and the
+    * top of which IS the site's boilerplate inventory).
+    */
+  def lineStats(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), explode(lines(col(textCol))).as("__l"))
+      .select(col("__id"), xxhash64(col("__l")).as("line_hash"))
+      .groupBy(col("line_hash"))
+      .agg(count_distinct(col("__id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+
+  /** Remove cross-document boilerplate lines: one row per input row —
+    * (idCol, clean_text, n_kept, n_removed), order-preserving, lines
+    * re-joined with a single newline.
+    */
+  def removeCommonLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val boiler = lineStats(df, textCol, idCol)
+      .where(col("n_docs") >= minDocs)
+      .select(col("line_hash"))
+    val docLines = df.select(col(idCol).as("__id"),
+        posexplode(lines(col(textCol))))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__l"),
+        xxhash64(col("col")).as("line_hash"))
+    val flagged = docLines
+      .join(boiler.withColumn("__rm", lit(true)), Seq("line_hash"), "left")
+      .select(col("__id"), col("__p"), col("__l"),
+        coalesce(col("__rm"), lit(false)).as("__rm"))
+    val rebuilt = flagged
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(filter(
+          array_sort(collect_list(struct(col("__p").as("p"),
+            col("__l").as("l"), col("__rm").as("rm")))),
+          s => !s.getField("rm")), s => s.getField("l")), "\n")
+          .as("clean_text"),
+        sum(when(col("__rm"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("__rm"), 1L).otherwise(0L)).as("n_removed"))
+    df.select(col(idCol))
+      .join(rebuilt, df(idCol) === rebuilt("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+}

@@ -74,19 +74,24 @@ object QualityFilter {
     * All integers, map-only, zero shuffle — the oracle recomputes each
     * via unnest + GROUP BY and the verdicts cross-multiply exactly.
     */
-  def repetitionStats(textCol: Column): Column = {
-    val lines = filter(
-      transform(split(coalesce(textCol, lit("")), "\n"), l => trim(l)),
-      l => l =!= lit(""))
-    val toks = Lexical.tokens(textCol)
-    // sequence(1, 0) runs BACKWARD (the q20 lesson) — guard the
-    // sub-2-token case to an empty bigram array explicitly.
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+  /** Word n-grams of a token array as space-joined strings.
+    * sequence(1, 0) runs BACKWARD (the q20 lesson) — the sub-n-token
+    * case guards to an empty array explicitly.
+    */
+  private def nGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ",
+          (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-    val topRun = aggregate(
-      array_sort(grams),
+
+  /** Occurrence count of the MOST FREQUENT element — the longest
+    * equal-run of the sorted array, one linear codegen'd aggregate-HOF
+    * pass (the naive per-element recount is quadratic).
+    */
+  private def modeCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, g) => {
         val run = when(g === acc.getField("prev"),
@@ -95,13 +100,46 @@ object QualityFilter {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+
+  def repetitionStats(textCol: Column): Column = {
+    val lines = filter(
+      transform(split(coalesce(textCol, lit("")), "\n"), l => trim(l)),
+      l => l =!= lit(""))
+    val toks = Lexical.tokens(textCol)
     struct(
       size(lines).cast("long").as("n_lines"),
       (size(lines) - size(array_distinct(lines))).cast("long")
         .as("dup_lines"),
       greatest(size(toks) - 1, lit(0)).cast("long").as("n_2grams"),
-      topRun.as("top_2gram_n"))
+      modeCount(nGrams(toks, 2)).as("top_2gram_n"))
   }
+
+  /** Top-n-gram occurrence stats for one n: struct(n_ngrams,
+    * top_ngram_n) — the generalization behind Gopher's published
+    * top-{2,3,4}-gram fraction cuts (20% / 18% / 16%).
+    */
+  def topNgramStats(textCol: Column, n: Int): Column = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val toks = Lexical.tokens(textCol)
+    struct(
+      greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_ngrams"),
+      modeCount(nGrams(toks, n)).as("top_ngram_n"))
+  }
+
+  /** Gopher's full top-n-gram rule family, integer cross-multiplied:
+    * rule `top_<n>gram` fires when the most frequent n-gram takes more
+    * than `pct`% of the document's n-gram occurrences. Default cuts =
+    * the published Table A1 values.
+    */
+  def topNgramRules(
+      textCol: Column,
+      cuts: Seq[(Int, Int)] = Seq((2, 20), (3, 18), (4, 16))): Seq[Rule] =
+    cuts.map { case (n, pct) =>
+      val st = topNgramStats(textCol, n)
+      Rule(s"top_${n}gram",
+        st.getField("top_ngram_n") * 100 >
+          lit(pct.toLong) * st.getField("n_ngrams"))
+    }
 
   /** The Gopher repetition RULES over [[repetitionStats]], integer-exact
     * (percent thresholds cross-multiplied — Gopher's published cuts:

@@ -124,6 +124,8 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM repetition_funnel('tvf_docs', 'text', 'doc_id', 30, 20)",
       graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
         graft.ops.QualityFilter.repetitionRules(col("text"), 30, 20)))
+    pin("SELECT * FROM remove_boilerplate('tvf_docs', 'text', 'doc_id', 2)",
+      graft.ops.Boilerplate.removeCommonLines(docs, "text", "doc_id", 2L))
     docs.withColumn("y", (col("doc_id") % 2).cast("long"))
       .createOrReplaceTempView("tvf_labeled")
     pin("SELECT * FROM train_classifier('tvf_labeled', 'text', 'doc_id', 'y', 32, 2)",

@@ -249,6 +249,60 @@ class TrainSpec extends SparkSpec {
       (4L, "pass"), (5L, "pass"), (6L, "top_2gram")))
   }
 
+  test("top-n-gram stats generalize the bigram mode; rules fire at the published cuts") {
+    import graft.ops.QualityFilter
+    // Doc 2 must be LONG: with all-distinct tokens the mode is 1, and
+    // 1/n_ngrams only drops below the 16% 4-gram cut past ~7 4-grams —
+    // Gopher's fraction cuts presuppose the min-length gate upstream.
+    val distinct30 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "a b a b a b a b"), // 2g: "a b"x4/7=57%; 3g: "a b a"x3/6=50%; 4g: 3/5=60%
+      (2L, distinct30),
+      (3L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id") +: Seq(2, 3, 4).flatMap { n =>
+        val st = QualityFilter.topNgramStats(col("text"), n)
+        Seq(st.getField("n_ngrams").as(s"n$n"),
+          st.getField("top_ngram_n").as(s"t$n")) }: _*)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got(0) == ((1L, 7L, 4L, 6L, 3L, 5L, 3L)))
+    assert(got(1) == ((2L, 29L, 1L, 28L, 1L, 27L, 1L)))
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    val v = df.select(col("doc_id"),
+        QualityFilter.verdict(QualityFilter.topNgramRules(col("text"))).as("v"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(v == Seq((1L, "top_2gram"), (2L, "pass"), (3L, "pass")))
+  }
+
+  // ------------------------------------------- boilerplate lines
+
+  test("cross-document boilerplate lines strip order-preserving; within-doc repeats survive") {
+    import graft.ops.Boilerplate
+    val df = Seq(
+      (1L, "unique alpha\nshared footer line\nunique beta"),
+      (2L, "other content\nshared footer line"),
+      (3L, "shared footer line\nmore words"),
+      // Within-ONE-doc repetition is NOT boilerplate (distinct-doc count 1).
+      (4L, "refrain line\nrefrain line\nrefrain line"),
+      (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    try {
+      val got = Boilerplate.removeCommonLines(df, "text", "doc_id", 3L)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      assert(got == Seq(
+        (1L, "unique alpha\nunique beta", 2L, 1L),
+        (2L, "other content", 1L, 1L),
+        (3L, "more words", 1L, 1L),
+        (4L, "refrain line\nrefrain line\nrefrain line", 3L, 0L),
+        (5L, "", 0L, 0L), (6L, "", 0L, 0L)))
+      // lineStats: the shared line counts 3 docs / 3 occurrences; the
+      // refrain counts 1 doc / 3 occurrences.
+      val stats = Boilerplate.lineStats(df, "text", "doc_id")
+        .select("n_docs", "n_occurrences").as[(Long, Long)].collect().toSeq
+      assert(stats.contains((3L, 3L)) && stats.contains((1L, 3L)))
+    } finally graft.core.Caches.releaseAll()
+  }
+
   // ----------------------------------------------------- LinearTrainer
 
   test("linear trainer separates a linearly-separable corpus and composes with score") {
