@@ -2892,14 +2892,19 @@ object SparkEntry {
           (col("anchor_id") =!= col("positive_id") &&
             col("anchor_id") =!= col("negative_id") &&
             col("positive_id") =!= col("negative_id")).as("__ids_ok"))
+      // Recall non-vacuity is a SPEC-level floor (TrainSpec runs this
+      // exact parameterization over the sf0.01 corpus and asserts
+      // triplets exist), not a hard oracle column: a hard TRUE
+      // has_triplets would fail certification on any future gate
+      // corpus where no anchor happens to clear both ANN arms even
+      // though the implementation is correct (advisor round-10 note).
       anchors.agg(count(lit(1)).as("n_anchors"))
         .crossJoin(ver.agg(
           coalesce(every(col("__pos_ok")), lit(true)).as("pos_sound"),
           coalesce(every(col("__neg_ok")), lit(true)).as("neg_sound"),
           coalesce(every(col("__ids_ok")), lit(true)).as("ids_distinct"),
           (count_distinct(col("anchor_id")) === count(lit(1)))
-            .as("anchors_unique"),
-          (count(lit(1)) > 0).as("has_triplets")))
+            .as("anchors_unique")))
     }),
     "q168_bpe_vocab" -> ((s, d) => {
       // §2.11 tokenization: the trained VOCABULARY as (token, token_id)
@@ -5511,12 +5516,13 @@ Hosts: %s
          ORDER BY source, lang, pair_rank""",
     // q167: the ANN-triplet soundness envelope — booleans hold by
     // construction when the op is sound; n_anchors pins the anchor
-    // set; has_triplets pins non-vacuous recall on the gate corpora.
+    // set. Non-vacuous recall is a TrainSpec floor on the sf0.01
+    // corpus (a hard TRUE here would be corpus-shape-dependent).
     "q167_contrastive_ann" ->
       """SELECT CAST(count(*) FILTER (WHERE vec_id % 50 = 0) AS BIGINT)
            AS n_anchors,
          TRUE AS pos_sound, TRUE AS neg_sound, TRUE AS ids_distinct,
-         TRUE AS anchors_unique, TRUE AS has_triplets
+         TRUE AS anchors_unique
          FROM embeddings""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.

@@ -55,10 +55,14 @@ object Caches {
     // undefined behavior (IllegalStateException or livelock depending
     // on bin collisions — input-path-dependent, so tests can pass
     // while a new corpus path crashes). The race window (two threads
-    // building the same key) at worst persists a duplicate relation;
-    // the loser stays registered until releaseShared, never unpersisted
-    // here — unpersisting it could evict the winner's identical
-    // cached plan from the CacheManager.
+    // building the same key): the loser's DataFrame is UNREACHABLE
+    // after this return (never entered in sharedMap, so releaseShared
+    // cannot see it) — harmless because the deterministic builder
+    // produces the same logical plan both times and Spark's
+    // CacheManager dedupes persists by plan identity, so winner and
+    // loser share ONE cache entry. Unpersisting the loser here would
+    // therefore evict the winner's cache; leaving it is the correct
+    // (and storage-free) choice.
     val existing = sharedMap.get(key)
     if (existing != null) return existing
     val built =

@@ -90,6 +90,14 @@ object ContrastivePairs {
     *    neighbors over `nprobe` of `nlist` lists; the hardest negative
     *    is the best-scoring probed neighbor BELOW the threshold —
     *    candidate volume ∝ |anchors| × corpus × nprobe/nlist.
+    *    K-SATURATION: the negative search looks only at the top-`k`
+    *    probed hits, so an anchor sitting in a near-dup cluster of ≥ k
+    *    members (all k hits score ≥ `posThreshold`) silently yields no
+    *    negative and drops from the output even when valid negatives
+    *    exist past rank k — size `k` above the expected cluster width,
+    *    or diff the output anchors against the positive arm to surface
+    *    the loss (the recall trade is the same one every fixed-k ANN
+    *    negative miner documents).
     *
     * On a fixture where banding provably loses nothing (numPlanes = 1
     * makes multi-probe cover BOTH buckets; nprobe = nlist and k ≥ n

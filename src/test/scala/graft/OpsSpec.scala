@@ -2196,22 +2196,27 @@ class OpsSpec extends SparkSpec {
     // row, and that a second call returns the SAME cached instance
     // (no rebuild).
     import graft.ops.EnsembleDedup
-    val d = "/root/testdata/sf0.001"
-    val shared = SparkEntry.familyPrior(spark, d)
-    val again = SparkEntry.familyPrior(spark, d)
-    assert(shared eq again, "second lookup must hit the shared cache")
-    val docs = graft.core.Tables.documents(spark, d)
-      .where(col("doc_id") % 10 < 8)
-    val emb = graft.core.Tables.embeddings(spark, d)
-      .where(col("vec_id") % 10 < 8)
-    val fresh = EnsembleDedup.standardDupFamilies(docs, "text", "doc_id",
-      emb, "embedding", "vec_id", "label",
-      jaccardThreshold = 0.8, cosineThreshold = 0.4)
-    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
-    val a = shared.collect().sortBy(key).toSeq
-    val b = fresh.collect().sortBy(key).toSeq
-    assert(a == b, "shared prior must equal the unshared build")
-    graft.core.Caches.releaseAll()
-    graft.core.Caches.releaseShared()
+    // finally-release: an assertion failure must not leak the persisted
+    // shared prior into every later test in the shared SparkSession.
+    try {
+      val d = "/root/testdata/sf0.001"
+      val shared = SparkEntry.familyPrior(spark, d)
+      val again = SparkEntry.familyPrior(spark, d)
+      assert(shared eq again, "second lookup must hit the shared cache")
+      val docs = graft.core.Tables.documents(spark, d)
+        .where(col("doc_id") % 10 < 8)
+      val emb = graft.core.Tables.embeddings(spark, d)
+        .where(col("vec_id") % 10 < 8)
+      val fresh = EnsembleDedup.standardDupFamilies(docs, "text", "doc_id",
+        emb, "embedding", "vec_id", "label",
+        jaccardThreshold = 0.8, cosineThreshold = 0.4)
+      val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+      val a = shared.collect().sortBy(key).toSeq
+      val b = fresh.collect().sortBy(key).toSeq
+      assert(a == b, "shared prior must equal the unshared build")
+    } finally {
+      graft.core.Caches.releaseAll()
+      graft.core.Caches.releaseShared()
+    }
   }
 }

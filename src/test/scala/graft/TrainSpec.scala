@@ -566,6 +566,30 @@ class TrainSpec extends SparkSpec {
     } finally graft.core.Caches.releaseAll()
   }
 
+  test("ANN triplet recall floor on the gate corpus at q167's parameters") {
+    // The q167 oracle pins soundness only (its booleans hold by
+    // construction); NON-VACUITY lives here — the exact q167
+    // parameterization over the fixed sf0.01 gate corpus must mine at
+    // least one triplet, so a refactor that silently zeroes recall
+    // (e.g. a broken probe or an always-saturated negative arm) fails
+    // the suite even though the vacuous envelope would stay green.
+    // sf0.01, not sf0.001: the smaller corpus genuinely yields zero
+    // triplets at these parameters (too few anchors with an LSH-probed
+    // positive) — exactly the corpus-shape dependence that made the
+    // old hard `TRUE AS has_triplets` oracle column unsafe.
+    val d = "/root/testdata/sf0.01"
+    val emb = graft.core.Tables.embeddings(spark, d)
+    val anchors = emb.where(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-trip-floor").toString
+    try {
+      val n = graft.ops.ContrastivePairs.hardTripletsAnn(
+        emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+        numPlanes = 6, nlist = 16, nprobe = 4, k = 64,
+        tablePrefix = "t_trip_floor", basePath = s"$dir/idx").count()
+      assert(n >= 1, "gate-corpus recall floor: at least one triplet")
+    } finally graft.core.Caches.releaseAll()
+  }
+
   // ------------------------------------------- exact substring spans
 
   test("maximal duplicated spans finds the planted shared run, exactly bounded") {
