@@ -78,6 +78,14 @@ object GraftFunctions {
     "ngram_repetition" -> { args =>
       arity("ngram_repetition", args, 2)
       graft.functions.NgramRepetitionExpr(args(0), intLit(args(1), "n")) },
+    // Multi-n repetition vector in ONE tokenize pass:
+    // multi_ngram_stats(text, n1, n2, ...) -> [n_tokens, sum_chars,
+    // then per n: total, top, dup, dup_chars].
+    "multi_ngram_stats" -> { args =>
+      if (args.length < 2) throw new IllegalArgumentException(
+        s"multi_ngram_stats expects (text, n...), got ${args.length} args")
+      graft.functions.MultiNgramStatsExpr(args.head,
+        args.tail.zipWithIndex.map { case (a, i) => intLit(a, s"n[$i]") }) },
     "minhash_signature" -> { args =>
       arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),

@@ -3004,12 +3004,20 @@ object SparkEntry {
         .select((col("doc_id") + (1L << 40)).as("doc_id"),
           array_join(array_repeat(array_join(slice(toks, 1, 2), " "), 8),
             "\n").as("text"))
-      val sts = Seq(2, 3, 4).map(n =>
-        n -> graft.ops.QualityFilter.topNgramStats(col("text"), n))
+      // ONE native tokenize pass feeds all three stats
+      // (MultiNgramStatsExpr: exact gram identity over interned token
+      // ids — no per-gram string materialization, no sorts; the
+      // round-10 HOF spelling re-tokenized and sorted string grams
+      // per n, 3-4x the per-row constant). The two-stage select binds
+      // the vector once; values are identical to the string-gram
+      // oracle replay (exact identity, not a hash trade).
+      val ns = Seq(2, 3, 4)
       docs0.unionByName(planted)
-        .select(col("doc_id") +: sts.flatMap { case (n, st) => Seq(
-          st.getField("n_ngrams").as(s"n_${n}grams"),
-          st.getField("top_ngram_n").as(s"top_${n}gram_n")) }: _*)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.multiNgramStats(col("text"), ns).as("__v"))
+        .select(col("doc_id") +: ns.zipWithIndex.flatMap { case (n, k) => Seq(
+          element_at(col("__v"), 3 + k * 4).as(s"n_${n}grams"),
+          element_at(col("__v"), 4 + k * 4).as(s"top_${n}gram_n")) }: _*)
         .withColumn("flag_2", col("top_2gram_n") * 100 > lit(20L) * col("n_2grams"))
         .withColumn("flag_3", col("top_3gram_n") * 100 > lit(18L) * col("n_3grams"))
         .withColumn("flag_4", col("top_4gram_n") * 100 > lit(16L) * col("n_4grams"))

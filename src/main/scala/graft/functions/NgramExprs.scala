@@ -66,6 +66,41 @@ case class NgramRepetitionExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** All the Gopher n-gram repetition signals for SEVERAL n's in ONE
+  * tokenize pass — the hot-path form behind the full Table A1 rule
+  * family (one tokenization + one count map per n, versus one
+  * tokenization PER n for composed [[NgramRepetitionExpr]]s, and no
+  * per-gram string materialization at all: gram identity is the
+  * packed token-id window, EXACT — not a hash trade).
+  *
+  * Output layout (array<long>):
+  *   [0] n_tokens, [1] sum_token_chars (total character mass of the
+  *   tokens — the denominator of every character-fraction cut),
+  *   then per n in `ns` order: [total, top, dup, dup_chars] where
+  *   total/top/dup are [[NgramRepetitionExpr]]'s counts and dup_chars
+  *   is the character mass of tokens COVERED by at least one n-gram
+  *   occurring 2+ times (union of windows — each token position counts
+  *   once however many duplicate grams cover it; Rae et al. 2021 A1.1
+  *   count duplicated n-gram characters "taking care not to count
+  *   characters that occur in overlapping n-grams more than once").
+  */
+case class MultiNgramStatsExpr(child: Expression, ns: Seq[Int])
+    extends UnaryExpression with GraftExpectsInputTypes {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"every n must be >= 1, got $ns")
+  override def acceptedTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_ngram_stats"
+  override def nullSafeEval(input: Any): Any =
+    NgramOps.multiStats(input.asInstanceOf[UTF8String], ns.toArray)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nsRef = ctx.addReferenceObj("ns", ns.toArray, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramOps$$.MODULE$$.multiStats($c, $nsRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MultiNgramStatsExpr =
+    copy(child = newChild)
+}
+
 object NgramOps {
 
   // Java-regex \s (ASCII): space, tab, LF, VT, FF, CR — the same class
@@ -135,5 +170,107 @@ object NgramOps {
       if (c >= 2L) dup += c
     }
     new GenericArrayData(Array(total.toLong, top, dup))
+  }
+
+  /** See [[MultiNgramStatsExpr]]. One tokenize; per n one count pass +
+    * one coverage pass. Gram identity is EXACT: tokens are interned to
+    * dense int ids and an n-gram keys the count map as the ids packed
+    * into one long when they fit (n * bitsPerId <= 63), else as the
+    * joined string — two spellings of the same exact identity, so no
+    * collision trade anywhere.
+    */
+  def multiStats(text: UTF8String, ns: Array[Int]): GenericArrayData = {
+    val toks = tokenize(text)
+    val nToks = toks.length
+    // Intern tokens to dense ids (gram keys compare ints, not strings).
+    val idMap = new JHashMap[String, Integer](nToks * 2)
+    val ids = new Array[Int](nToks)
+    val lens = new Array[Int](nToks)
+    var sumChars = 0L
+    var i = 0
+    while (i < nToks) {
+      var id = idMap.get(toks(i))
+      if (id == null) { id = Integer.valueOf(idMap.size); idMap.put(toks(i), id) }
+      ids(i) = id.intValue
+      lens(i) = toks(i).length
+      sumChars += lens(i)
+      i += 1
+    }
+    val nDistinct = idMap.size
+    var bitsPerId = 1
+    while ((1 << bitsPerId) < nDistinct) bitsPerId += 1
+    val out = new Array[Any](2 + ns.length * 4)
+    out(0) = nToks.toLong
+    out(1) = sumChars
+    val covered = new Array[Boolean](nToks)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      val total = math.max(nToks - n + 1, 0)
+      var top = 0L
+      var dup = 0L
+      var dupChars = 0L
+      if (total > 0) {
+        val packed = n.toLong * bitsPerId <= 63
+        // Count pass.
+        val longCounts: JHashMap[java.lang.Long, Long] =
+          if (packed) new JHashMap(total * 2) else null
+        val strCounts: JHashMap[String, Long] =
+          if (packed) null else new JHashMap(total * 2)
+        val sb = if (packed) null else new java.lang.StringBuilder
+        def key(start: Int): java.lang.Long = {
+          var h = 0L
+          var j = 0
+          while (j < n) { h = (h << bitsPerId) | ids(start + j); j += 1 }
+          java.lang.Long.valueOf(h)
+        }
+        def skey(start: Int): String = {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' '); sb.append(toks(start + j)); j += 1
+          }
+          sb.toString
+        }
+        i = 0
+        while (i < total) {
+          if (packed) longCounts.merge(key(i), 1L, (a, b) => a + b)
+          else strCounts.merge(skey(i), 1L, (a, b) => a + b)
+          i += 1
+        }
+        val it = (if (packed) longCounts.values() else strCounts.values()).iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (c > top) top = c
+          if (c >= 2L) dup += c
+        }
+        // Coverage pass: union of duplicate-gram windows over token
+        // positions, then the covered character mass.
+        if (dup > 0L) {
+          java.util.Arrays.fill(covered, false)
+          i = 0
+          while (i < total) {
+            val c = if (packed) longCounts.get(key(i)) else strCounts.get(skey(i))
+            if (c >= 2L) {
+              var j = i
+              val end = i + n
+              while (j < end) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          i = 0
+          while (i < nToks) {
+            if (covered(i)) dupChars += lens(i)
+            i += 1
+          }
+        }
+      }
+      out(2 + k * 4) = total.toLong
+      out(3 + k * 4) = top
+      out(4 + k * 4) = dup
+      out(5 + k * 4) = dupChars
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -74,7 +74,11 @@ object QualityFilter {
     * All integers, map-only, zero shuffle — the oracle recomputes each
     * via unnest + GROUP BY and the verdicts cross-multiply exactly.
     */
-  /** Word n-grams of a token array as space-joined strings.
+  /** Word n-grams of a token array as space-joined strings — the
+    * REFERENCE spelling of the gram identity (what the DuckDB oracle
+    * unnests). The hot path is [[nGramHashes]]: counts computed over
+    * 8-byte gram hashes instead of variable-length concatenated
+    * strings (OpsSpec pins the two spellings' counts equal).
     * sequence(1, 0) runs BACKWARD (the q20 lesson) — the sub-n-token
     * case guards to an empty array explicitly.
     */
@@ -85,16 +89,39 @@ object QualityFilter {
           (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
 
+  /** Per-token xxhash64 array — the shared projection every repetition
+    * stat consumes: tokenize + hash ONCE per row, then each n builds
+    * its grams from the 8-byte token hashes ([[Dedup]]'s shingle
+    * convention — a gram's identity is the hash of its n token hashes,
+    * so gram construction never concatenates strings and the
+    * mode-count sort compares longs). Collisions can only merge two
+    * distinct grams' counts (2^-64 per pair — the established xxhash64
+    * grouping trade; same trade as [[Boilerplate]]'s line hashes).
+    */
+  def tokenHashes(textCol: Column): Column =
+    transform(Lexical.tokens(textCol), t => xxhash64(t))
+
+  /** Gram-hash array for one n over a [[tokenHashes]] array. */
+  private def nGramHashes(tokHashes: Column, n: Int): Column =
+    when(size(tokHashes) >= n,
+      transform(sequence(lit(1), size(tokHashes) - (n - 1)),
+        i => xxhash64((0 until n).map(k => element_at(tokHashes, i + k)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Occurrence count of the MOST FREQUENT element — the longest
     * equal-run of the sorted array, one linear codegen'd aggregate-HOF
-    * pass (the naive per-element recount is quadratic).
+    * pass (the naive per-element recount is quadratic). Works for any
+    * non-null element type (`elemType` types the null seed, which
+    * can't collide with real elements — the null-safe comparison
+    * starts every run at 1).
     */
-  private def modeCount(arr: Column): Column =
+  private def modeCount(arr: Column, elemType: String): Column =
     aggregate(
       array_sort(arr),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      struct(lit(null).cast(elemType).as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
       (acc, g) => {
-        val run = when(g === acc.getField("prev"),
+        val run = when(g <=> acc.getField("prev"),
           acc.getField("run") + 1L).otherwise(lit(1L))
         struct(g.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
@@ -105,41 +132,80 @@ object QualityFilter {
     val lines = filter(
       transform(split(coalesce(textCol, lit("")), "\n"), l => trim(l)),
       l => l =!= lit(""))
-    val toks = Lexical.tokens(textCol)
+    // Dup counting over line hashes: array_distinct compares 8-byte
+    // longs instead of line strings (same 2^-64 merge trade as the
+    // gram hashes; the count is what's published, never the lines).
+    val lineHashes = transform(lines, l => xxhash64(l))
+    val v = TextAnalysis.multiNgramStats(textCol, Seq(2))
     struct(
       size(lines).cast("long").as("n_lines"),
-      (size(lines) - size(array_distinct(lines))).cast("long")
+      (size(lines) - size(array_distinct(lineHashes))).cast("long")
         .as("dup_lines"),
-      greatest(size(toks) - 1, lit(0)).cast("long").as("n_2grams"),
-      modeCount(nGrams(toks, 2)).as("top_2gram_n"))
+      element_at(v, 3).as("n_2grams"),
+      element_at(v, 4).as("top_2gram_n"))
   }
 
   /** Top-n-gram occurrence stats for one n: struct(n_ngrams,
     * top_ngram_n) — the generalization behind Gopher's published
-    * top-{2,3,4}-gram fraction cuts (20% / 18% / 16%).
+    * top-{2,3,4}-gram fraction cuts (20% / 18% / 16%). Computed by the
+    * NATIVE one-pass [[graft.functions.MultiNgramStatsExpr]] (exact
+    * gram identity over interned token ids — no per-gram string
+    * materialization, no sort); [[topNgramStatsHashed]] and
+    * [[topNgramStatsStrings]] are the engine-portable reference
+    * spellings OpsSpec pins it against.
     */
   def topNgramStats(textCol: Column, n: Int): Column = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val v = TextAnalysis.multiNgramStats(textCol, Seq(n))
+    struct(
+      element_at(v, 3).as("n_ngrams"),
+      element_at(v, 4).as("top_ngram_n"))
+  }
+
+  /** HOF reference spelling over [[tokenHashes]]: gram identity is the
+    * xxhash64 of the n token hashes, the mode the longest equal-run of
+    * the sorted gram-hash array. Counts equal the native/string forms
+    * up to the 2^-64 collision trade — kept for the OpsSpec
+    * three-spelling pin and A/B measurement.
+    */
+  def topNgramStatsHashed(tokHashes: Column, n: Int): Column = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    struct(
+      greatest(size(tokHashes) - (n - 1), lit(0)).cast("long")
+        .as("n_ngrams"),
+      modeCount(nGramHashes(tokHashes, n), "bigint").as("top_ngram_n"))
+  }
+
+  /** String-gram HOF reference spelling (the oracle's unnest semantics
+    * verbatim) — the slowest, most literal form; see
+    * [[topNgramStatsHashed]].
+    */
+  def topNgramStatsStrings(textCol: Column, n: Int): Column = {
     require(n >= 2, s"n must be >= 2, got $n")
     val toks = Lexical.tokens(textCol)
     struct(
       greatest(size(toks) - (n - 1), lit(0)).cast("long").as("n_ngrams"),
-      modeCount(nGrams(toks, n)).as("top_ngram_n"))
+      modeCount(nGrams(toks, n), "string").as("top_ngram_n"))
   }
 
   /** Gopher's full top-n-gram rule family, integer cross-multiplied:
     * rule `top_<n>gram` fires when the most frequent n-gram takes more
     * than `pct`% of the document's n-gram occurrences. Default cuts =
-    * the published Table A1 values.
+    * the published Table A1 values. ONE native multi-n vector feeds
+    * every rule (the rules share the identical deterministic subtree,
+    * so whole-stage codegen's subexpression elimination evaluates it
+    * once per row even though each Rule column embeds its own copy).
     */
   def topNgramRules(
       textCol: Column,
-      cuts: Seq[(Int, Int)] = Seq((2, 20), (3, 18), (4, 16))): Seq[Rule] =
-    cuts.map { case (n, pct) =>
-      val st = topNgramStats(textCol, n)
+      cuts: Seq[(Int, Int)] = Seq((2, 20), (3, 18), (4, 16))): Seq[Rule] = {
+    val v = TextAnalysis.multiNgramStats(textCol, cuts.map(_._1))
+    cuts.zipWithIndex.map { case ((n, pct), k) =>
       Rule(s"top_${n}gram",
-        st.getField("top_ngram_n") * 100 >
-          lit(pct.toLong) * st.getField("n_ngrams"))
+        element_at(v, 4 + k * 4) * 100 >
+          lit(pct.toLong) * element_at(v, 3 + k * 4))
     }
+  }
 
   /** The Gopher repetition RULES over [[repetitionStats]], integer-exact
     * (percent thresholds cross-multiplied — Gopher's published cuts:

@@ -123,6 +123,17 @@ object TextAnalysis {
   def ngramRepetition(textCol: Column, n: Int): Column =
     Bridge.column(graft.functions.NgramRepetitionExpr(Bridge.expression(textCol), n))
 
+  /** The multi-n repetition-stats vector — ONE tokenize pass for every
+    * requested n (layout documented at
+    * [[graft.functions.MultiNgramStatsExpr]]): [n_tokens,
+    * sum_token_chars, then per n: total, top, dup, dup_chars]. The
+    * form the full Gopher Table A1 rule family evaluates; null text
+    * yields the all-zero vector (empty-document semantics).
+    */
+  def multiNgramStats(textCol: Column, ns: Seq[Int]): Column =
+    Bridge.column(graft.functions.MultiNgramStatsExpr(
+      Bridge.expression(coalesce(textCol, lit(""))), ns))
+
   /** Fraction of n-gram occurrences taken by the single most frequent
     * n-gram (0 when the text has fewer than n tokens) — the Gopher
     * "top n-gram fraction" repetition signal (Rae et al. 2021, A1.1):

@@ -274,6 +274,66 @@ class TrainSpec extends SparkSpec {
     assert(v == Seq((1L, "top_2gram"), (2L, "pass"), (3L, "pass")))
   }
 
+  test("multi-n-gram vector: layout, dup char coverage, string-fallback regime") {
+    import graft.ops.TextAnalysis
+    val v = TextAnalysis.multiNgramStats(col("text"), Seq(2, 3))
+    val rows = Seq((1L, "a b a b a b a b"), (2L, ""), (3L, "one two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        element_at(v, 1).as("nt"), element_at(v, 2).as("sc"),
+        element_at(v, 3).as("t2"), element_at(v, 4).as("p2"),
+        element_at(v, 5).as("d2"), element_at(v, 6).as("c2"),
+        element_at(v, 7).as("t3"), element_at(v, 8).as("p3"),
+        element_at(v, 9).as("d3"), element_at(v, 10).as("c3"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // doc 1: 8 tokens of 1 char; bigrams 7 ("a b"x4, "b a"x3 — all
+    // duplicated, full coverage); trigrams 6 (two grams x3 each).
+    assert(rows(0) == ((1L, 8L, 8L, 7L, 4L, 7L, 8L, 6L, 3L, 6L, 8L)))
+    assert(rows(1) == ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // doc 3: 2 tokens (3+3 chars), one bigram (no dup), zero trigrams.
+    assert(rows(2) == ((3L, 2L, 6L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // String-fallback regime: >= 128 distinct tokens forces
+    // bitsPerId >= 8, so n = 10 can't pack into 63 bits — the exact
+    // string-keyed path must agree with the packed path's semantics
+    // (pinned against the HOF string-gram reference spelling).
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val filler = (1 to 150).map(i => s"f$i").mkString(" ")
+    val big = Seq((1L, s"$run $filler $run")).toDF("doc_id", "text")
+    val v10 = TextAnalysis.multiNgramStats(col("text"), Seq(10))
+    val nat = big.select(element_at(v10, 3), element_at(v10, 4),
+      element_at(v10, 5)).as[(Long, Long, Long)].head()
+    val ref = graft.ops.QualityFilter.topNgramStatsStrings(col("text"), 10)
+    val hof = big.select(ref.getField("n_ngrams"),
+      ref.getField("top_ngram_n")).as[(Long, Long)].head()
+    assert((nat._1, nat._2) == hof)
+    assert(nat._2 == 2L, "the planted 10-token run repeats twice")
+    // dup occurrences: exactly the two planted run grams.
+    assert(nat._3 == 2L)
+  }
+
+  test("top-n-gram spellings agree on the gate corpus: native == hashed HOF == string HOF") {
+    import graft.ops.QualityFilter
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val th = QualityFilter.tokenHashes(col("text"))
+    val cols = Seq(2, 3, 4).flatMap { n =>
+      val nat = QualityFilter.topNgramStats(col("text"), n)
+      val hsh = QualityFilter.topNgramStatsHashed(th, n)
+      val str = QualityFilter.topNgramStatsStrings(col("text"), n)
+      Seq(
+        (nat.getField("n_ngrams") === hsh.getField("n_ngrams") &&
+          nat.getField("n_ngrams") === str.getField("n_ngrams"))
+          .as(s"tot_ok_$n"),
+        (nat.getField("top_ngram_n") === hsh.getField("top_ngram_n") &&
+          nat.getField("top_ngram_n") === str.getField("top_ngram_n"))
+          .as(s"top_ok_$n"))
+    }
+    val allOk = docs.select(cols.reduce(_ && _).as("ok"))
+      .agg(coalesce(every(col("ok")), lit(true))).as[Boolean].head()
+    assert(allOk, "all three spellings must agree on every document")
+  }
+
   // ------------------------------------------- boilerplate lines
 
   test("cross-document boilerplate lines strip order-preserving; within-doc repeats survive") {
