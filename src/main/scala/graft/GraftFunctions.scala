@@ -86,6 +86,11 @@ object GraftFunctions {
         s"multi_ngram_stats expects (text, n...), got ${args.length} args")
       graft.functions.MultiNgramStatsExpr(args.head,
         args.tail.zipWithIndex.map { case (a, i) => intLit(a, s"n[$i]") }) },
+    // Binary-search membership in a SORTED ascending bigint array
+    // (caller guarantees sortedness — see SortedContainsExpr).
+    "sorted_contains" -> { args =>
+      arity("sorted_contains", args, 2)
+      graft.functions.SortedContainsExpr(args(0), args(1)) },
     "minhash_signature" -> { args =>
       arity("minhash_signature", args, 3)
       MinHashSigExpr(args(0),

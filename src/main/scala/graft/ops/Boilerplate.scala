@@ -55,16 +55,80 @@ object Boilerplate {
   /** Remove cross-document boilerplate lines: one row per input row —
     * (idCol, clean_text, n_kept, n_removed), order-preserving, lines
     * re-joined with a single newline.
+    *
+    * TWO execution paths, value-identical (OpsSpec pin), dispatched on
+    * the measured boilerplate-set size (the q142 bloom break-even
+    * discipline — one bounded count() action buys the right plan):
+    *
+    *  - MAP-ONLY (the common case: the boilerplate vocabulary is tiny
+    *    next to the corpus): the flagged hashes aggregate into ONE
+    *    sorted array row, cross-join/broadcast to every document, and
+    *    each doc filters its own lines with a binary-search membership
+    *    HOF ([[graft.functions.SortedContainsExpr]], O(log |set|) per
+    *    line). The corpus text NEVER shuffles — order preservation is
+    *    free because the document row is never taken apart; the only
+    *    exchanges are [[lineStats]]'s skinny hash aggregation and the
+    *    one-row broadcast.
+    *  - JOIN (the large-set fallback, > `broadcastMaxLines` flagged
+    *    hashes): line-grain posexplode, left join against the
+    *    boilerplate relation, doc-grain collect_list rebuild — the
+    *    full-corpus reshuffle is the price of not broadcasting an
+    *    oversized set.
+    *
+    * `broadcastMaxLines` = 0 forces the join form; Long.MaxValue
+    * forces map-only. The 1M default is a MEMORY bound, not CPU (8 MB
+    * of hashes broadcast; binary search keeps per-line cost at ~20
+    * comparisons even there).
     */
   def removeCommonLines(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      minDocs: Long): DataFrame = {
+      minDocs: Long,
+      broadcastMaxLines: Long = 1L << 20): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val boiler = lineStats(df, textCol, idCol)
-      .where(col("n_docs") >= minDocs)
-      .select(col("line_hash"))
+    val boiler = graft.core.Caches.persistTracked(
+      lineStats(df, textCol, idCol)
+        .where(col("n_docs") >= minDocs)
+        .select(col("line_hash")))
+    // Bounded action: |boiler| rows counted, never collected; at most
+    // one row per DISTINCT corpus line participates, and the count is
+    // the exact quantity the dispatch needs.
+    val nBoiler =
+      if (broadcastMaxLines == 0L || broadcastMaxLines == Long.MaxValue) 0L
+      else boiler.count()
+    if (broadcastMaxLines != 0L &&
+        (broadcastMaxLines == Long.MaxValue || nBoiler <= broadcastMaxLines))
+      removeMapOnly(df, textCol, idCol, boiler)
+    else removeJoin(df, textCol, idCol, boiler)
+  }
+
+  /** The map-only path against a precomputed (line_hash) relation. */
+  private[ops] def removeMapOnly(
+      df: DataFrame, textCol: String, idCol: String,
+      boiler: DataFrame): DataFrame = {
+    val bset = boiler
+      .agg(sort_array(collect_set(col("line_hash"))).as("__bset"))
+    df.crossJoin(broadcast(bset))
+      .select(col(idCol), lines(col(textCol)).as("__ls"), col("__bset"))
+      .select(col(idCol), col("__ls"),
+        filter(col("__ls"), l =>
+          !org.apache.spark.sql.graftbridge.Bridge.column(
+            graft.functions.SortedContainsExpr(
+              org.apache.spark.sql.graftbridge.Bridge.expression(col("__bset")),
+              org.apache.spark.sql.graftbridge.Bridge.expression(xxhash64(l)))))
+          .as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__ls")) - size(col("__kept"))).cast("long")
+          .as("n_removed"))
+  }
+
+  /** The shuffle-join path against a precomputed (line_hash) relation. */
+  private[ops] def removeJoin(
+      df: DataFrame, textCol: String, idCol: String,
+      boiler: DataFrame): DataFrame = {
     val docLines = df.select(col(idCol).as("__id"),
         posexplode(lines(col(textCol))))
       .select(col("__id"), col("pos").as("__p"), col("col").as("__l"),

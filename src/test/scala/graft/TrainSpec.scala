@@ -363,6 +363,43 @@ class TrainSpec extends SparkSpec {
     } finally graft.core.Caches.releaseAll()
   }
 
+  test("boilerplate map-only path == join path; fast path never reshuffles the corpus") {
+    import graft.ops.Boilerplate
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 4 === 1, lit("\nplanted shared footer"))
+            .otherwise(lit(""))).as("text"))
+    try {
+      val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+      val mapOnly = Boilerplate.removeCommonLines(docs, "text", "doc_id",
+        minDocs = 3L, broadcastMaxLines = Long.MaxValue)
+      val joined = Boilerplate.removeCommonLines(docs, "text", "doc_id",
+        minDocs = 3L, broadcastMaxLines = 0L)
+      assert(mapOnly.collect().sortBy(key).toSeq ==
+        joined.collect().sortBy(key).toSeq)
+      // The fast path must not take documents apart: no doc-grain
+      // rebuild aggregate anywhere in its plan (the join form's
+      // signature collect_list), so the corpus text never shuffles —
+      // the only exchanges belong to the skinny lineStats count.
+      val mapPlan = mapOnly.queryExecution.executedPlan.toString
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!mapPlan.contains("collect_list"),
+        s"map-only path must not rebuild via collect_list:\n$mapPlan")
+      assert(joinPlan.contains("collect_list"),
+        "join path is the collect_list rebuild by construction")
+      assert(mapPlan.contains("sorted_contains"),
+        "fast path probes the broadcast set by binary search")
+      // Auto dispatch: a small measured set picks the map-only plan.
+      val auto = Boilerplate.removeCommonLines(docs, "text", "doc_id",
+        minDocs = 3L)
+      assert(!auto.queryExecution.executedPlan.toString.contains("collect_list"),
+        "small boilerplate set must dispatch to the map-only plan")
+      assert(auto.collect().sortBy(key).toSeq ==
+        mapOnly.collect().sortBy(key).toSeq)
+    } finally graft.core.Caches.releaseAll()
+  }
+
   // ----------------------------------------------------- LinearTrainer
 
   test("linear trainer separates a linearly-separable corpus and composes with score") {
