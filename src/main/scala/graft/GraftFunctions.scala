@@ -369,6 +369,18 @@ object GraftFunctions {
           longLit(args(3), "maxDupLinePct").toInt,
           longLit(args(4), "maxTop2gramPct").toInt)))
     },
+    // The COMPLETE Gopher Table A1 repetition funnel (all 13 published
+    // rules at their published cuts, Table order):
+    // (id, n_words, verdict, passed)
+    "gopher_repetition_funnel" -> { args =>
+      arity("gopher_repetition_funnel", args, 3)
+      val textCol = strLit(args(1), "textCol")
+      plan(graft.ops.QualityFilter.funnel(
+        tableOf(strLit(args(0), "table")), textCol,
+        strLit(args(2), "idCol"),
+        graft.ops.QualityFilter.gopherRepetitionRulesFull(
+          org.apache.spark.sql.functions.col(textCol))))
+    },
     // deterministic mini-batch SGD trajectory:
     // (epoch, batch, bucket, weight)
     "train_classifier_minibatch" -> { args =>

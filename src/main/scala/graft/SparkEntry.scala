@@ -3016,11 +3016,92 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ops.TextAnalysis.multiNgramStats(col("text"), ns).as("__v"))
         .select(col("doc_id") +: ns.zipWithIndex.flatMap { case (n, k) => Seq(
-          element_at(col("__v"), 3 + k * 4).as(s"n_${n}grams"),
-          element_at(col("__v"), 4 + k * 4).as(s"top_${n}gram_n")) }: _*)
+          element_at(col("__v"), 3 + k * 5).as(s"n_${n}grams"),
+          element_at(col("__v"), 4 + k * 5).as(s"top_${n}gram_n")) }: _*)
         .withColumn("flag_2", col("top_2gram_n") * 100 > lit(20L) * col("n_2grams"))
         .withColumn("flag_3", col("top_3gram_n") * 100 > lit(18L) * col("n_3grams"))
         .withColumn("flag_4", col("top_4gram_n") * 100 > lit(16L) * col("n_4grams"))
+        .orderBy(col("doc_id"))
+    }),
+    "q173_segment_dup_filter" -> ((s, d) => {
+      // §2.11 quality: the duplicate-LINE/PARAGRAPH halves of Gopher
+      // Table A1 the count-only q170 doesn't cover — count AND
+      // character fractions at the published 30/30/20/20 cuts, both
+      // separators from one map-only pass each (sorted (hash, len)
+      // fold — occurrences beyond the first of each distinct segment,
+      // the documented convention). PLANTED repeated-line docs
+      // (q170's shape) fire the line rules; repeated-paragraph plants
+      // ("\n\n"-joined, the G1 separator) fire the paragraph rules.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val toks = graft.ops.Lexical.tokens(col("text"))
+      val plantedLn = docs0.where(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          array_join(array_repeat(array_join(slice(toks, 1, 6), " "), 5),
+            "\n").as("text"))
+      val plantedPg = docs0.where(col("doc_id") % 23 === 2)
+        .select((col("doc_id") + (1L << 41)).as("doc_id"),
+          array_join(array_repeat(array_join(slice(toks, 1, 8), " "), 4),
+            "\n\n").as("text"))
+      val ln = graft.ops.QualityFilter.segmentDupStats(col("text"), "\n")
+      val pg = graft.ops.QualityFilter.segmentDupStats(col("text"), "\n\n")
+      docs0.unionByName(plantedLn).unionByName(plantedPg)
+        .select(col("doc_id"),
+          ln.getField("n_segs").as("n_lines"),
+          ln.getField("dup_segs").as("dup_lines"),
+          ln.getField("total_chars").as("line_chars"),
+          ln.getField("dup_chars").as("dup_line_chars"),
+          pg.getField("n_segs").as("n_paras"),
+          pg.getField("dup_segs").as("dup_paras"),
+          pg.getField("total_chars").as("para_chars"),
+          pg.getField("dup_chars").as("dup_para_chars"))
+        .withColumn("dup_line_flag",
+          col("dup_lines") * 100 > lit(30L) * col("n_lines"))
+        .withColumn("dup_para_flag",
+          col("dup_paras") * 100 > lit(30L) * col("n_paras"))
+        .withColumn("dup_line_char_flag",
+          col("dup_line_chars") * 100 > lit(20L) * col("line_chars"))
+        .withColumn("dup_para_char_flag",
+          col("dup_para_chars") * 100 > lit(20L) * col("para_chars"))
+        .orderBy(col("doc_id"))
+    }),
+    "q174_dupgram_char_filter" -> ((s, d) => {
+      // §2.11 quality: the CHARACTER-fraction n-gram rows of Gopher
+      // Table A1 — top-{2,3,4}-gram char fractions (20/18/16%) and
+      // duplicate-{5..10}-gram char fractions (15..10%), all from ONE
+      // native multi-n pass (top_chars = count x token-char mass of
+      // the argmax gram, ties toward larger mass; dup_chars = union
+      // coverage of duplicate-gram windows — each token position
+      // counted once). PLANTED docs: a 12-token prefix repeated 4x
+      // (every 5..10-gram duplicated -> all six dup rules fire) and
+      // q172's 2-token x8 plant (top rules fire).
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val toks = graft.ops.Lexical.tokens(col("text"))
+      val plantedRun = docs0.where(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          array_join(array_repeat(array_join(slice(toks, 1, 12), " "), 4),
+            " ").as("text"))
+      val plantedTop = docs0.where(col("doc_id") % 23 === 2)
+        .select((col("doc_id") + (1L << 41)).as("doc_id"),
+          array_join(array_repeat(array_join(slice(toks, 1, 2), " "), 8),
+            " ").as("text"))
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      val ns = topNs ++ dupNs
+      val topCuts = Map(2 -> 20L, 3 -> 18L, 4 -> 16L)
+      val dupCuts = Map(5 -> 15L, 6 -> 14L, 7 -> 13L, 8 -> 12L,
+        9 -> 11L, 10 -> 10L)
+      docs0.unionByName(plantedRun).unionByName(plantedTop)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.multiNgramStats(col("text"), ns).as("__v"))
+        .select(Seq(col("doc_id"), element_at(col("__v"), 2).as("sum_chars")) ++
+          topNs.map(n => element_at(col("__v"), 5 + ns.indexOf(n) * 5)
+            .as(s"top_${n}gram_chars")) ++
+          dupNs.map(n => element_at(col("__v"), 7 + ns.indexOf(n) * 5)
+            .as(s"dup_${n}gram_chars")) ++
+          topNs.map(n => (element_at(col("__v"), 5 + ns.indexOf(n) * 5) * 100 >
+            lit(topCuts(n)) * element_at(col("__v"), 2)).as(s"flag_top_$n")) ++
+          dupNs.map(n => (element_at(col("__v"), 7 + ns.indexOf(n) * 5) * 100 >
+            lit(dupCuts(n)) * element_at(col("__v"), 2)).as(s"flag_dup_$n")): _*)
         .orderBy(col("doc_id"))
     }),
   )
@@ -5393,6 +5474,123 @@ Hosts: %s
          ${Seq(2, 3, 4).map(n => s"LEFT JOIN top$n USING (doc_id)")
            .mkString(" ")}
          ORDER BY sig.doc_id""",
+    // q173: same planted unions; per separator n - n_distinct (counts)
+    // and total - distinct char mass (chars) — the occurrences-beyond-
+    // first convention segmentDupStats documents; Spark keys on
+    // xxhash64 (the 2^-64 grouping trade), the oracle on the strings.
+    "q173_segment_dup_filter" ->
+      """WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '') AS t
+           FROM documents),
+         pln AS (SELECT doc_id + 1099511627776 AS doc_id,
+             array_to_string([ln, ln, ln, ln, ln], chr(10)) AS text FROM (
+             SELECT doc_id, array_to_string(t[1:6], ' ') AS ln
+             FROM toks0 WHERE doc_id % 23 = 1)),
+         ppg AS (SELECT doc_id + 2199023255552 AS doc_id,
+             array_to_string([pg, pg, pg, pg], chr(10) || chr(10))
+               AS text FROM (
+             SELECT doc_id, array_to_string(t[1:8], ' ') AS pg
+             FROM toks0 WHERE doc_id % 23 = 2)),
+         src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pln
+           UNION ALL SELECT doc_id, text FROM ppg),
+         seg AS (SELECT doc_id,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+               chr(10)), x -> trim(x)), x -> x <> '') AS ls,
+             list_filter(list_transform(string_split(coalesce(text, ''),
+               chr(10) || chr(10)), x -> trim(x)), x -> x <> '') AS ps
+           FROM src),
+         sig AS (SELECT doc_id,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+             CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0)
+               AS BIGINT) AS line_chars,
+             CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0)
+               - coalesce(list_sum(list_transform(list_distinct(ls),
+                   x -> len(x))), 0) AS BIGINT) AS dup_line_chars,
+             CAST(len(ps) AS BIGINT) AS n_paras,
+             CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS dup_paras,
+             CAST(coalesce(list_sum(list_transform(ps, x -> len(x))), 0)
+               AS BIGINT) AS para_chars,
+             CAST(coalesce(list_sum(list_transform(ps, x -> len(x))), 0)
+               - coalesce(list_sum(list_transform(list_distinct(ps),
+                   x -> len(x))), 0) AS BIGINT) AS dup_para_chars
+           FROM seg)
+         SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+           n_paras, dup_paras, para_chars, dup_para_chars,
+           dup_lines * 100 > 30 * n_lines AS dup_line_flag,
+           dup_paras * 100 > 30 * n_paras AS dup_para_flag,
+           dup_line_chars * 100 > 20 * line_chars AS dup_line_char_flag,
+           dup_para_chars * 100 > 20 * para_chars AS dup_para_char_flag
+         FROM sig ORDER BY doc_id""",
+    // q174: same planted unions; per n the counts via unnest + GROUP
+    // BY; top char mass = max(c * token chars of the gram) among grams
+    // at the max count (len(g) - (n-1) = token chars — grams join by
+    // single spaces); dup char mass = DISTINCT covered token positions
+    // (union of duplicate-gram windows) joined back to token lengths.
+    "q174_dupgram_char_filter" ->
+      s"""WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS t
+           FROM documents),
+         plr AS (SELECT doc_id + 1099511627776 AS doc_id,
+             array_to_string([rn, rn, rn, rn], ' ') AS text FROM (
+             SELECT doc_id, array_to_string(t[1:12], ' ') AS rn
+             FROM toks0 WHERE doc_id % 23 = 1)),
+         plt AS (SELECT doc_id + 2199023255552 AS doc_id,
+             array_to_string([tp, tp, tp, tp, tp, tp, tp, tp], ' ')
+               AS text FROM (
+             SELECT doc_id, array_to_string(t[1:2], ' ') AS tp
+             FROM toks0 WHERE doc_id % 23 = 2)),
+         src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM plr
+           UNION ALL SELECT doc_id, text FROM plt),
+         toks AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS t
+           FROM src),
+         base AS (SELECT doc_id, CAST(coalesce(list_sum(
+             list_transform(t, x -> len(x))), 0) AS BIGINT) AS sum_chars
+           FROM toks),
+         ${(Seq(2, 3, 4, 5, 6, 7, 8, 9, 10)).map { n =>
+           val parts = (1 to n).map(k => s"t[u.i+$k]").mkString(" || ' ' || ")
+           s"""gr$n AS (SELECT doc_id, u.i AS i, $parts AS g
+           FROM toks, LATERAL unnest(range(greatest(len(t) - ${n - 1}, 0)))
+             AS u(i)),
+         cnt$n AS (SELECT doc_id, g, count(*) AS c FROM gr$n GROUP BY 1, 2)"""
+         }.mkString(",\n         ")},
+         ${Seq(2, 3, 4).map { n =>
+           s"""mx$n AS (SELECT doc_id, max(c) AS m FROM cnt$n GROUP BY 1),
+         tc$n AS (SELECT c.doc_id, CAST(max(c.c * (len(c.g) - ${n - 1}))
+             AS BIGINT) AS tc
+           FROM cnt$n c JOIN mx$n m ON c.doc_id = m.doc_id AND c.c = m.m
+           GROUP BY 1)"""
+         }.mkString(",\n         ")},
+         ${Seq(5, 6, 7, 8, 9, 10).map { n =>
+           s"""dps$n AS (SELECT g.doc_id, g.i FROM gr$n g
+           JOIN cnt$n c USING (doc_id, g) WHERE c.c >= 2),
+         cov$n AS (SELECT DISTINCT d.doc_id, d.i + u.j AS p
+           FROM dps$n d, LATERAL unnest(range($n)) AS u(j)),
+         dc$n AS (SELECT cv.doc_id, CAST(sum(len(tk.t[cv.p + 1]))
+             AS BIGINT) AS dc
+           FROM cov$n cv JOIN toks tk USING (doc_id) GROUP BY 1)"""
+         }.mkString(",\n         ")}
+         SELECT b.doc_id, b.sum_chars,
+           ${Seq(2, 3, 4).map(n =>
+             s"coalesce(tc$n.tc, 0) AS top_${n}gram_chars").mkString(", ")},
+           ${Seq(5, 6, 7, 8, 9, 10).map(n =>
+             s"coalesce(dc$n.dc, 0) AS dup_${n}gram_chars").mkString(", ")},
+           ${Seq((2, 20), (3, 18), (4, 16)).map { case (n, pct) =>
+             s"coalesce(tc$n.tc, 0) * 100 > $pct * b.sum_chars AS flag_top_$n"
+           }.mkString(", ")},
+           ${Seq((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))
+             .map { case (n, pct) =>
+               s"coalesce(dc$n.dc, 0) * 100 > $pct * b.sum_chars AS flag_dup_$n"
+             }.mkString(", ")}
+         FROM base b
+         ${Seq(2, 3, 4).map(n => s"LEFT JOIN tc$n ON b.doc_id = tc$n.doc_id")
+           .mkString(" ")}
+         ${Seq(5, 6, 7, 8, 9, 10).map(n =>
+           s"LEFT JOIN dc$n ON b.doc_id = dc$n.doc_id").mkString(" ")}
+         ORDER BY b.doc_id""",
     // q157: q19's oracle verbatim — the schema'd rewrite must be
     // value-identical.
     "q157_json_schema" ->

@@ -76,13 +76,21 @@ case class NgramRepetitionExpr(child: Expression, n: Int)
   * Output layout (array<long>):
   *   [0] n_tokens, [1] sum_token_chars (total character mass of the
   *   tokens — the denominator of every character-fraction cut),
-  *   then per n in `ns` order: [total, top, dup, dup_chars] where
-  *   total/top/dup are [[NgramRepetitionExpr]]'s counts and dup_chars
-  *   is the character mass of tokens COVERED by at least one n-gram
-  *   occurring 2+ times (union of windows — each token position counts
-  *   once however many duplicate grams cover it; Rae et al. 2021 A1.1
-  *   count duplicated n-gram characters "taking care not to count
-  *   characters that occur in overlapping n-grams more than once").
+  *   then per n in `ns` order: [total, top, top_chars, dup, dup_chars]:
+  *   - total/top/dup are [[NgramRepetitionExpr]]'s counts;
+  *   - top_chars = occurrences x token-char-mass of the most frequent
+  *     n-gram (Gopher's "top n-gram character fraction" numerator;
+  *     count ties break toward the LARGER character mass — the
+  *     deterministic, oracle-replayable choice);
+  *   - dup_chars = character mass of tokens COVERED by at least one
+  *     n-gram occurring 2+ times (union of windows — each token
+  *     position counts once however many duplicate grams cover it;
+  *     Rae et al. 2021 A1.1 count duplicated n-gram characters "taking
+  *     care not to count characters that occur in overlapping n-grams
+  *     more than once").
+  *   Character mass is TOKEN characters only (joining whitespace
+  *   excluded) on both sides of every fraction, so the convention
+  *   cancels consistently.
   */
 case class MultiNgramStatsExpr(child: Expression, ns: Seq[Int])
     extends UnaryExpression with GraftExpectsInputTypes {
@@ -199,7 +207,12 @@ object NgramOps {
     val nDistinct = idMap.size
     var bitsPerId = 1
     while ((1 << bitsPerId) < nDistinct) bitsPerId += 1
-    val out = new Array[Any](2 + ns.length * 4)
+    // Prefix sums of token char lengths: gram (start i, n) has token
+    // char mass pre(i + n) - pre(i).
+    val pre = new Array[Long](nToks + 1)
+    i = 0
+    while (i < nToks) { pre(i + 1) = pre(i) + lens(i); i += 1 }
+    val out = new Array[Any](2 + ns.length * 5)
     out(0) = nToks.toLong
     out(1) = sumChars
     val covered = new Array[Boolean](nToks)
@@ -208,6 +221,7 @@ object NgramOps {
       val n = ns(k)
       val total = math.max(nToks - n + 1, 0)
       var top = 0L
+      var topChars = 0L
       var dup = 0L
       var dupChars = 0L
       if (total > 0) {
@@ -244,20 +258,25 @@ object NgramOps {
           if (c > top) top = c
           if (c >= 2L) dup += c
         }
-        // Coverage pass: union of duplicate-gram windows over token
-        // positions, then the covered character mass.
-        if (dup > 0L) {
-          java.util.Arrays.fill(covered, false)
-          i = 0
-          while (i < total) {
-            val c = if (packed) longCounts.get(key(i)) else strCounts.get(skey(i))
-            if (c >= 2L) {
-              var j = i
-              val end = i + n
-              while (j < end) { covered(j) = true; j += 1 }
-            }
-            i += 1
+        // Position pass: the top gram's char mass (count ties toward
+        // the larger mass) and — when duplicates exist — the union of
+        // duplicate-gram windows, then the covered character mass.
+        if (dup > 0L) java.util.Arrays.fill(covered, false)
+        i = 0
+        while (i < total) {
+          val c = if (packed) longCounts.get(key(i)) else strCounts.get(skey(i))
+          if (c == top) {
+            val tc = c * (pre(i + n) - pre(i))
+            if (tc > topChars) topChars = tc
           }
+          if (dup > 0L && c >= 2L) {
+            var j = i
+            val end = i + n
+            while (j < end) { covered(j) = true; j += 1 }
+          }
+          i += 1
+        }
+        if (dup > 0L) {
           i = 0
           while (i < nToks) {
             if (covered(i)) dupChars += lens(i)
@@ -265,10 +284,11 @@ object NgramOps {
           }
         }
       }
-      out(2 + k * 4) = total.toLong
-      out(3 + k * 4) = top
-      out(4 + k * 4) = dup
-      out(5 + k * 4) = dupChars
+      out(2 + k * 5) = total.toLong
+      out(3 + k * 5) = top
+      out(4 + k * 5) = topChars
+      out(5 + k * 5) = dup
+      out(6 + k * 5) = dupChars
       k += 1
     }
     new GenericArrayData(out)

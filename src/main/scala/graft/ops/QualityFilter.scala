@@ -202,8 +202,8 @@ object QualityFilter {
     val v = TextAnalysis.multiNgramStats(textCol, cuts.map(_._1))
     cuts.zipWithIndex.map { case ((n, pct), k) =>
       Rule(s"top_${n}gram",
-        element_at(v, 4 + k * 4) * 100 >
-          lit(pct.toLong) * element_at(v, 3 + k * 4))
+        element_at(v, 4 + k * 5) * 100 >
+          lit(pct.toLong) * element_at(v, 3 + k * 5))
     }
   }
 
@@ -226,6 +226,101 @@ object QualityFilter {
       Rule("top_2gram",
         st.getField("top_2gram_n") * 100 >
           lit(maxTop2gramPct.toLong) * st.getField("n_2grams")))
+  }
+
+  /** Duplicate-SEGMENT stats for one separator — the line ("\n") and
+    * paragraph ("\n\n") halves of Gopher Table A1: a struct of
+    *   n_segs      non-empty trimmed segments,
+    *   dup_segs    occurrences beyond the first of each distinct
+    *               segment (n - n_distinct — the count-fraction
+    *               numerator),
+    *   total_chars character mass of ALL segment occurrences (trimmed
+    *               segment lengths; separators excluded — the
+    *               char-fraction denominator),
+    *   dup_chars   character mass of the occurrences beyond the first
+    *               (the char-fraction numerator; Rae et al. count
+    *               characters "contained within duplicated" segments —
+    *               this is the occurrences-beyond-first reading the
+    *               open reimplementations converged on, documented so
+    *               the oracle replays the same convention).
+    * One linear fold over the (hash, len) pairs sorted by hash —
+    * map-only, zero shuffle; identity by xxhash64 (the established
+    * 2^-64 grouping trade). `sep` is a LITERAL separator, split on
+    * `\Q..\E` so regex metacharacters can't reinterpret it; "\n\n\n"
+    * between paragraphs therefore yields an empty middle segment,
+    * which the non-empty filter drops — blank-line runs don't mint
+    * phantom paragraphs.
+    */
+  def segmentDupStats(textCol: Column, sep: String): Column = {
+    val segs = filter(
+      transform(split(coalesce(textCol, lit("")),
+        java.util.regex.Pattern.quote(sep)), s0 => trim(s0)),
+      s0 => s0 =!= lit(""))
+    val hl = array_sort(transform(segs, s0 =>
+      struct(xxhash64(s0).as("h"), length(s0).cast("long").as("len"))))
+    val folded = aggregate(
+      hl,
+      struct(lit(null).cast("bigint").as("prev"), lit(0L).as("du"),
+        lit(0L).as("dc"), lit(0L).as("tc")),
+      (acc, s0) => {
+        val rep = s0.getField("h") <=> acc.getField("prev")
+        struct(
+          s0.getField("h").as("prev"),
+          (acc.getField("du") + when(rep, 1L).otherwise(0L)).as("du"),
+          (acc.getField("dc") + when(rep, s0.getField("len"))
+            .otherwise(0L)).as("dc"),
+          (acc.getField("tc") + s0.getField("len")).as("tc"))
+      })
+    struct(
+      size(segs).cast("long").as("n_segs"),
+      folded.getField("du").as("dup_segs"),
+      folded.getField("tc").as("total_chars"),
+      folded.getField("dc").as("dup_chars"))
+  }
+
+  /** The COMPLETE Gopher repetition rule family (Rae et al. 2021,
+    * Table A1, all 13 rows, published cuts, Table order — first
+    * failing rule wins the verdict):
+    *   duplicate line / paragraph fraction        > 0.30 / 0.30
+    *   duplicate line / paragraph char fraction   > 0.20 / 0.20
+    *   top {2,3,4}-gram CHARACTER fraction        > 0.20 / 0.18 / 0.16
+    *   duplicate {5..10}-gram char fraction       > 0.15 .. 0.10
+    * All integer cross-multiplied; char fractions use token character
+    * mass on both sides (segment fractions use trimmed segment chars)
+    * — see [[segmentDupStats]] and
+    * [[graft.functions.MultiNgramStatsExpr]] for the conventions. The
+    * nine n-gram rules share ONE native multi-n vector; paragraphs
+    * split on the literal "\n\n" (the G1 chunker separator).
+    */
+  def gopherRepetitionRulesFull(textCol: Column): Seq[Rule] = {
+    val ln = segmentDupStats(textCol, "\n")
+    val pg = segmentDupStats(textCol, "\n\n")
+    def segRules(st: Column, what: String, countPct: Int, charPct: Int) = Seq(
+      Rule(s"dup_${what}_frac",
+        st.getField("dup_segs") * 100 >
+          lit(countPct.toLong) * st.getField("n_segs")),
+      Rule(s"dup_${what}_char_frac",
+        st.getField("dup_chars") * 100 >
+          lit(charPct.toLong) * st.getField("total_chars")))
+    val ns = (2 to 10).toSeq
+    val v = TextAnalysis.multiNgramStats(textCol, ns)
+    val sumChars = element_at(v, 2)
+    def topCharRule(n: Int, pct: Int) = {
+      val k = ns.indexOf(n)
+      Rule(s"top_${n}gram_char_frac",
+        element_at(v, 5 + k * 5) * 100 > lit(pct.toLong) * sumChars)
+    }
+    def dupCharRule(n: Int, pct: Int) = {
+      val k = ns.indexOf(n)
+      Rule(s"dup_${n}gram_char_frac",
+        element_at(v, 7 + k * 5) * 100 > lit(pct.toLong) * sumChars)
+    }
+    val lnR = segRules(ln, "line", 30, 20)
+    val pgR = segRules(pg, "paragraph", 30, 20)
+    Seq(lnR(0), pgR(0), lnR(1), pgR(1)) ++
+      Seq((2, 20), (3, 18), (4, 16)).map((topCharRule _).tupled) ++
+      Seq((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))
+        .map((dupCharRule _).tupled)
   }
 
   /** Per-document funnel verdict: (id, n_words, verdict, passed). The

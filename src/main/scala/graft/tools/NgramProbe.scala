@@ -33,8 +33,8 @@ object NgramProbe {
       .select(col("doc_id"),
         graft.ops.TextAnalysis.multiNgramStats(col("text"), ns).as("__v"))
       .select(col("doc_id") +: ns.zipWithIndex.flatMap { case (n, k) =>
-        Seq(element_at(col("__v"), 3 + k * 4).as(s"t$n"),
-          element_at(col("__v"), 4 + k * 4).as(s"p$n")) }: _*)
+        Seq(element_at(col("__v"), 3 + k * 5).as(s"t$n"),
+          element_at(col("__v"), 4 + k * 5).as(s"p$n")) }: _*)
     val hashedDf = docs
       .select(col("doc_id"), QualityFilter.tokenHashes(col("text")).as("__th"))
       .select(col("doc_id") +: ns.flatMap { n =>

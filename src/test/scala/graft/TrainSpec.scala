@@ -282,18 +282,23 @@ class TrainSpec extends SparkSpec {
       .select(col("doc_id"),
         element_at(v, 1).as("nt"), element_at(v, 2).as("sc"),
         element_at(v, 3).as("t2"), element_at(v, 4).as("p2"),
-        element_at(v, 5).as("d2"), element_at(v, 6).as("c2"),
-        element_at(v, 7).as("t3"), element_at(v, 8).as("p3"),
-        element_at(v, 9).as("d3"), element_at(v, 10).as("c3"))
+        element_at(v, 5).as("pc2"), element_at(v, 6).as("d2"),
+        element_at(v, 7).as("c2"),
+        element_at(v, 8).as("t3"), element_at(v, 9).as("p3"),
+        element_at(v, 10).as("pc3"), element_at(v, 11).as("d3"),
+        element_at(v, 12).as("c3"))
       .orderBy("doc_id")
-      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long)]
       .collect().toSeq
-    // doc 1: 8 tokens of 1 char; bigrams 7 ("a b"x4, "b a"x3 — all
-    // duplicated, full coverage); trigrams 6 (two grams x3 each).
-    assert(rows(0) == ((1L, 8L, 8L, 7L, 4L, 7L, 8L, 6L, 3L, 6L, 8L)))
-    assert(rows(1) == ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
-    // doc 3: 2 tokens (3+3 chars), one bigram (no dup), zero trigrams.
-    assert(rows(2) == ((3L, 2L, 6L, 1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // doc 1: 8 tokens of 1 char; bigrams 7 ("a b"x4 top_chars 4*2=8,
+    // "b a"x3 — all duplicated, full coverage); trigrams 6 (two grams
+    // x3 each, top_chars ties 3*3=9 both ways).
+    assert(rows(0) == ((1L, 8L, 8L, 7L, 4L, 8L, 7L, 8L, 6L, 3L, 9L, 6L, 8L)))
+    assert(rows(1) == ((2L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // doc 3: 2 tokens (3+3 chars), one bigram (top_chars 1*6, no dup),
+    // zero trigrams.
+    assert(rows(2) == ((3L, 2L, 6L, 1L, 1L, 6L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     // String-fallback regime: >= 128 distinct tokens forces
     // bitsPerId >= 8, so n = 10 can't pack into 63 bits — the exact
     // string-keyed path must agree with the packed path's semantics
@@ -303,7 +308,7 @@ class TrainSpec extends SparkSpec {
     val big = Seq((1L, s"$run $filler $run")).toDF("doc_id", "text")
     val v10 = TextAnalysis.multiNgramStats(col("text"), Seq(10))
     val nat = big.select(element_at(v10, 3), element_at(v10, 4),
-      element_at(v10, 5)).as[(Long, Long, Long)].head()
+      element_at(v10, 6)).as[(Long, Long, Long)].head()
     val ref = graft.ops.QualityFilter.topNgramStatsStrings(col("text"), 10)
     val hof = big.select(ref.getField("n_ngrams"),
       ref.getField("top_ngram_n")).as[(Long, Long)].head()
@@ -332,6 +337,83 @@ class TrainSpec extends SparkSpec {
     val allOk = docs.select(cols.reduce(_ && _).as("ok"))
       .agg(coalesce(every(col("ok")), lit(true))).as[Boolean].head()
     assert(allOk, "all three spellings must agree on every document")
+  }
+
+  test("full Gopher Table A1 funnel: 13 rules, Table order, each independently firable") {
+    import graft.ops.QualityFilter
+    // One doc per targeted verdict, built so EARLIER rules don't fire:
+    //  1: 4 lines, 2 repeats (50% > 30) -> dup_line_frac.
+    //  2: paragraphs A B A (33% > 30) where A is 2 short lines and B 5
+    //     distinct ones, so line count fraction 2/9 = 22% < 30 and the
+    //     para rule (Table row 2) wins over the line CHAR rule (row 3).
+    //  3: one 40-char line repeated among 5 short distinct lines —
+    //     count fraction 2/7 < 30, char fraction 80/90 > 20 ->
+    //     dup_line_char_frac.
+    //  4: single line, top bigram "aa bb" 2x (mass 8 of 24 = 33% > 20)
+    //     -> top_2gram_char_frac.
+    //  5: a 6-token run repeated with 40 unique 3-char fillers —
+    //     top-{2,3,4} char fractions 8/144, 12/144, 16/144 all under
+    //     their cuts, dup-5gram coverage 24/144 = 16.7% > 15% ->
+    //     dup_5gram_char_frac.
+    //  6: 40 distinct tokens over two distinct lines -> pass (short
+    //     docs trivially fire char-fraction cuts — the Table A1 rules
+    //     presuppose the min-length gate upstream).
+    val longLine = "z" * 40
+    val bLines = (1 to 5).map(i => s"b$i").mkString("\n")
+    val doc5 = ((1 to 6).map(i => s"p$i") ++ (1 to 40).map(i => f"u$i%02d") ++
+      (1 to 6).map(i => s"p$i")).mkString(" ")
+    val doc6 = (1 to 20).map(i => s"w$i").mkString(" ") + "\n" +
+      (21 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "x\nx\nx\ny"),
+      (2L, s"a1\na2\n\n$bLines\n\na1\na2"),
+      (3L, s"$longLine\nc1\nc2\nc3\nc4\nc5\n$longLine"),
+      (4L, "aa bb aa bb cc dd ee ff gg hh ii jj"),
+      (5L, doc5),
+      (6L, doc6))
+      .toDF("doc_id", "text")
+    val rules = QualityFilter.gopherRepetitionRulesFull(col("text"))
+    assert(rules.map(_.name) == Seq(
+      "dup_line_frac", "dup_paragraph_frac",
+      "dup_line_char_frac", "dup_paragraph_char_frac",
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+      "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac"))
+    val v = df.select(col("doc_id"),
+        QualityFilter.verdict(rules).as("v"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(v == Seq(
+      (1L, "dup_line_frac"), (2L, "dup_paragraph_frac"),
+      (3L, "dup_line_char_frac"), (4L, "top_2gram_char_frac"),
+      (5L, "dup_5gram_char_frac"), (6L, "pass")), s"got $v")
+    // SQL TVF parity: gopher_repetition_funnel == the Scala funnel.
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("a1docs")
+    val sql = spark.sql(
+      "SELECT * FROM gopher_repetition_funnel('a1docs', 'text', 'doc_id')")
+      .orderBy("doc_id")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toSeq
+    assert(sql == v)
+  }
+
+  test("segment dup stats: separators are literal, blank-line runs mint no paragraphs") {
+    import graft.ops.QualityFilter
+    val st = QualityFilter.segmentDupStats(col("text"), "\n\n")
+    val got = Seq(
+      (1L, "para one\n\n\npara two"), // \n\n\n -> "para one" | "\npara two"
+      (2L, "p\n\np\n\np"),
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), st.getField("n_segs"), st.getField("dup_segs"),
+        st.getField("total_chars"), st.getField("dup_chars"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // Doc 1: literal "\n\n" split yields "para one" and "\npara two";
+    // trim is SPACE-only in Spark and DuckDB alike, so the stray
+    // leading newline survives into the char mass — 8 + 9 = 17.
+    assert(got(0) == ((1L, 2L, 0L, 17L, 0L)))
+    assert(got(1) == ((2L, 3L, 2L, 3L, 2L)))
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got(3) == ((4L, 0L, 0L, 0L, 0L)))
   }
 
   // ------------------------------------------- boilerplate lines
