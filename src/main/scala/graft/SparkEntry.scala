@@ -3104,6 +3104,37 @@ object SparkEntry {
             lit(dupCuts(n)) * element_at(col("__v"), 2)).as(s"flag_dup_$n")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q175_contrastive_ann_adc" -> ((s, d) => {
+      // §2.11 training-data: q167's negative arm behind the IVFADC
+      // shortlist prefilter (the q90/q91 PQ machinery materialized
+      // into the vector index: probe scans m=4 codes per row, ADC
+      // top-shortlist, exact rescore only the shortlist). The 2^20
+      // shortlist covers every probed candidate on any gate corpus by
+      // construction, so ADC-prefiltered == the plain probe EXACTLY —
+      // the oracle pins that equality (exceptAll both ways empty);
+      // production shortlists trade negative-arm recall for the scan
+      // cut (TrainSpec envelope; FLOORS measures the knob at sf10m).
+      val emb = embeddings(s, d)
+      val anchors = emb.where(col("vec_id") % 50 === 0)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q175_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val np = adaptivePlanes(parquetRowCount(s, s"$d/embeddings.parquet"))
+      val plain = graft.ops.ContrastivePairs.hardTripletsAnn(
+        emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+        numPlanes = np, nlist = 16, nprobe = 4, k = 64,
+        tablePrefix = "graft_idx_q175p", basePath = s"${base}_p")
+      val adc = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
+        emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+        numPlanes = np, nlist = 16, nprobe = 4, k = 64,
+        shortlist = 1 << 20, m = 4, ksub = 16, dim = 64,
+        tablePrefix = "graft_idx_q175a", basePath = s"${base}_a")
+      anchors.agg(count(lit(1)).as("n_anchors"))
+        .crossJoin(
+          adc.exceptAll(plain).agg(count(lit(1)).as("__d1"))
+            .crossJoin(plain.exceptAll(adc).agg(count(lit(1)).as("__d2")))
+            .select((col("__d1") === 0 && col("__d2") === 0)
+              .as("adc_equals_exact")))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -5729,6 +5760,14 @@ Hosts: %s
            AS n_anchors,
          TRUE AS pos_sound, TRUE AS neg_sound, TRUE AS ids_distinct,
          TRUE AS anchors_unique
+         FROM embeddings""",
+    // q175: the ADC==plain equality holds by construction at a
+    // shortlist covering every probed candidate (see the query); the
+    // oracle pins it plus the anchor count.
+    "q175_contrastive_ann_adc" ->
+      """SELECT CAST(count(*) FILTER (WHERE vec_id % 50 = 0) AS BIGINT)
+           AS n_anchors,
+         TRUE AS adc_equals_exact
          FROM embeddings""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.

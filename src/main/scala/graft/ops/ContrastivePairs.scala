@@ -122,9 +122,63 @@ object ContrastivePairs {
       k: Int,
       tablePrefix: String,
       basePath: String): DataFrame = {
-    import graft.functions.VectorFunctions.vecCosine
     require(numPlanes >= 1 && nlist >= 1 && nprobe >= 1 && k >= 1,
       s"bad config: numPlanes=$numPlanes nlist=$nlist nprobe=$nprobe k=$k")
+    val pos = lshPositives(df, embCol, idCol, anchors, posThreshold, numPlanes)
+    VectorIndex.writeIvfIndex(df, embCol, idCol, nlist = nlist,
+      refineIters = 1, tablePrefix = tablePrefix, basePath = basePath)
+    val hits = VectorIndex.searchIvfIndex(
+      anchors.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, tablePrefix = tablePrefix)
+    joinNegatives(pos, hits, posThreshold)
+  }
+
+  /** [[hardTripletsAnn]] with the IVFADC shortlist prefilter on the
+    * negative arm: the probe scans PQ CODES (m small ints per row
+    * instead of the raw embedding), keeps the top-`shortlist`
+    * candidates per anchor by approximate score, and exact-rescores
+    * only those — the exact-cosine volume shrinks from
+    * |anchors| x corpus x nprobe/nlist to |anchors| x shortlist.
+    * `shortlist` >= the probed candidate count makes this EXACTLY
+    * [[hardTripletsAnn]] (the q175 oracle pin); production shortlists
+    * trade negative-arm recall for the scan cut — the same knob as
+    * [[VectorIndex.searchIvfIndexAdc]], which this wires in. The
+    * positive arm is identical (shared [[lshPositives]]).
+    */
+  def hardTripletsAnnAdc(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      anchors: DataFrame,
+      posThreshold: Double,
+      numPlanes: Int,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      shortlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      tablePrefix: String,
+      basePath: String): DataFrame = {
+    require(numPlanes >= 1 && nlist >= 1 && nprobe >= 1 && k >= 1,
+      s"bad config: numPlanes=$numPlanes nlist=$nlist nprobe=$nprobe k=$k")
+    val pos = lshPositives(df, embCol, idCol, anchors, posThreshold, numPlanes)
+    VectorIndex.writeIvfPqIndex(df, embCol, idCol, nlist = nlist,
+      m = m, ksub = ksub, dim = dim, refineIters = 1,
+      tablePrefix = tablePrefix, basePath = basePath)
+    val hits = VectorIndex.searchIvfIndexAdc(
+      anchors.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, shortlist = shortlist,
+      tablePrefix = tablePrefix)
+    joinNegatives(pos, hits, posThreshold)
+  }
+
+  /** The shared LSH multi-probe positive arm (see [[hardTripletsAnn]]). */
+  private def lshPositives(
+      df: DataFrame, embCol: String, idCol: String, anchors: DataFrame,
+      posThreshold: Double, numPlanes: Int): DataFrame = {
+    import graft.functions.VectorFunctions.vecCosine
     val corpus = graft.core.Caches.persistTracked(
       df.select(col(idCol).cast("long").as("__idb"), col(embCol).as("__eb"),
         Similarity.lshBucket(embCol, 0, numPlanes).as("__bkt")))
@@ -136,7 +190,7 @@ object ContrastivePairs {
       col("__bkt0").bitwiseXOR(lit(1L << p))): _*)
     val posW = Window.partitionBy(col("anchor_id"))
       .orderBy(col("__c").desc, col("__idb").asc)
-    val pos = anch
+    anch
       .select(col("anchor_id"), col("__ea"), explode(probes).as("__bkt"))
       .join(corpus, Seq("__bkt"))
       .where(col("anchor_id") =!= col("__idb"))
@@ -147,11 +201,13 @@ object ContrastivePairs {
       .where(col("__rn") === 1)
       .select(col("anchor_id"), col("__idb").as("positive_id"),
         round(col("__c"), 4).as("pos_cos"))
-    VectorIndex.writeIvfIndex(df, embCol, idCol, nlist = nlist,
-      refineIters = 1, tablePrefix = tablePrefix, basePath = basePath)
-    val hits = VectorIndex.searchIvfIndex(
-      anchors.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
-      "__qemb", "__qid", k = k, nprobe = nprobe, tablePrefix = tablePrefix)
+  }
+
+  /** Hardest-negative selection over (qid, vec_id, score, rank) search
+    * hits + the inner triplet join (see [[hardTripletsAnn]]).
+    */
+  private def joinNegatives(
+      pos: DataFrame, hits: DataFrame, posThreshold: Double): DataFrame = {
     val negW = Window.partitionBy(col("anchor_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     val neg = hits

@@ -73,6 +73,152 @@ object VectorIndex {
       .saveAsTable(s"${tablePrefix}_meta")
   }
 
+  /** [[writeIvfIndex]] plus the PQ compression half of the FAISS-style
+    * IVFADC layout ([[ProductQuantize]]'s machinery over the
+    * materialized store): two more tables under the same prefix —
+    *  - `_codebooks` (sub, code_id, cent)  m x ksub rows, broadcast side
+    *  - `_codes`     (id, sub, code, centroid_id)  bucketed like the
+    *                 store, so a probe reads nprobe/nlist of the CODES
+    * and `_meta` gains (m, ksub, dim) so [[searchIvfIndexAdc]] is
+    * self-describing. Codes are stored in ARRAY form — ONE row per
+    * vector carrying m small ints (~16 bytes vs the 256+-byte raw
+    * embedding): the probe's first-pass scan bytes drop ~dim/m x, and
+    * scoring stays one fused call per (query, candidate) pair
+    * ([[graft.functions.AdcLutScoreExpr]]) instead of the m-row join
+    * the subvector-grain layout would force.
+    */
+  def writeIvfPqIndex(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      refineIters: Int = 1,
+      pqIters: Int = 2,
+      tablePrefix: String = "graft_vector_index",
+      basePath: String = null): Unit = {
+    writeIvfIndex(vecs, embCol, idCol, nlist, refineIters, tablePrefix, basePath)
+    val spark = vecs.sparkSession
+    def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+        name: String) =
+      if (basePath == null) w else w.option("path", s"$basePath/$name")
+    path(spark.createDataFrame(Seq((nlist, nlist, m, ksub, dim)))
+      .toDF("nlist", "num_buckets", "m", "ksub", "dim")
+      .write.mode("overwrite").format("parquet"), "meta")
+      .saveAsTable(s"${tablePrefix}_meta")
+    val books = ProductQuantize.trainCodebooks(
+      vecs, m, ksub, dim, pqIters, embCol, idCol)
+    path(books.write.mode("overwrite").format("parquet"), "codebooks")
+      .saveAsTable(s"${tablePrefix}_codebooks")
+    val store = spark.table(s"${tablePrefix}_store")
+    val codes = ProductQuantize.codesArray(
+        ProductQuantize.encode(store, books, m, dim, "emb", "id"))
+      .join(store.select(col("id"), col("centroid_id")), "id")
+    path(codes.write.mode("overwrite").format("parquet"), "codes")
+      .bucketBy(nlist, "centroid_id").sortBy("centroid_id")
+      .saveAsTable(s"${tablePrefix}_codes")
+  }
+
+  /** IVFADC search against a [[writeIvfPqIndex]] materialization:
+    * probe `nprobe` lists (bucket-pruned scan of the CODES table),
+    * ADC-score the probed codes against a per-query broadcast LUT,
+    * keep the top-`shortlist` candidates per query by approximate
+    * score, then exact-rescore ONLY the shortlist against the raw
+    * store — the exact-cosine volume shrinks by the shortlist ratio
+    * while the first pass scans m small codes per row instead of the
+    * full embedding. `shortlist` >= the probed candidate count
+    * degenerates to [[searchIvfIndex]] EXACTLY (the q175 oracle pin);
+    * smaller shortlists trade recall for the scan cut, the standard
+    * IVFADC knob (Jégou et al. 2011). Output (qIdCol, vec_id, score,
+    * rank) — true cosines, identical contract to [[searchIvfIndex]].
+    */
+  def searchIvfIndexAdc(
+      queries: DataFrame,
+      qEmbCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      shortlist: Int,
+      tablePrefix: String = "graft_vector_index"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
+    val spark = queries.sparkSession
+    val meta = spark.table(s"${tablePrefix}_meta").head()
+    val m = meta.getAs[Int]("m")
+    val ksub = meta.getAs[Int]("ksub")
+    val dim = meta.getAs[Int]("dim")
+    val centroids = spark.table(s"${tablePrefix}_centroids")
+    val books = spark.table(s"${tablePrefix}_codebooks")
+    val probeW = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__qsim").desc, col("centroid_id"))
+    val probes = graft.core.Caches.persistTracked(
+      queries.crossJoin(broadcast(centroids))
+        .withColumn("__qsim", vecCosine(col(qEmbCol), col("centroid_emb")))
+        .withColumn("__pr", row_number().over(probeW))
+        .where(col("__pr") <= nprobe)
+        .select(col(qIdCol), col(qEmbCol), col("centroid_id")))
+    val probedLists = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val prunedCodes = spark.table(s"${tablePrefix}_codes")
+      .where(col("centroid_id").isin(probedLists.map(Long.box): _*))
+    // Per-query FLAT lut (m x ksub doubles, position sub * ksub +
+    // code): the broadcast side of the scoring join; positions of
+    // dropped k-means codes fill 0.0 (they never appear in a codes
+    // array).
+    val lutArr = ProductQuantize.adcLut(
+        queries.select(col(qIdCol), col(qEmbCol)), books, m, dim,
+        queryEmbCol = qEmbCol, queryIdCol = qIdCol)
+      .groupBy(col("q_id"))
+      .agg(map_from_arrays(
+        collect_list(col("sub") * ksub + col("code_id")),
+        collect_list(col("ip"))).as("__lm"))
+      .select(col("q_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          p => coalesce(element_at(col("__lm"), p), lit(0.0d))).as("__lut"))
+    // Probed (query, list) restriction BEFORE scoring (the ivfPqTopK
+    // shape): a code row is scored only for queries that probed its
+    // list; the score is ONE fused m-lookup call per pair
+    // (AdcLutScoreExpr) — the join-by-subspace spelling costs m rows
+    // per pair and measurably loses to the raw cosine it should
+    // undercut.
+    val probedPairs = probes.select(col(qIdCol).as("__q"), col("centroid_id"))
+      .join(lutArr, col("__q") === lutArr("q_id"))
+      .select(col("__q"), col("centroid_id"), col("__lut"))
+    val adcScore = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.AdcLutScoreExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("__lut")),
+        ksub))
+    val slW = Window.partitionBy(col("__q")).orderBy(col("adc").desc, col("id"))
+    val cand = prunedCodes
+      .join(broadcast(probedPairs), Seq("centroid_id"))
+      .select(col("__q"), col("id"), adcScore.as("adc"))
+      .withColumn("__sl", row_number().over(slW))
+      .where(col("__sl") <= shortlist)
+      .select(col("__q"), col("id"))
+    val prunedStore = spark.table(s"${tablePrefix}_store")
+      .where(col("centroid_id").isin(probedLists.map(Long.box): _*))
+    val rankW = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col("id"))
+    val q2 = queries.select(col(qIdCol), col(qEmbCol))
+    val out = cand
+      .join(prunedStore.select(col("id"), col("emb")), Seq("id"))
+      .join(broadcast(q2), cand("__q") === q2(qIdCol))
+      .withColumn("score", vecCosine(col("emb"), col(qEmbCol)))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col("id").as("vec_id"), col("score"), col("rank"))
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try out.localCheckpoint()
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Rebind a [[writeIvfIndex]] materialization at `basePath` into THIS
     * session's catalog (restart path) — schema inferred from the files,
     * bucket spec restored from `_meta`. Idempotent.

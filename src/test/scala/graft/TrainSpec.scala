@@ -745,6 +745,65 @@ class TrainSpec extends SparkSpec {
     } finally graft.core.Caches.releaseAll()
   }
 
+  test("ADC-prefiltered ANN triplets == plain ANN form when the shortlist covers everything") {
+    // shortlist >= probed candidates keeps every candidate through the
+    // approximate pass, so the exact rescore sees the identical set —
+    // ADC == plain by construction; and with nprobe = nlist, k >= n,
+    // numPlanes = 1 both equal the blocked-exact form (the existing
+    // pin's fixture). Dim 2, m = 2, ksub = 4 exercises real PQ
+    // machinery (codebooks, codes, LUT) end to end.
+    val df = Seq(
+      (0L, Seq(1f, 0f)), (50L, Seq(0.9f, 0.1f)),
+      (100L, Seq(-1f, 4f)), (150L, Seq(0f, 1f)),
+      (200L, Seq(0.8f, 0.3f)), (250L, Seq(-0.5f, -1f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", lit("all"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-trip-adc").toString
+    try {
+      val plain = graft.ops.ContrastivePairs
+        .hardTripletsAnn(df, "embedding", "vec_id",
+          df.select(col("vec_id"), col("embedding")), 0.5,
+          numPlanes = 1, nlist = 2, nprobe = 2, k = 10,
+          tablePrefix = "t_trip_adc_plain", basePath = s"$dir/idx_plain")
+        .orderBy("anchor_id")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      val adc = graft.ops.ContrastivePairs
+        .hardTripletsAnnAdc(df, "embedding", "vec_id",
+          df.select(col("vec_id"), col("embedding")), 0.5,
+          numPlanes = 1, nlist = 2, nprobe = 2, k = 10,
+          shortlist = 1000, m = 2, ksub = 4, dim = 2,
+          tablePrefix = "t_trip_adc", basePath = s"$dir/idx_adc")
+        .orderBy("anchor_id")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      assert(plain.nonEmpty, "fixture must yield triplets")
+      assert(adc == plain, s"adc $adc != plain $plain")
+      // Production-shortlist envelope: a TIGHT shortlist may lose
+      // recall (fewer/different triplets) but never soundness — every
+      // emitted triplet's cosines re-verify against the raw vectors,
+      // positive >= threshold > negative, ids distinct.
+      val tight = graft.ops.ContrastivePairs
+        .hardTripletsAnnAdc(df, "embedding", "vec_id",
+          df.select(col("vec_id"), col("embedding")), 0.5,
+          numPlanes = 1, nlist = 2, nprobe = 2, k = 2,
+          shortlist = 2, m = 2, ksub = 4, dim = 2,
+          tablePrefix = "t_trip_adc_tight", basePath = s"$dir/idx_tight")
+        .as[(Long, Long, Long, Double, Double)].collect().toSeq
+      val vecs = df.as[(Long, Seq[Float], String)].collect()
+        .map(r => r._1 -> r._2.map(_.toDouble)).toMap
+      def cos(a: Seq[Double], b: Seq[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      for ((a, p, n, pc, nc) <- tight) {
+        assert(a != p && a != n && p != n)
+        val cp = cos(vecs(a), vecs(p))
+        val cn = cos(vecs(a), vecs(n))
+        assert(cp >= 0.5 && cn < 0.5, s"soundness: $cp / $cn")
+        assert(math.abs(cp - pc) < 1e-4 && math.abs(cn - nc) < 1e-4)
+      }
+    } finally graft.core.Caches.releaseAll()
+  }
+
   test("ANN triplet recall floor on the gate corpus at q167's parameters") {
     // The q167 oracle pins soundness only (its booleans hold by
     // construction); NON-VACUITY lives here — the exact q167
