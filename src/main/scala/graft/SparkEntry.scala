@@ -3104,6 +3104,35 @@ object SparkEntry {
             lit(dupCuts(n)) * element_at(col("__v"), 2)).as(s"flag_dup_$n")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q176_boilerplate_store" -> ((s, d) => {
+      // §2.11 quality: q171 against the MATERIALIZED line-stats store
+      // — boilerplate counts as corpus-version state (the q141 corpus-
+      // index discipline): half the corpus writes the store, the other
+      // half APPENDS batch-grain partials (no history recount), and
+      // removal runs against the bucket-locally merged standing
+      // counts. Doc sets are disjoint, so merged counts == q171's
+      // direct same-pass counts — the oracle is q171's verbatim.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val withFooters = docs0.select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 7 === 2,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 3,
+            lit("\nall rights reserved worldwide")).otherwise(lit("")))
+          .as("text"))
+      val prefix = "graft_linestats_q176"
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_linestats_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.Boilerplate.writeLineStats(
+        withFooters.where(col("doc_id") % 2 === 0), "text", "doc_id",
+        tablePrefix = prefix, basePath = base)
+      graft.ops.Boilerplate.appendToLineStats(
+        withFooters.where(col("doc_id") % 2 =!= 0), "text", "doc_id",
+        tablePrefix = prefix)
+      graft.ops.Boilerplate.removeAgainstLineStats(
+          withFooters, "text", "doc_id", minDocs = 3L, tablePrefix = prefix)
+        .orderBy(col("doc_id"))
+    }),
     "q175_contrastive_ann_adc" -> ((s, d) => {
       // §2.11 training-data: q167's negative arm behind the IVFADC
       // shortlist prefilter (the q90/q91 PQ machinery materialized
@@ -3315,7 +3344,45 @@ object SparkEntry {
        LEFT JOIN nr ON b.doc_id = nr.doc_id
        ORDER BY id"""
 
+  /** q171's oracle, shared verbatim by q176 (the store-backed path
+    * must be value-identical to the direct pass — disjoint batches, so
+    * merged partial counts equal same-pass counts).
+    */
+  private val boilerplateOracleSql =
+    """WITH src AS (SELECT doc_id,
+       coalesce(text, '') ||
+       CASE WHEN doc_id % 7 = 2
+         THEN chr(10) || 'subscribe to our newsletter today'
+         ELSE '' END ||
+       CASE WHEN doc_id % 5 = 3
+         THEN chr(10) || 'all rights reserved worldwide'
+         ELSE '' END AS text
+       FROM documents),
+     dl AS (SELECT t.doc_id, u.i AS p, t.ls[u.i+1] AS l FROM (
+         SELECT doc_id, list_filter(list_transform(
+           string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
+         FROM src) t,
+       LATERAL unnest(range(len(t.ls))) AS u(i)),
+     cnt AS (SELECT l, count(DISTINCT doc_id) AS n_docs
+       FROM dl GROUP BY 1),
+     fl AS (SELECT dl.doc_id, dl.p, dl.l, cnt.n_docs >= 3 AS rm
+       FROM dl JOIN cnt USING (l)),
+     agg AS (SELECT doc_id,
+         string_agg(CASE WHEN NOT rm THEN l END, chr(10) ORDER BY p)
+           AS clean_text,
+         CAST(count(*) FILTER (WHERE NOT rm) AS BIGINT) AS n_kept,
+         CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+       FROM fl GROUP BY 1)
+     SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       coalesce(agg.n_kept, 0) AS n_kept,
+       coalesce(agg.n_removed, 0) AS n_removed
+     FROM documents d LEFT JOIN agg USING (doc_id)
+     ORDER BY d.doc_id"""
+
   def oracleSql: Map[String, String] = Map(
+    // q176: the store-backed incremental path must equal q171's direct
+    // pass — same oracle verbatim.
+    "q176_boilerplate_store" -> boilerplateOracleSql,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          sum(CAST(round_even(l_quantity*10000, 0) AS BIGINT)) / 10000.0 AS sum_qty,
@@ -5433,36 +5500,7 @@ Hosts: %s
     // Spark side keys on xxhash64 of the line — identical decision up
     // to a 2^-64 collision, the documented grouping trade), NULL-
     // skipping string_agg rebuild in position order.
-    "q171_boilerplate_lines" ->
-      """WITH src AS (SELECT doc_id,
-           coalesce(text, '') ||
-           CASE WHEN doc_id % 7 = 2
-             THEN chr(10) || 'subscribe to our newsletter today'
-             ELSE '' END ||
-           CASE WHEN doc_id % 5 = 3
-             THEN chr(10) || 'all rights reserved worldwide'
-             ELSE '' END AS text
-           FROM documents),
-         dl AS (SELECT t.doc_id, u.i AS p, t.ls[u.i+1] AS l FROM (
-             SELECT doc_id, list_filter(list_transform(
-               string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS ls
-             FROM src) t,
-           LATERAL unnest(range(len(t.ls))) AS u(i)),
-         cnt AS (SELECT l, count(DISTINCT doc_id) AS n_docs
-           FROM dl GROUP BY 1),
-         fl AS (SELECT dl.doc_id, dl.p, dl.l, cnt.n_docs >= 3 AS rm
-           FROM dl JOIN cnt USING (l)),
-         agg AS (SELECT doc_id,
-             string_agg(CASE WHEN NOT rm THEN l END, chr(10) ORDER BY p)
-               AS clean_text,
-             CAST(count(*) FILTER (WHERE NOT rm) AS BIGINT) AS n_kept,
-             CAST(count(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
-           FROM fl GROUP BY 1)
-         SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
-           coalesce(agg.n_kept, 0) AS n_kept,
-           coalesce(agg.n_removed, 0) AS n_removed
-         FROM documents d LEFT JOIN agg USING (doc_id)
-         ORDER BY d.doc_id""",
+    "q171_boilerplate_lines" -> boilerplateOracleSql,
     // q172: q170's planted union; per n the mode via unnest + GROUP BY
     // (Spark: longest equal-run of the sorted n-gram array), flags
     // cross-multiplied at Gopher's 20/18/16% cuts.

@@ -87,13 +87,22 @@ object Boilerplate {
       minDocs: Long,
       broadcastMaxLines: Long = 1L << 20): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val boiler = graft.core.Caches.persistTracked(
+    dispatchRemove(df, textCol, idCol,
       lineStats(df, textCol, idCol)
         .where(col("n_docs") >= minDocs)
-        .select(col("line_hash")))
-    // Bounded action: |boiler| rows counted, never collected; at most
-    // one row per DISTINCT corpus line participates, and the count is
-    // the exact quantity the dispatch needs.
+        .select(col("line_hash")),
+      broadcastMaxLines)
+  }
+
+  /** Shared map-only/join dispatch on the measured boilerplate-set
+    * size (see [[removeCommonLines]]). The count() is a bounded
+    * action: at most one row per DISTINCT corpus line participates,
+    * and the count is the exact quantity the dispatch needs.
+    */
+  private def dispatchRemove(
+      df: DataFrame, textCol: String, idCol: String,
+      boiler0: DataFrame, broadcastMaxLines: Long): DataFrame = {
+    val boiler = graft.core.Caches.persistTracked(boiler0)
     val nBoiler =
       if (broadcastMaxLines == 0L || broadcastMaxLines == Long.MaxValue) 0L
       else boiler.count()
@@ -101,6 +110,112 @@ object Boilerplate {
         (broadcastMaxLines == Long.MaxValue || nBoiler <= broadcastMaxLines))
       removeMapOnly(df, textCol, idCol, boiler)
     else removeJoin(df, textCol, idCol, boiler)
+  }
+
+  // ------------------------------------------------- line-stats store
+
+  /** MATERIALIZED line-stats store — boilerplate counts are
+    * corpus-version state exactly like the corpus prefix index
+    * ([[Dedup.writeCorpusIndex]] discipline): write once, bucketed by
+    * line_hash; every increment APPENDS its batch-grain partial counts
+    * (no history recount — the table holds per-batch partials and
+    * [[storedLineStats]] merges them with a bucket-local, zero-
+    * exchange aggregation); [[removeAgainstLineStats]] cleans any
+    * relation against the standing counts. Catalog entries are
+    * session-scoped, files are not; [[registerLineStats]] rebinds
+    * after a restart.
+    *
+    * APPEND CONTRACT: batches carry NEW documents (append-only corpus
+    * ingest — the same contract as [[Dedup.appendToCorpusIndex]]), so
+    * distinct-doc counts ADD across batches; re-appending the same
+    * documents would double-count them.
+    */
+  def writeLineStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      tablePrefix: String = "graft_line_stats",
+      basePath: String = null,
+      numBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+        name: String) =
+      if (basePath == null) w else w.option("path", s"$basePath/$name")
+    path(lineStats(df, textCol, idCol)
+      .write.mode("overwrite").format("parquet"), "stats")
+      .bucketBy(numBuckets, "line_hash").sortBy("line_hash")
+      .saveAsTable(s"${tablePrefix}_stats")
+    path(spark.createDataFrame(Seq(Tuple1(numBuckets))).toDF("num_buckets")
+      .write.mode("overwrite").format("parquet"), "meta")
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Rebind a [[writeLineStats]] materialization into THIS session's
+    * catalog (restart path). Idempotent.
+    */
+  def registerLineStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      basePath: String): Unit = {
+    def ddl(name: String): String =
+      spark.read.parquet(s"$basePath/$name").schema.toDDL
+    if (!spark.catalog.tableExists(s"${tablePrefix}_meta"))
+      spark.sql(s"CREATE TABLE ${tablePrefix}_meta (${ddl("meta")}) " +
+        s"USING PARQUET LOCATION '$basePath/meta'")
+    val nb = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("num_buckets")
+    if (!spark.catalog.tableExists(s"${tablePrefix}_stats"))
+      spark.sql(s"CREATE TABLE ${tablePrefix}_stats (${ddl("stats")}) " +
+        s"USING PARQUET CLUSTERED BY (line_hash) SORTED BY (line_hash) " +
+        s"INTO $nb BUCKETS LOCATION '$basePath/stats'")
+  }
+
+  /** Append a NEW batch's partial counts (see the append contract on
+    * [[writeLineStats]]) — one skinny batch-grain aggregation, no
+    * history read.
+    */
+  def appendToLineStats(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      tablePrefix: String = "graft_line_stats"): Unit = {
+    val spark = batch.sparkSession
+    val nb = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("num_buckets")
+    lineStats(batch, textCol, idCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(nb, "line_hash").sortBy("line_hash")
+      .saveAsTable(s"${tablePrefix}_stats")
+  }
+
+  /** The standing merged counts: per-batch partials summed bucket-
+    * locally (the store is bucketed by line_hash, so this aggregation
+    * plans WITHOUT an exchange).
+    */
+  def storedLineStats(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String = "graft_line_stats"): DataFrame =
+    spark.table(s"${tablePrefix}_stats")
+      .groupBy(col("line_hash"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_occurrences")).as("n_occurrences"))
+
+  /** [[removeCommonLines]] against the STANDING store instead of a
+    * same-pass count — the incremental form: cleaning a new batch
+    * against corpus history costs the store read, never a history
+    * recount. Same map-only/join dispatch and output contract.
+    */
+  def removeAgainstLineStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minDocs: Long,
+      tablePrefix: String = "graft_line_stats",
+      broadcastMaxLines: Long = 1L << 20): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    dispatchRemove(df, textCol, idCol,
+      storedLineStats(df.sparkSession, tablePrefix)
+        .where(col("n_docs") >= minDocs)
+        .select(col("line_hash")),
+      broadcastMaxLines)
   }
 
   /** The map-only path against a precomputed (line_hash) relation. */

@@ -629,4 +629,47 @@ object StreamingOps {
         graft.core.Caches.releaseAll()
       }
       .start()
+
+  /** Streaming LINE-STATS store sink — cross-document boilerplate
+    * counts as corpus-version state fed by a stream: each micro-batch
+    * appends its batch-grain partial counts to the
+    * [[graft.ops.Boilerplate.writeLineStats]] store (no history
+    * recount — [[graft.ops.Boilerplate.storedLineStats]] merges
+    * partials bucket-locally at read time). Idempotency is doc-grain:
+    * a seen-ids parquet anti-join drops replayed documents before they
+    * can double their lines' counts (the incrementalStoreSink J5
+    * discipline). The store (write + meta) must exist before the
+    * stream starts — create it with writeLineStats, empty-corpus is
+    * fine.
+    */
+  def lineStatsStoreSink(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      tablePrefix: String,
+      seenPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batchRaw: DataFrame, _: Long) =>
+        val spark = batchRaw.sparkSession
+        val newOnly =
+          if (graft.core.FsUtil.exists(spark, seenPath))
+            batchRaw.dropDuplicates(idCol)
+              .join(spark.read.parquet(seenPath).select(col(idCol)),
+                Seq(idCol), "left_anti")
+          else batchRaw.dropDuplicates(idCol)
+        // Eager cut: the batch feeds the stats append AND the seen-ids
+        // append; a streaming-source plan must not be re-run.
+        val batch = newOnly.localCheckpoint()
+        if (!batch.isEmpty) {
+          graft.ops.Boilerplate.appendToLineStats(
+            batch, textCol, idCol, tablePrefix)
+          batch.select(col(idCol)).write.mode("append").parquet(seenPath)
+        }
+        graft.core.Caches.releaseAll()
+      }
+      .start()
 }

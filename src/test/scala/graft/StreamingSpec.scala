@@ -514,4 +514,44 @@ class StreamingSpec extends SparkSpec {
     assert(famCanon() == before, "replayed ids are a no-op")
     assert(spark.read.parquet(docsPath).count() == 5L)
   }
+
+  test("lineStatsStoreSink: streamed partials == direct lineStats; replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-lines").toFile.getAbsolutePath
+    val prefix = "t_stream_linestats"
+    // Store must exist before the stream: initialize EMPTY.
+    graft.ops.Boilerplate.writeLineStats(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", "doc_id",
+      tablePrefix = prefix, basePath = s"$dir/store")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = StreamingOps.lineStatsStoreSink(df, "text", "doc_id",
+        prefix, s"$dir/seen", s"$dir/ckpt")
+      q.awaitTermination()
+    }
+    input.addData((1L, "shared footer\nunique a"), (2L, "shared footer\nunique b"))
+    run()
+    input.addData((3L, "shared footer\nshared footer"), // 2 occurrences, 1 doc
+      (2L, "replayed payload must not count"))          // replayed id -> dropped
+    run()
+    val stored = graft.ops.Boilerplate
+      .storedLineStats(spark, prefix).orderBy("line_hash")
+      .as[(Long, Long, Long)].collect().toSeq
+    val direct = graft.ops.Boilerplate.lineStats(
+        Seq((1L, "shared footer\nunique a"), (2L, "shared footer\nunique b"),
+          (3L, "shared footer\nshared footer")).toDF("doc_id", "text"),
+        "text", "doc_id").orderBy("line_hash")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stored == direct,
+      s"streamed partials must merge to the direct counts: $stored vs $direct")
+    // And the cleaner consumes the standing store: "shared footer"
+    // (3 docs) strips, uniques survive.
+    val cleaned = graft.ops.Boilerplate.removeAgainstLineStats(
+        Seq((9L, "shared footer\nunique c")).toDF("doc_id", "text"),
+        "text", "doc_id", minDocs = 3L, tablePrefix = prefix)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(cleaned == Seq((9L, "unique c", 1L, 1L)))
+    graft.core.Caches.releaseAll()
+  }
 }
