@@ -3104,6 +3104,38 @@ object SparkEntry {
             lit(dupCuts(n)) * element_at(col("__v"), 2)).as(s"flag_dup_$n")): _*)
         .orderBy(col("doc_id"))
     }),
+    "q177_bpe_byte_vocab" -> ((s, d) => {
+      // §2.11 tokenization, BYTE-LEVEL convention (the GPT-2 family's,
+      // RE2-safe — see Bpe.byteLevelPattern): category-regex pretokens
+      // keep their leading space, symbols are UTF-8 bytes as hex
+      // pairs, and the vocabulary's base alphabet is ALL 256 bytes
+      // (ids 0..255 = the byte value) regardless of corpus — the
+      // no-unk-by-construction property q178 pins. Merge ids follow
+      // at 256 + rank - 1, earliest id winning duplicate strings.
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.trainByteLevel(docs, "text", bpeRounds)
+      graft.ops.Bpe.vocabTableByteLevel(s, merges)
+        .orderBy(col("token_id"), col("token"))
+    }),
+    "q178_bpe_byte_ids" -> ((s, d) => {
+      // §2.11 tokenization: byte-level encode to INTEGER IDS — q169's
+      // dictionary-join shape under the byte-level convention. n_unk
+      // pins 0 for EVERY document: every emission composes the 256
+      // byte symbols through the merge table and the vocabulary
+      // carries all 256 by construction (not just the corpus's).
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.trainByteLevel(docs, "text", bpeRounds)
+      val vocab = graft.ops.Bpe.vocabTableByteLevel(s, merges)
+      graft.ops.Bpe.tokenizeToIdsByteLevel(docs, "text", "doc_id", merges,
+          vocab)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), i => i.cast("string")),
+            " ").as("ids_str"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i < 0)).cast("long")
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
     "q176_boilerplate_store" -> ((s, d) => {
       // §2.11 quality: q171 against the MATERIALIZED line-stats store
       // — boilerplate counts as corpus-version state (the q141 corpus-
@@ -5459,6 +5491,59 @@ Hosts: %s
            coalesce(agg.n_unk, 0) AS n_unk
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // q177: byte-level training replay (bpeByteTrainCtes); base ids =
+    // the full 256 hex pairs at their byte values, merge ids at
+    // 256 + r - 1 with earliest-id-wins on duplicate strings.
+    "q177_bpe_byte_vocab" ->
+      s"""WITH ${bpeByteTrainCtes(bpeRounds)},
+         bi AS (SELECT printf('%02X', t.i) AS token,
+             CAST(t.i AS BIGINT) AS token_id FROM range(256) t(i)),
+         mg AS (${(1 to bpeRounds).map(r =>
+           s"SELECT a || b AS token, $r AS r FROM m$r")
+           .mkString(" UNION ALL ")}),
+         mi AS (SELECT token, CAST(min(256 + r - 1) AS BIGINT) AS token_id
+           FROM mg GROUP BY token)
+         SELECT token, token_id FROM bi
+         UNION ALL SELECT token, token_id FROM mi
+         ORDER BY token_id, token""",
+    // q178: q169's word-table tokenize under the byte-level
+    // convention (regex pretokens with ordinality, no lowercase/empty
+    // filter), ids through the q177 vocabulary.
+    "q178_bpe_byte_ids" ->
+      s"""WITH ${bpeByteTrainCtes(bpeRounds)},
+         bi AS (SELECT printf('%02X', t.i) AS token,
+             CAST(t.i AS BIGINT) AS token_id FROM range(256) t(i)),
+         mg AS (${(1 to bpeRounds).map(r =>
+           s"SELECT a || b AS token, $r AS r FROM m$r")
+           .mkString(" UNION ALL ")}),
+         mi AS (SELECT token, CAST(min(256 + r - 1) AS BIGINT) AS token_id
+           FROM mg GROUP BY token),
+         voc AS (SELECT token, token_id FROM bi
+           UNION ALL SELECT token, token_id FROM mi),
+         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+             SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+               '${graft.ops.Bpe.byteLevelPattern}') AS ws
+             FROM documents) dw,
+           LATERAL unnest(range(len(dw.ws))) AS u(i)),
+         mt AS (SELECT wx.doc_id, wx.wi, wr.w AS mw
+           FROM wx JOIN w$bpeRounds wr USING (word)),
+         sub AS (SELECT sp.doc_id, sp.wi, u.i AS si, sp.s[u.i+1] AS token
+           FROM (SELECT doc_id, wi, string_split(mw, ' ') AS s FROM mt) sp,
+           LATERAL unnest(range(len(sp.s))) AS u(i)),
+         ids AS (SELECT sub.doc_id, sub.wi, sub.si,
+             coalesce(voc.token_id, -1) AS tid
+           FROM sub LEFT JOIN voc ON voc.token = sub.token),
+         agg AS (SELECT doc_id,
+             string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY wi, si)
+               AS ids_str,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE tid < 0) AS BIGINT) AS n_unk
+           FROM ids GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.ids_str, '') AS ids_str,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_unk, 0) AS n_unk
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""",
     // q170: same planted union, lines via chr(10) split/trim/filter,
     // bigram mode via unnest + GROUP BY (Spark computes it as the
     // longest equal-run of the sorted array — same value), flags
@@ -5915,12 +6000,29 @@ Hosts: %s
     * `word` rides along so q154 can tokenize by joining the final
     * round's table.
     */
-  private def bpeTrainCtes(n: Int): String = {
-    val sb = new StringBuilder
-    sb ++= """w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(?s)(.)', '\1 ', 'g')) AS w, freq FROM (
+  private def bpeTrainCtes(n: Int): String =
+    """w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(?s)(.)', '\1 ', 'g')) AS w, freq FROM (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
           SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '')) AS w
-          FROM documents) GROUP BY 1))"""
+          FROM documents) GROUP BY 1))""" + bpeMergeRoundCtes(n)
+
+  /** BYTE-LEVEL training replay: the w0 histogram pretokenizes with
+    * [[graft.ops.Bpe.byteLevelPattern]] (no lowercase, no empty
+    * filter — regex matches are non-empty) and splits pretokens into
+    * uppercase hex byte pairs; the merge rounds are convention-
+    * independent ([[bpeMergeRoundCtes]]).
+    */
+  private def bpeByteTrainCtes(n: Int): String =
+    s"""w0 AS MATERIALIZED (SELECT word, trim(regexp_replace(hex(encode(word)), '(..)', '\\1 ', 'g')) AS w, freq FROM (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(regexp_extract_all(coalesce(text, ''), '${graft.ops.Bpe.byteLevelPattern}')) AS w
+          FROM documents) GROUP BY 1))""" + bpeMergeRoundCtes(n)
+
+  /** The per-round argmax + padded two-pass replace CTE chain shared
+    * by both conventions' training replays.
+    */
+  private def bpeMergeRoundCtes(n: Int): String = {
+    val sb = new StringBuilder
     for (r <- 1 to n) {
       sb ++= s""",
         m$r AS MATERIALIZED (SELECT a, b, c FROM (

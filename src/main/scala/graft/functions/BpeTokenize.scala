@@ -27,14 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * limit, degrading to the fold's per-occurrence cost in the worst
   * case, never OOM.
   */
-case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.graftbridge.GraftExpectsInputTypes {
   override def acceptedTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_tokenize"
 
-  @transient private lazy val table = BpeTokenizeOps.tableFor(merges)
+  @transient private lazy val table = BpeTokenizeOps.tableFor(merges, byteLevel)
 
   override def nullSafeEval(input: Any): Any =
     BpeTokenizeOps.tokenize(input.asInstanceOf[UTF8String], table)
@@ -52,7 +53,7 @@ case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
     val tableVar = ctx.addMutableState(
       classOf[BpeTokenizeOps.Table].getName, "bpeTable",
       v => s"$v = graft.functions.BpeTokenizeOps$$.MODULE$$.tableFor(" +
-        s"(scala.collection.immutable.Seq) $mergesRef);")
+        s"(scala.collection.immutable.Seq) $mergesRef, $byteLevel);")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.BpeTokenizeOps$$.MODULE$$.tokenize($c, $tableVar)")
   }
@@ -63,21 +64,25 @@ case class BpeTokenizeExpr(child: Expression, merges: Seq[(String, String)])
 
 object BpeTokenizeOps {
 
-  /** Per-vocabulary state: the merge list plus the word cache. */
-  final class Table(val merges: Array[(String, String)]) extends Serializable {
+  /** Per-vocabulary state: the merge list, the convention, and the
+    * word cache.
+    */
+  final class Table(val merges: Array[(String, String)],
+      val byteLevel: Boolean) extends Serializable {
     @transient lazy val cache =
       new java.util.concurrent.ConcurrentHashMap[String, Array[UTF8String]]()
   }
 
-  // One Table per distinct merge list per JVM, so every expression
-  // instance (and every task) shares the word cache. Keyed by the
-  // exact merge sequence — no fingerprint collisions possible.
-  private val tables =
-    new java.util.concurrent.ConcurrentHashMap[Seq[(String, String)], Table]()
+  // One Table per distinct (merge list, convention) per JVM, so every
+  // expression instance (and every task) shares the word cache. Keyed
+  // by the exact merge sequence — no fingerprint collisions possible.
+  private val tables = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[(String, String)], Boolean), Table]()
 
-  def tableFor(merges: Seq[(String, String)]): Table = {
+  def tableFor(merges: Seq[(String, String)], byteLevel: Boolean): Table = {
     if (tables.size() > 64) tables.clear()
-    tables.computeIfAbsent(merges, m => new Table(m.toArray))
+    tables.computeIfAbsent((merges, byteLevel),
+      m => new Table(m._1.toArray, m._2))
   }
 
   /** The merge fold for ONE word — identical semantics to
@@ -108,7 +113,69 @@ object BpeTokenizeOps {
     else t.split(" ").map(UTF8String.fromString)
   }
 
-  def tokenize(text: UTF8String, table: Table): ArrayData = {
+  def tokenize(text: UTF8String, table: Table): ArrayData =
+    if (table.byteLevel) tokenizeBytes(text, table)
+    else tokenizeWords(text, table)
+
+  /** The byte-level merge fold for ONE pretoken: UTF-8 bytes as
+    * uppercase hex pairs ([[graft.ops.Bpe.charSeqBytes]]'s local
+    * twin), then the identical two-pass padded replace.
+    */
+  def applyMergesBytes(word: String,
+      merges: Array[(String, String)]): Array[UTF8String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 3 + 2)
+    sb.append(' ')
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(Character.toUpperCase(Character.forDigit(b >> 4, 16)))
+        .append(Character.toUpperCase(Character.forDigit(b & 0xf, 16)))
+        .append(' ')
+      i += 1
+    }
+    var s = sb.toString
+    var m = 0
+    while (m < merges.length) {
+      val (a, b) = merges(m)
+      val pat = " " + a + " " + b + " "
+      val rep = " " + a + b + " "
+      s = s.replace(pat, rep).replace(pat, rep)
+      m += 1
+    }
+    val t = s.trim
+    if (t.isEmpty) Array.empty
+    else t.split(" ").map(UTF8String.fromString)
+  }
+
+  // The byte-level pretokenizer (graft.ops.Bpe.byteLevelPattern) —
+  // compiled once per JVM; Java and RE2 agree on this lookahead-free
+  // pattern (leftmost-first alternation, ASCII \s, Unicode \p{L}/\p{N}).
+  private val byteLevelRegex = java.util.regex.Pattern.compile(
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+
+  /** Byte-level path: case-preserving, regex pretokens (leading space
+    * stays on the word, whitespace runs are their own pretokens), hex
+    * byte symbols; same per-word cache discipline as the words path.
+    */
+  private def tokenizeBytes(text: UTF8String, table: Table): ArrayData = {
+    val cache = table.cache
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val m = byteLevelRegex.matcher(text.toString)
+    while (m.find()) {
+      val w = m.group()
+      var toks = cache.get(w)
+      if (toks == null) {
+        toks = applyMergesBytes(w, table.merges)
+        if (cache.size() > 4000000) cache.clear()
+        cache.putIfAbsent(w, toks)
+      }
+      out ++= toks
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private def tokenizeWords(text: UTF8String, table: Table): ArrayData = {
     val cache = table.cache
     // UTF8String.toLowerCase = Spark's lower() exactly (HashedLinearOps
     // precedent; Java's full case mapping can diverge on e.g. U+0130).

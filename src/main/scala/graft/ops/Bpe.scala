@@ -63,6 +63,72 @@ object Bpe {
     */
   def charSeq(w: Column): Column = trim(regexp_replace(w, "(?s)(.)", "$1 "))
 
+  // ------------------------------------------------ byte-level option
+
+  /** BYTE-LEVEL convention (the GPT-2 family's): pretokenize with a
+    * category regex that keeps the leading space on a word (so
+    * "world" and " world" learn separate merges — the published
+    * behavior), then split each pretoken into its UTF-8 BYTES, so the
+    * base alphabet is at most 256 symbols and NO input can ever be
+    * out-of-vocabulary. Differences from OpenAI's exact tokenizer,
+    * both deliberate: (1) the contraction alternatives ('s, 't, ...)
+    * and the trailing-whitespace lookahead `\s+(?!\S)` are dropped —
+    * RE2 (the DuckDB oracle's engine) has no lookahead, and the
+    * convention must replay identically in both engines; a whitespace
+    * run therefore tokenizes as its own pretoken. (2) Bytes are
+    * spelled as UPPERCASE HEX PAIRS ("48 65 6C ..."), not GPT-2's
+    * bytes-to-unicode table — hex pairs survive every engine's string
+    * handling verbatim, the merge machinery operates on [0-9A-F]
+    * symbols only, and a hex-pair symbol's id in [[vocabTableByteLevel]]
+    * IS its byte value (sorted order of the 256 pairs = numeric byte
+    * order). No lowercasing — byte-level vocabularies are
+    * case-preserving by construction.
+    */
+  val byteLevelPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Byte-level pretokens of a text column (see [[byteLevelPattern]]). */
+  def pretokenizeByteLevel(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(byteLevelPattern), lit(0))
+
+  /** A pretoken as its initial BYTE symbol sequence: UTF-8 bytes as
+    * space-joined uppercase hex pairs ("He" -> "48 65"). DuckDB
+    * mirror: `trim(regexp_replace(hex(encode(w)), '(..)', '\1 ', 'g'))`.
+    */
+  def charSeqBytes(w: Column): Column =
+    trim(regexp_replace(hex(encode(w, "UTF-8")), "(..)", "$1 "))
+
+  /** Distinct-pretoken histogram under the byte-level convention. */
+  def wordCountsByteLevel(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(pretokenizeByteLevel(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** [[train]] under the byte-level convention — same two pinned-equal
+    * paths, same argmax/merge semantics; only the histogram and the
+    * initial symbol split differ.
+    */
+  def trainByteLevel(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      driverCap: Int = 100000): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val hist = wordCountsByteLevel(df, textCol)
+    if (driverCap > 0) {
+      val sample = hist.limit(driverCap + 1).collect()
+      if (sample.length <= driverCap)
+        return trainLocalSym(
+          sample.map(r => (r.getString(0), r.getLong(1))), numMerges,
+          w => w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => f"${b & 0xff}%02X"))
+    }
+    trainLoop(
+      hist.select(charSeqBytes(col("word")).as("w"), col("freq"))
+        .localCheckpoint(),
+      numMerges)
+  }
+
   /** Two-pass `replace` of " a b " with " ab " on an already-padded
     * symbol string — the fixpoint merge application (see object doc).
     */
@@ -109,9 +175,18 @@ object Bpe {
         return trainLocal(
           sample.map(r => (r.getString(0), r.getLong(1))), numMerges)
     }
-    var words = hist
-      .select(charSeq(col("word")).as("w"), col("freq"))
-      .localCheckpoint()
+    trainLoop(
+      hist.select(charSeq(col("word")).as("w"), col("freq"))
+        .localCheckpoint(),
+      numMerges)
+  }
+
+  /** The distributed merge loop over a (w: space-joined symbols, freq)
+    * relation — convention-independent (both the code-point and the
+    * byte-level paths feed it).
+    */
+  private def trainLoop(words0: DataFrame, numMerges: Int): Seq[Merge] = {
+    var words = words0
     val out = ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
@@ -168,14 +243,18 @@ object Bpe {
   }
 
   private def trainLocal(
-      hist: Array[(String, Long)], numMerges: Int): Seq[Merge] = {
+      hist: Array[(String, Long)], numMerges: Int): Seq[Merge] =
     // Code-POINT split, matching Spark's regexp_replace "(?s)(.)" (Java
     // regex `.` under DOTALL consumes a full surrogate pair, any
     // character) and RE2's UTF-8 dot under (?s).
-    var words = hist.map { case (w, f) =>
-      (w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-        .mkString(" "), f)
-    }
+    trainLocalSym(hist, numMerges,
+      w => w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
+
+  /** Driver-local merge loop over any initial symbol split. */
+  private def trainLocalSym(
+      hist: Array[(String, Long)], numMerges: Int,
+      symbols: String => Array[String]): Seq[Merge] = {
+    var words = hist.map { case (w, f) => (symbols(w).mkString(" "), f) }
     val out = ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
@@ -231,6 +310,19 @@ object Bpe {
         org.apache.spark.sql.graftbridge.Bridge.expression(
           coalesce(text, lit(""))),
         merges.sortBy(_.rank).map(m => (m.a, m.b))))
+
+  /** [[tokenize]] under the byte-level convention — native one-pass
+    * expression with the same per-vocabulary word cache; emits hex-
+    * pair-composed subword symbols. Every emission is a composition
+    * of the 256 byte symbols, so with [[vocabTableByteLevel]] no
+    * input — ANY corpus, any script — can produce an unk.
+    */
+  def tokenizeByteLevel(text: Column, merges: Seq[Merge]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.BpeTokenizeExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          coalesce(text, lit(""))),
+        merges.sortBy(_.rank).map(m => (m.a, m.b)), byteLevel = true))
 
   /** BROADCAST-DICTIONARY tokenize — the form that survives a 50k-merge
     * vocabulary at 100 TB: the corpus's distinct words are tokenized
@@ -363,10 +455,17 @@ object Bpe {
       df: DataFrame, textCol: String, idCol: String,
       merges: Seq[Merge], vocab: DataFrame): DataFrame = {
     val (words, dict) = wordsAndDict(df, textCol, idCol, merges)
-    // Per-distinct-word id arrays: explode the (vocabulary-sized)
-    // dictionary, map each subword through the broadcast vocab, and
-    // re-assemble in subword order — all at dictionary grain, so the
-    // occurrence join below pays nothing extra.
+    idsReassemble(df, idCol, words, dict, vocab)
+  }
+
+  /** Per-distinct-word id arrays: explode the (vocabulary-sized)
+    * dictionary, map each subword through the broadcast vocab, and
+    * re-assemble in subword order — all at dictionary grain, so the
+    * occurrence join pays nothing extra. Shared by both conventions.
+    */
+  private def idsReassemble(
+      df: DataFrame, idCol: String, words: DataFrame, dict: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val dictIds = dict
       .select(col("__w"), posexplode(col("__t")))
       .select(col("__w"), col("pos").as("__sp"), col("col").as("__tok"))
@@ -379,6 +478,49 @@ object Bpe {
         s => s.getField("t")).as("__t"))
     reassemble(df, idCol, words, dictIds.select(col("__w"), col("__t")),
       "token_ids", "array<bigint>")
+  }
+
+  /** The byte-level VOCABULARY: the FULL 256-byte base alphabet takes
+    * ids 0..255 regardless of what the training corpus contained — a
+    * hex pair's id IS its byte value (the 256 pairs sort in numeric
+    * byte order) — and merge r's symbol takes 256 + r - 1, earliest
+    * id winning on duplicate strings. Because every
+    * [[tokenizeByteLevel]] emission is a composition of byte symbols
+    * through the merge table, [[tokenizeToIdsByteLevel]] can emit -1
+    * on NO input, any corpus, by construction.
+    */
+  def vocabTableByteLevel(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val baseIds = (0 until 256).map(b => (f"$b%02X", b.toLong))
+      .toDF("token", "token_id")
+    val mergedIds = merges.sortBy(_.rank)
+      .map(m => (m.a + m.b, 256L + m.rank - 1L))
+      .toDF("token", "__id")
+      .groupBy(col("token")).agg(min(col("__id")).as("token_id"))
+    baseIds.unionByName(mergedIds)
+      .select(col("token"), col("token_id"))
+  }
+
+  /** [[tokenizeToIds]] under the byte-level convention — byte-level
+    * pretokens resolve through a byte-level dictionary; with a
+    * [[vocabTableByteLevel]] vocabulary n_unk = 0 on any input by
+    * construction.
+    */
+  def tokenizeToIdsByteLevel(
+      df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Merge], vocab: DataFrame): DataFrame = {
+    val words = df.select(col(idCol).as("__id"),
+        posexplode(pretokenizeByteLevel(col(textCol))))
+      .select(col("__id"), col("pos").as("__p"), col("col").as("__w"))
+    // Re-pretokenizing a single pretoken yields itself (each regex
+    // alternative's language is closed under re-matching), so the
+    // dictionary fold through the native expression is exact.
+    val dict = graft.core.Caches.persistTracked(
+      words.select(col("__w")).distinct()
+        .select(col("__w"), tokenizeByteLevel(col("__w"), merges).as("__t")))
+    idsReassemble(df, idCol, words, dict, vocab)
   }
 
   /** The pure-Column reference spelling of [[tokenize]] (nested

@@ -662,6 +662,37 @@ class TrainSpec extends SparkSpec {
     assert(p._3 == 6.5 && p._5 == 5.1 && math.abs(p._6 - 1.4) < 1e-9)
   }
 
+  test("byte-level BPE: driver == distributed; no unk on a foreign corpus by construction") {
+    import graft.ops.Bpe
+    val docs = Seq((1L, "Hello World hello"), (2L, "World peace, 123!"))
+      .toDF("doc_id", "text")
+    try {
+      val local = Bpe.trainByteLevel(docs, "text", 8)
+      val dist = Bpe.trainByteLevel(docs, "text", 8, driverCap = 0)
+      assert(local == dist, s"driver $local != distributed $dist")
+      assert(local.nonEmpty)
+      val vocab = Bpe.vocabTableByteLevel(spark, local)
+      assert(vocab.where(col("token_id") < 256).count() == 256L,
+        "full 256-byte base alphabet regardless of corpus")
+      // Foreign corpus: scripts, emoji, control whitespace — nothing
+      // the training corpus contained. Byte fallback must cover it
+      // all: n_unk = 0 by construction, never by luck.
+      val foreign = Seq((9L, "Ünïcôdé 漢字 🙂 tabs\tand\nnewlines"))
+        .toDF("doc_id", "text")
+      val out = Bpe.tokenizeToIdsByteLevel(
+        foreign, "text", "doc_id", local, vocab)
+      val (nTok, nUnk) = out.select(
+          size(col("token_ids")), size(filter(col("token_ids"), i => i < 0)))
+        .as[(Int, Int)].head()
+      assert(nTok > 0 && nUnk == 0, s"nTok=$nTok nUnk=$nUnk")
+      // Case-preserving: byte-level never lowercases, so "Hello" and
+      // "hello" are distinct pretokens in the histogram.
+      val hist = Bpe.wordCountsByteLevel(docs, "text")
+        .as[(String, Long)].collect().toMap
+      assert(hist.contains("Hello") && hist.contains(" hello"))
+    } finally graft.core.Caches.releaseAll()
+  }
+
   // ------------------------------------------- contrastive triplets
 
   test("contrastive triplets compute the blocked cosine pair relation once (persisted)") {
