@@ -3176,10 +3176,19 @@ object SparkEntry {
       // production shortlists trade negative-arm recall for the scan
       // cut (TrainSpec envelope; FLOORS measures the knob at sf10m).
       val emb = embeddings(s, d)
-      val anchors = emb.where(col("vec_id") % 50 === 0)
+      // Scale-adaptive anchor set: the equality pin needs only a
+      // representative anchor sample, and this query runs BOTH arms
+      // by design (2.5x q167's work) — at gate scales (<= 5k vectors)
+      // the modulus stays 50 (q167's), beyond that it grows with the
+      // corpus so the pinned double-mine stays a bounded-cost row
+      // (~100 anchors) instead of 15% of the scale suite. The oracle
+      // derives the same modulus from count(*).
+      val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
+      val anchorMod = math.max(50L, nEmb / 100L)
+      val anchors = emb.where(col("vec_id") % anchorMod === 0)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q175_" +
         java.lang.Integer.toHexString(d.hashCode)
-      val np = adaptivePlanes(parquetRowCount(s, s"$d/embeddings.parquet"))
+      val np = adaptivePlanes(nEmb)
       val plain = graft.ops.ContrastivePairs.hardTripletsAnn(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
         numPlanes = np, nlist = 16, nprobe = 4, k = 64,
@@ -5886,10 +5895,12 @@ Hosts: %s
          FROM embeddings""",
     // q175: the ADC==plain equality holds by construction at a
     // shortlist covering every probed candidate (see the query); the
-    // oracle pins it plus the anchor count.
+    // oracle pins it plus the anchor count under the same scale-
+    // adaptive modulus max(50, n/100).
     "q175_contrastive_ann_adc" ->
-      """SELECT CAST(count(*) FILTER (WHERE vec_id % 50 = 0) AS BIGINT)
-           AS n_anchors,
+      """SELECT CAST(count(*) FILTER (WHERE vec_id %
+             greatest(50, (SELECT count(*) FROM embeddings) // 100) = 0)
+           AS BIGINT) AS n_anchors,
          TRUE AS adc_equals_exact
          FROM embeddings""",
     // q161: same label-blocked pair set (q59's), same

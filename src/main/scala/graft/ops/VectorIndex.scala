@@ -165,14 +165,19 @@ object VectorIndex {
     // Per-query FLAT lut (m x ksub doubles, position sub * ksub +
     // code): the broadcast side of the scoring join; positions of
     // dropped k-means codes fill 0.0 (they never appear in a codes
-    // array).
+    // array). ip coalesces to 0.0 BEFORE collect_list: a null-
+    // embedding query yields null inner products, and collect_list
+    // skips nulls while the key list keeps its positions — a
+    // mismatched MapData crash (NullSweep catch). The 0 scores are
+    // inert: such a query's exact rescore is null-cosine and drops at
+    // every downstream threshold, exactly like the plain probe path.
     val lutArr = ProductQuantize.adcLut(
         queries.select(col(qIdCol), col(qEmbCol)), books, m, dim,
         queryEmbCol = qEmbCol, queryIdCol = qIdCol)
       .groupBy(col("q_id"))
       .agg(map_from_arrays(
         collect_list(col("sub") * ksub + col("code_id")),
-        collect_list(col("ip"))).as("__lm"))
+        collect_list(coalesce(col("ip"), lit(0.0d)))).as("__lm"))
       .select(col("q_id"),
         transform(sequence(lit(0), lit(m * ksub - 1)),
           p => coalesce(element_at(col("__lm"), p), lit(0.0d))).as("__lut"))

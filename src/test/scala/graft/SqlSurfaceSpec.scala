@@ -124,8 +124,24 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM repetition_funnel('tvf_docs', 'text', 'doc_id', 30, 20)",
       graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
         graft.ops.QualityFilter.repetitionRules(col("text"), 30, 20)))
+    pin("SELECT * FROM gopher_repetition_funnel('tvf_docs', 'text', 'doc_id')",
+      graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
+        graft.ops.QualityFilter.gopherRepetitionRulesFull(col("text"))))
     pin("SELECT * FROM remove_boilerplate('tvf_docs', 'text', 'doc_id', 2)",
       graft.ops.Boilerplate.removeCommonLines(docs, "text", "doc_id", 2L))
+    // Scalar additions: the multi-n repetition vector and the sorted-
+    // array binary-search membership probe.
+    pin("SELECT doc_id, multi_ngram_stats(text, 2, 3) AS v FROM tvf_docs",
+      docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.multiNgramStats(col("text"), Seq(2, 3)).as("v")))
+    pin("SELECT sorted_contains(CAST(array(1, 3, 7) AS ARRAY<BIGINT>), " +
+      "CAST(doc_id AS BIGINT)) AS hit FROM tvf_docs",
+      docs.select(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.SortedContainsExpr(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            array(lit(1L), lit(3L), lit(7L))),
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            col("doc_id").cast("long")))).as("hit")))
     docs.withColumn("y", (col("doc_id") % 2).cast("long"))
       .createOrReplaceTempView("tvf_labeled")
     pin("SELECT * FROM train_classifier('tvf_labeled', 'text', 'doc_id', 'y', 32, 2)",
