@@ -3136,6 +3136,42 @@ object SparkEntry {
             .as("n_unk"))
         .orderBy(col("doc_id"))
     }),
+    "q179_c4_line_filter" -> ((s, d) => {
+      // §2.11 quality: the C4 line-heuristic pass (Raffel et al. 2020
+      // §2.2) — terminal-punctuation + >=3-word + no-"javascript" line
+      // retention, then the page funnel (< 5 sentences / lorem ipsum /
+      // curly brace) in documented order. Map-only; sentence count =
+      // terminal marks in the CLEANED text (documented convention,
+      // mirrored in the oracle). PLANTS: %23==1 six well-formed
+      // sentences (the keep path — organic synthetic text rarely ends
+      // lines in terminals), %23==2 adds a lorem-ipsum line, %23==3
+      // adds a curly-brace code line.
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val toks = graft.ops.Lexical.tokens(col("text"))
+      val sentence = concat(array_join(slice(toks, 1, 8), " "), lit("."))
+      val sixLines = array_join(array_repeat(sentence, 6), "\n")
+      val plantedGood = docs0.where(col("doc_id") % 23 === 1)
+        .select((col("doc_id") + (1L << 40)).as("doc_id"),
+          sixLines.as("text"))
+      val plantedLorem = docs0.where(col("doc_id") % 23 === 2)
+        .select((col("doc_id") + (1L << 41)).as("doc_id"),
+          concat(sixLines, lit("\nLorem Ipsum dolor sit amet."))
+            .as("text"))
+      val plantedCurly = docs0.where(col("doc_id") % 23 === 3)
+        .select((col("doc_id") + (1L << 42)).as("doc_id"),
+          concat(sixLines, lit("\nif (x) { return 0; }")).as("text"))
+      val st = graft.ops.C4Filter.lineCleanStats(col("text"))
+      docs0.unionByName(plantedGood).unionByName(plantedLorem)
+        .unionByName(plantedCurly)
+        .select(col("doc_id"),
+          st.getField("clean_text").as("clean_text"),
+          st.getField("n_lines").as("n_lines"),
+          st.getField("n_kept").as("n_kept"),
+          st.getField("n_sentences").as("n_sentences"),
+          graft.ops.QualityFilter.verdict(
+            graft.ops.C4Filter.c4Rules(col("text"))).as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
     "q176_boilerplate_store" -> ((s, d) => {
       // §2.11 quality: q171 against the MATERIALIZED line-stats store
       // — boilerplate counts as corpus-version state (the q141 corpus-
@@ -5500,6 +5536,57 @@ Hosts: %s
            coalesce(agg.n_unk, 0) AS n_unk
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY d.doc_id""",
+    // q179: same plants; line retention via substr-last + word count +
+    // contains, sentence count = terminal marks in the cleaned text,
+    // page funnel as a CASE in documented order.
+    "q179_c4_line_filter" ->
+      """WITH toks0 AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '') AS t
+           FROM documents),
+         sent AS (SELECT doc_id, array_to_string(t[1:8], ' ') || '.' AS sl
+           FROM toks0),
+         pg AS (SELECT doc_id + 1099511627776 AS doc_id,
+             array_to_string([sl, sl, sl, sl, sl, sl], chr(10)) AS text
+           FROM sent WHERE doc_id % 23 = 1),
+         pl AS (SELECT doc_id + 2199023255552 AS doc_id,
+             array_to_string([sl, sl, sl, sl, sl, sl], chr(10)) ||
+               chr(10) || 'Lorem Ipsum dolor sit amet.' AS text
+           FROM sent WHERE doc_id % 23 = 2),
+         pc AS (SELECT doc_id + 4398046511104 AS doc_id,
+             array_to_string([sl, sl, sl, sl, sl, sl], chr(10)) ||
+               chr(10) || 'if (x) { return 0; }' AS text
+           FROM sent WHERE doc_id % 23 = 3),
+         src AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id, text FROM pg
+           UNION ALL SELECT doc_id, text FROM pl
+           UNION ALL SELECT doc_id, text FROM pc),
+         ln AS (SELECT doc_id, text, list_filter(list_transform(
+             string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
+             x -> x <> '') AS ls FROM src),
+         kp AS (SELECT doc_id, text, ls, list_filter(ls, l ->
+             substr(l, length(l), 1) IN ('.', '!', '?', '"')
+             AND len(list_filter(string_split_regex(l, '\s+'),
+               w -> w <> '')) >= 3
+             AND NOT contains(lower(l), 'javascript')) AS ks FROM ln),
+         st AS (SELECT doc_id, text,
+             -- DuckDB's array_to_string yields NULL on an empty list
+             -- (Spark: '') — coalesce, or every cleaned-to-nothing doc
+             -- NULL-falls through the CASE to 'pass'.
+             coalesce(array_to_string(ks, chr(10)), '') AS clean_text,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(ks) AS BIGINT) AS n_kept,
+             CAST(length(coalesce(array_to_string(ks, chr(10)), '')) -
+               length(regexp_replace(
+                 coalesce(array_to_string(ks, chr(10)), ''),
+                 '[.!?]', '', 'g')) AS BIGINT) AS n_sentences
+           FROM kp)
+         SELECT doc_id, clean_text, n_lines, n_kept, n_sentences,
+           CASE WHEN n_sentences < 5 THEN 'too_few_sentences'
+             WHEN contains(lower(coalesce(text, '')), 'lorem ipsum')
+               THEN 'lorem_ipsum'
+             WHEN contains(text, '{') THEN 'curly_brace'
+             ELSE 'pass' END AS verdict
+         FROM st ORDER BY doc_id""",
     // q177: byte-level training replay (bpeByteTrainCtes); base ids =
     // the full 256 hex pairs at their byte values, merge ids at
     // 256 + r - 1 with earliest-id-wins on duplicate strings.
