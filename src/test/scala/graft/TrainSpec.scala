@@ -416,6 +416,36 @@ class TrainSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, 0L, 0L)))
   }
 
+  test("C4 line heuristics: retention rules, sentence count, page funnel order") {
+    import graft.ops.{C4Filter, QualityFilter}
+    val good = (1 to 6).map(i => s"this is sentence number $i today.")
+      .mkString("\n")
+    val df = Seq(
+      (1L, good),                                    // pass
+      (2L, s"$good\nshort line\nno terminal here"),  // bad lines drop, still pass
+      (3L, s"$good\nembedded javascript code runs."),// js line drops, pass
+      (4L, "one two three.\nfour five six!"),        // 2 sentences < 5
+      (5L, s"$good\nas seen in Lorem Ipsum text."),  // lorem fires after sentences pass
+      (6L, s"$good\nvar x = { a: 1 }."),             // curly fires (line itself kept)
+      (7L, ""), (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = C4Filter.lineCleanStats(col("text"))
+    val got = df.select(col("doc_id"),
+        st.getField("n_lines"), st.getField("n_kept"),
+        st.getField("n_sentences"),
+        QualityFilter.verdict(C4Filter.c4Rules(col("text"))).as("v"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 6L, 6L, 6L, "pass")))
+    assert(got(1) == ((2L, 8L, 6L, 6L, "pass")))
+    assert(got(2) == ((3L, 7L, 6L, 6L, "pass")))
+    assert(got(3) == ((4L, 2L, 2L, 2L, "too_few_sentences")))
+    assert(got(4) == ((5L, 7L, 7L, 7L, "lorem_ipsum")))
+    assert(got(5) == ((6L, 7L, 7L, 7L, "curly_brace")))
+    assert(got(6) == ((7L, 0L, 0L, 0L, "too_few_sentences")))
+    assert(got(7) == ((8L, 0L, 0L, 0L, "too_few_sentences")))
+  }
+
   // ------------------------------------------- boilerplate lines
 
   test("cross-document boilerplate lines strip order-preserving; within-doc repeats survive") {
