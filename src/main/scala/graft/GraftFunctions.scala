@@ -80,7 +80,8 @@ object GraftFunctions {
       graft.functions.NgramRepetitionExpr(args(0), intLit(args(1), "n")) },
     // Multi-n repetition vector in ONE tokenize pass:
     // multi_ngram_stats(text, n1, n2, ...) -> [n_tokens, sum_chars,
-    // then per n: total, top, dup, dup_chars].
+    // then per n: total, top, top_chars, dup, dup_chars] (the
+    // authoritative layout is MultiNgramStatsExpr's Scaladoc).
     "multi_ngram_stats" -> { args =>
       if (args.length < 2) throw new IllegalArgumentException(
         s"multi_ngram_stats expects (text, n...), got ${args.length} args")

@@ -2317,8 +2317,8 @@ object SparkEntry {
         .select((col("doc_id") + 300000L).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text"))
       val batch = fresh.unionByName(replay).unionByName(nearMiss)
-      val prefix = "graft_idx_q141"
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q141_" +
+      val prefix = s"graft_idx_q141_$runToken"
+      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
         java.lang.Integer.toHexString(d.hashCode)
       Dedup.writeCorpusIndex(corpus, "text", "doc_id", threshold = 0.8,
         shingleN = 3, tablePrefix = prefix, basePath = base)
@@ -2424,8 +2424,8 @@ object SparkEntry {
       // STORE machinery end to end (build + catalog + bucketed scan +
       // rank), fresh tables per run for hermetic Verify/Bench.
       val emb = embeddings(s, d)
-      val prefix = "graft_idx_q144"
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q144_" +
+      val prefix = s"graft_idx_q144_$runToken"
+      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
         java.lang.Integer.toHexString(d.hashCode)
       graft.ops.VectorIndex.writeIvfIndex(emb, "embedding", "vec_id",
         nlist = 16, refineIters = 1, tablePrefix = prefix, basePath = base)
@@ -2678,7 +2678,7 @@ object SparkEntry {
       // from-scratch.
       val docs = documents(s, d)
       val batch = docs.where(isFamilyBatch(col("doc_id")))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_fam_q156_" +
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_fam_q156_${runToken}_" +
         java.lang.Integer.toHexString(d.hashCode)
       familyPrior(s, d).write.mode("overwrite").parquet(base)
       val prior = s.read.parquet(base)
@@ -2858,24 +2858,35 @@ object SparkEntry {
       // bounded anchor set with NO label blocking and NO Σ|block|²
       // stage — positives probed from LSH sign buckets (anchor-side
       // multi-probe R-S join), hard negatives from the materialized
-      // IVF index (best probed neighbor below the threshold). Pair
-      // volume ∝ anchors × bucket size + anchors × corpus × nprobe /
-      // nlist. LSH/IVF recall < 1 by design, so the oracle is the
+      // IVFADC index (PQ-code scan → top-`shortlist` ADC prefilter →
+      // exact rescore; q175 pins ADC == the plain probe at a covering
+      // shortlist, and FLOORS measured the un-prefiltered arm at
+      // 79.4s vs the ADC arm's 24.0s at sf10m — so since round 12 the
+      // ADC path IS the default, the round-11 #1 ask). Pair volume ∝
+      // anchors × bucket size + anchors × shortlist (exact-cosine
+      // stage; the PQ scan stays ∝ anchors × corpus × nprobe / nlist
+      // but touches m=4 small ints per row). shortlist = 1024 = 16×k:
+      // ≥ the probed candidate count at gate scale (≤ ~5k vectors, so
+      // ADC == plain there and the TrainSpec recall floor is
+      // unchanged); beyond that it is the documented recall/scan-cut
+      // knob. LSH/IVF/ADC recall < 1 by design, so the oracle is the
       // q67-discipline SOUNDNESS envelope: every emitted triplet
       // re-verified against the raw embeddings (cosines exact on the
-      // 4-decimal grid, positive >= threshold > negative, ids
+      // 4-decimal grid — the ADC rescore is exact, so soundness is
+      // shortlist-independent; positive >= threshold > negative, ids
       // distinct, one triplet per anchor); the exact-parameter
       // equivalence to the blocked form is TrainSpec's pin.
       import graft.functions.VectorFunctions.vecCosine
       val emb = embeddings(s, d)
       val anchors = emb.where(col("vec_id") % 50 === 0)
-      val prefix = "graft_idx_q167"
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q167_" +
+      val prefix = s"graft_idx_q167_$runToken"
+      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
         java.lang.Integer.toHexString(d.hashCode)
-      val trip = graft.ops.ContrastivePairs.hardTripletsAnn(
+      val trip = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
         numPlanes = adaptivePlanes(parquetRowCount(s, s"$d/embeddings.parquet")),
         nlist = 16, nprobe = 4, k = 64,
+        shortlist = 1024, m = 4, ksub = 16, dim = 64,
         tablePrefix = prefix, basePath = base)
       val ver = trip
         .join(emb.select(col("vec_id").as("anchor_id"),
@@ -3188,8 +3199,8 @@ object SparkEntry {
           when(col("doc_id") % 5 === 3,
             lit("\nall rights reserved worldwide")).otherwise(lit("")))
           .as("text"))
-      val prefix = "graft_linestats_q176"
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_linestats_" +
+      val prefix = s"graft_linestats_q176_$runToken"
+      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
         java.lang.Integer.toHexString(d.hashCode)
       graft.ops.Boilerplate.writeLineStats(
         withFooters.where(col("doc_id") % 2 === 0), "text", "doc_id",
@@ -3202,15 +3213,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q175_contrastive_ann_adc" -> ((s, d) => {
-      // §2.11 training-data: q167's negative arm behind the IVFADC
-      // shortlist prefilter (the q90/q91 PQ machinery materialized
-      // into the vector index: probe scans m=4 codes per row, ADC
-      // top-shortlist, exact rescore only the shortlist). The 2^20
-      // shortlist covers every probed candidate on any gate corpus by
-      // construction, so ADC-prefiltered == the plain probe EXACTLY —
-      // the oracle pins that equality (exceptAll both ways empty);
-      // production shortlists trade negative-arm recall for the scan
-      // cut (TrainSpec envelope; FLOORS measures the knob at sf10m).
+      // §2.11 training-data: the IVFADC negative arm (the q90/q91 PQ
+      // machinery materialized into the vector index: probe scans m=4
+      // codes per row, ADC top-shortlist, exact rescore only the
+      // shortlist) EQUALITY-PINNED against the un-prefiltered plain
+      // probe — since round 12 the ADC path is q167's default, and
+      // THIS row is the proof it loses nothing: the scale-adaptive
+      // max(2^20, nEmb) shortlist covers every probed candidate
+      // (≈ nEmb × nprobe / nlist) at every scale by construction, so
+      // ADC-prefiltered == the plain probe EXACTLY — the oracle pins
+      // that equality (exceptAll both ways empty); production
+      // shortlists (q167's 1024) trade negative-arm recall for the
+      // scan cut (TrainSpec envelope; FLOORS measures the knob at
+      // sf10m).
       val emb = embeddings(s, d)
       // Scale-adaptive anchor set: the equality pin needs only a
       // representative anchor sample, and this query runs BOTH arms
@@ -3222,18 +3237,25 @@ object SparkEntry {
       val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
       val anchorMod = math.max(50L, nEmb / 100L)
       val anchors = emb.where(col("vec_id") % anchorMod === 0)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q175_" +
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q175_${runToken}_" +
         java.lang.Integer.toHexString(d.hashCode)
       val np = adaptivePlanes(nEmb)
+      // SCALE-ADAPTIVE covering shortlist (advisor round-11): the
+      // probed candidate count per anchor is ≈ nEmb × nprobe / nlist
+      // = nEmb / 4, so max(2^20, nEmb) covers every probed candidate
+      // at EVERY scale — a fixed 2^20 only covered it while
+      // nEmb ≲ 4.2M, past which the equality pin would silently
+      // truncate and flip false on a correct implementation.
+      val covering = math.min(math.max(1L << 20, nEmb), Int.MaxValue.toLong).toInt
       val plain = graft.ops.ContrastivePairs.hardTripletsAnn(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
         numPlanes = np, nlist = 16, nprobe = 4, k = 64,
-        tablePrefix = "graft_idx_q175p", basePath = s"${base}_p")
+        tablePrefix = s"graft_idx_q175p_$runToken", basePath = s"${base}_p")
       val adc = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
         numPlanes = np, nlist = 16, nprobe = 4, k = 64,
-        shortlist = 1 << 20, m = 4, ksub = 16, dim = 64,
-        tablePrefix = "graft_idx_q175a", basePath = s"${base}_a")
+        shortlist = covering, m = 4, ksub = 16, dim = 64,
+        tablePrefix = s"graft_idx_q175a_$runToken", basePath = s"${base}_a")
       anchors.agg(count(lit(1)).as("n_anchors"))
         .crossJoin(
           adc.exceptAll(plain).agg(count(lit(1)).as("__d1"))
@@ -3241,10 +3263,99 @@ object SparkEntry {
             .select((col("__d1") === 0 && col("__d2") === 0)
               .as("adc_equals_exact")))
     }),
+    "q180_token_decontamination" -> ((s, d) => {
+      // §2.11 benchmark decontamination on TOKENIZER n-grams (GPT-3
+      // App. C convention: overlap is defined on token n-grams of the
+      // production tokenizer, not whitespace words): the corpus trains
+      // the byte-level BPE (q177/q178's exact path), both splits
+      // encode to integer ids at dictionary grain, and the eval set's
+      // distinct id 4-grams broadcast against the map-only exploded
+      // train side — q79's shape, one level below words. The word-
+      // trigram arm (q79's op verbatim) rides along so the output
+      // SHOWS the gap: the planted train docs (constant VALUES rows,
+      // replayed verbatim by the oracle) share ONLY the rare word
+      // "zqvxkwpthj" with the planted eval probe — word trigrams
+      // cannot fire on a single shared word (both plants' context
+      // words are disjoint nonsense), but the word's subword ids form
+      // shared id 4-grams, so tok_contaminated = true /
+      // word_contaminated = false on every planted row at any scale.
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val plantTrain = Seq(
+        ((1L << 41) + 1L, "qqalpha qqbeta zqvxkwpthj qqgamma qqdelta"),
+        ((1L << 41) + 2L, "qqepsilon qqzeta zqvxkwpthj qqeta qqtheta"),
+        ((1L << 41) + 3L, "qqiota qqkappa zqvxkwpthj qqlambda qqmu"))
+        .toDF("doc_id", "text")
+      val plantEval = Seq(((1L << 42) + 1L,
+        "rrone rrtwo zqvxkwpthj rrthree rrfour")).toDF("doc_id", "text")
+      val eval = docs.where(col("doc_id") % 97 === 0).unionByName(plantEval)
+      val train = docs.where(col("doc_id") % 97 =!= 0).unionByName(plantTrain)
+      val merges = graft.ops.Bpe.trainByteLevel(docs, "text", bpeRounds)
+      val vocab = graft.ops.Bpe.vocabTableByteLevel(s, merges)
+      val tok = graft.ops.Decontaminate.tokenIdNgramOverlap(
+        train, eval, "text", "doc_id", merges, vocab, 4)
+      val word = graft.ops.Decontaminate.ngramOverlap(
+        train, eval, "text", "doc_id", 3)
+      tok.select(col("doc_id"), col("n_shared").as("n_tok_shared"),
+          col("contaminated").as("tok_contaminated"))
+        .join(word.select(col("doc_id"), col("n_shared").as("n_word_shared"),
+          col("contaminated").as("word_contaminated")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q181_semantic_clusters_indexed" -> ((s, d) => {
+      // §2.11 SemDeDup riding the MATERIALIZED IVFADC index (the
+      // round-11 verdict's item 6): q88's cluster/keep relation with
+      // the pair family mined by Components.dedupClustersIndexed —
+      // index build → every vector probes as a query → ADC shortlist →
+      // exact rescore → pairs at cosine ≥ 0.4 → closure. Run in EXACT
+      // MODE (nprobe = nlist, k = shortlist = |subset|), so the pair
+      // family is precisely every ≥-threshold pair and the closure
+      // equals the UNBLOCKED exact form — which the oracle recomputes
+      // in full value (the q90 exact-mode discipline; q88's label-
+      // blocked closure is the recall-limited sibling this row
+      // supersedes at corpus scale). SCALE-ADAPTIVE subset (the q175
+      // anchor discipline): the double-arm pin is bounded at ~2000
+      // vectors at every scale (mod = max(1, n/2000), identity at
+      // gate scales); production deployments run the SAME operator
+      // over the full corpus at production knobs, where emitted pairs
+      // stay sound and a missed edge can only split a cluster, never
+      // invent a merge (OpsSpec pins that envelope).
+      val emb = embeddings(s, d)
+      val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
+      val mod = math.max(1L, nEmb / 2000L)
+      val sub = emb.where(col("vec_id") % mod === 0)
+      // Exact-mode k must cover the measured subset (id distributions
+      // under ScaleUp are not guaranteed uniform mod `mod`); one
+      // bounded count() buys the by-construction equality.
+      val nSub = math.max(1L, sub.count())
+      val kCap = math.min(nSub, Int.MaxValue.toLong).toInt
+      val prefix = s"graft_idx_q181_$runToken"
+      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.Components.dedupClustersIndexed(sub, "embedding", "vec_id",
+          threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
+          shortlist = kCap, m = 4, ksub = 16, dim = 64,
+          tablePrefix = prefix, basePath = base)
+        .orderBy(col("vec_id"))
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
   private val bpeRounds = 20
+
+  /** RUN-UNIQUE namespace token for every query that materializes
+    * catalog tables / tmpdir paths (the index-writing rows q141, q144,
+    * q156, q167, q175, q176, q181): two concurrent suite runs on one
+    * host must not collide on `java.io.tmpdir` paths or on Derby-backed
+    * catalog table names (advisor round-11 note — the prefixes were
+    * fixed strings). Per-JVM stable so in-JVM re-runs of a query stay
+    * idempotent (every writer uses overwrite mode); pid + nanotime
+    * makes cross-JVM collision practically impossible. Naming only —
+    * results never depend on it.
+    */
+  private[graft] val runToken: String =
+    java.lang.Long.toHexString(ProcessHandle.current().pid()) + "t" +
+      java.lang.Long.toHexString(System.nanoTime() & 0xffffffffL)
 
   /** The corpus/batch split shared by the q150/q156/q162 incremental
     * family suite (batch = doc_id % 10 >= 8).
@@ -5990,6 +6101,102 @@ Hosts: %s
            AS BIGINT) AS n_anchors,
          TRUE AS adc_equals_exact
          FROM embeddings""",
+    // q180: FULL-VALUE replay of train -> byte-level tokenize -> id
+    // 4-gram overlap (the q177/q178 CTE machinery, plus a tv-chain
+    // applying the learned merges to the PLANTED pretokens the
+    // training corpus never saw) next to the q79 word-trigram arm —
+    // the planted rows must read tok_contaminated=true,
+    // word_contaminated=false.
+    "q180_token_decontamination" ->
+      s"""WITH ${bpeByteTrainCtes(bpeRounds)},
+         bi AS (SELECT printf('%02X', t.i) AS token,
+             CAST(t.i AS BIGINT) AS token_id FROM range(256) t(i)),
+         mg AS (${(1 to bpeRounds).map(r =>
+           s"SELECT a || b AS token, $r AS r FROM m$r")
+           .mkString(" UNION ALL ")}),
+         mi AS (SELECT token, CAST(min(256 + r - 1) AS BIGINT) AS token_id
+           FROM mg GROUP BY token),
+         voc AS (SELECT token, token_id FROM bi
+           UNION ALL SELECT token, token_id FROM mi),
+         src AS (SELECT doc_id, text, doc_id % 97 = 0 AS is_eval
+             FROM documents
+           UNION ALL SELECT * FROM (VALUES
+             (CAST(2199023255553 AS BIGINT),
+              'qqalpha qqbeta zqvxkwpthj qqgamma qqdelta', FALSE),
+             (CAST(2199023255554 AS BIGINT),
+              'qqepsilon qqzeta zqvxkwpthj qqeta qqtheta', FALSE),
+             (CAST(2199023255555 AS BIGINT),
+              'qqiota qqkappa zqvxkwpthj qqlambda qqmu', FALSE),
+             (CAST(4398046511105 AS BIGINT),
+              'rrone rrtwo zqvxkwpthj rrthree rrfour', TRUE))
+             v(doc_id, text, is_eval)),
+         ${bpeByteApplyCtes(bpeRounds, "src")},
+         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+             SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+               '${graft.ops.Bpe.byteLevelPattern}') AS ws
+             FROM src) dw,
+           LATERAL unnest(range(len(dw.ws))) AS u(i)),
+         sub AS (SELECT sp.doc_id, sp.wi, u.i AS si, sp.s[u.i+1] AS token
+           FROM (SELECT wx.doc_id, wx.wi, string_split(tv.w, ' ') AS s
+             FROM wx JOIN tv$bpeRounds tv USING (word)) sp,
+           LATERAL unnest(range(len(sp.s))) AS u(i)),
+         ids AS (SELECT sub.doc_id, sub.wi, sub.si, voc.token_id AS tid
+           FROM sub JOIN voc ON voc.token = sub.token),
+         idl AS (SELECT doc_id, list(tid ORDER BY wi, si) AS ids
+           FROM ids GROUP BY 1),
+         tg AS (SELECT idl.doc_id,
+             array_to_string(ids[u.i+1:u.i+4], ' ') AS g
+           FROM idl, LATERAL unnest(range(greatest(len(ids) - 3, 0)))
+             AS u(i)),
+         teg AS (SELECT DISTINCT tg.g FROM tg JOIN src USING (doc_id)
+           WHERE src.is_eval),
+         th AS (SELECT tg.doc_id, CAST(count(DISTINCT tg.g) AS BIGINT)
+             AS n_tok
+           FROM tg JOIN src USING (doc_id) JOIN teg ON teg.g = tg.g
+           WHERE NOT src.is_eval GROUP BY 1),
+         wtoks AS (SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS t
+           FROM src),
+         wg AS (SELECT doc_id, unnest(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> array_to_string(t[i:i+2], ' '))) AS g FROM wtoks),
+         weg AS (SELECT DISTINCT wg.g FROM wg JOIN src USING (doc_id)
+           WHERE src.is_eval),
+         wh AS (SELECT wg.doc_id, CAST(count(DISTINCT wg.g) AS BIGINT)
+             AS n_word
+           FROM wg JOIN src USING (doc_id) JOIN weg ON weg.g = wg.g
+           WHERE NOT src.is_eval GROUP BY 1)
+         SELECT s.doc_id, coalesce(th.n_tok, 0) AS n_tok_shared,
+           coalesce(th.n_tok, 0) > 0 AS tok_contaminated,
+           coalesce(wh.n_word, 0) AS n_word_shared,
+           coalesce(wh.n_word, 0) > 0 AS word_contaminated
+         FROM src s LEFT JOIN th USING (doc_id) LEFT JOIN wh USING (doc_id)
+         WHERE NOT s.is_eval ORDER BY s.doc_id""",
+    // q181: exact-mode index-backed SemDeDup == the UNBLOCKED exact
+    // closure over the same scale-adaptive subset (q88's recursive-CTE
+    // machinery with a constant block and the mod filter).
+    "q181_semantic_clusters_indexed" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % greatest(1,
+             (SELECT count(*) FROM embeddings) // 2000) = 0),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach(v, r) AS (
+           SELECT vec_id, vec_id FROM e0
+           UNION
+           SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u),
+         comp AS (SELECT v AS vec_id, min(r) AS component
+           FROM reach GROUP BY v),
+         sz AS (SELECT component, count(*) AS cluster_size
+           FROM comp GROUP BY 1)
+         SELECT comp.vec_id, comp.component, sz.cluster_size,
+           comp.vec_id = comp.component AS is_canonical
+         FROM comp JOIN sz USING (component)
+         ORDER BY comp.vec_id""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.
     "q161_contrastive_triplets" ->
@@ -6115,6 +6322,27 @@ Hosts: %s
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
           SELECT unnest(regexp_extract_all(coalesce(text, ''), '${graft.ops.Bpe.byteLevelPattern}')) AS w
           FROM documents) GROUP BY 1))""" + bpeMergeRoundCtes(n)
+
+  /** Apply the already-learned m1..mN merge relations to EVERY
+    * distinct byte-level pretoken of `srcTable` — the TOKENIZE side of
+    * the byte-level replay for inputs the training corpus never saw
+    * (q180's planted rows): tv0 = the spaced-hex initial symbols of
+    * the source's own pretoken vocabulary, tvR = round R's padded
+    * two-pass replace. Unlike [[bpeByteTrainCtes]]'s w-chain (which
+    * only carries the TRAINING corpus's words), the tv-chain covers
+    * the full input vocabulary, mirroring
+    * [[graft.ops.Bpe.tokenizeToIdsByteLevel]]'s dictionary build.
+    */
+  private def bpeByteApplyCtes(n: Int, srcTable: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""tv0 AS MATERIALIZED (SELECT word, trim(regexp_replace(hex(encode(word)), '(..)', '\\1 ', 'g')) AS w FROM (
+        SELECT DISTINCT unnest(regexp_extract_all(coalesce(text, ''), '${graft.ops.Bpe.byteLevelPattern}')) AS word FROM $srcTable))"""
+    for (r <- 1 to n) {
+      sb ++= s""",
+        tv$r AS MATERIALIZED (SELECT word, trim(replace(replace(' ' || w || ' ', ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')) AS w FROM tv${r - 1}, m$r m)"""
+    }
+    sb.toString
+  }
 
   /** The per-round argmax + padded two-pass replace CTE chain shared
     * by both conventions' training replays.

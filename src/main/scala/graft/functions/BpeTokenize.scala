@@ -148,11 +148,14 @@ object BpeTokenizeOps {
     else t.split(" ").map(UTF8String.fromString)
   }
 
-  // The byte-level pretokenizer (graft.ops.Bpe.byteLevelPattern) —
-  // compiled once per JVM; Java and RE2 agree on this lookahead-free
-  // pattern (leftmost-first alternation, ASCII \s, Unicode \p{L}/\p{N}).
-  private val byteLevelRegex = java.util.regex.Pattern.compile(
-    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+")
+  // The byte-level pretokenizer — compiled once per JVM from the ONE
+  // authoritative string (graft.ops.Bpe.byteLevelPattern, also
+  // interpolated into the DuckDB oracle); Java and RE2 agree on the
+  // lookahead-free pattern (leftmost-first alternation, an explicit
+  // whitespace class — never `\s`, whose Java/RE2 semantics differ on
+  // VT — and Unicode \p{L}/\p{N}).
+  private val byteLevelRegex =
+    java.util.regex.Pattern.compile(graft.ops.Bpe.byteLevelPattern)
 
   /** Byte-level path: case-preserving, regex pretokens (leading space
     * stays on the word, whitespace runs are their own pretokens), hex

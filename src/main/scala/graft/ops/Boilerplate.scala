@@ -128,7 +128,16 @@ object Boilerplate {
     * APPEND CONTRACT: batches carry NEW documents (append-only corpus
     * ingest — the same contract as [[Dedup.appendToCorpusIndex]]), so
     * distinct-doc counts ADD across batches; re-appending the same
-    * documents would double-count them.
+    * documents would double-count them. Each partial row carries a
+    * `batch_id` (-1 for the base write and untracked appends): a
+    * WRITER that stamps a real batch id can probe
+    * [[lineStatsHasBatch]] before appending and skip a replayed
+    * batch whose partials already committed — the recovery seam
+    * [[graft.streaming.StreamingOps.lineStatsStoreSink]] uses (summed
+    * counts are not idempotent, so an at-least-once append would
+    * otherwise double-count after a crash between the stats append
+    * and the writer's own progress marker). [[storedLineStats]] sums
+    * across batch ids, so the column is free at read time.
     */
   def writeLineStats(
       df: DataFrame,
@@ -141,7 +150,7 @@ object Boilerplate {
     def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
         name: String) =
       if (basePath == null) w else w.option("path", s"$basePath/$name")
-    path(lineStats(df, textCol, idCol)
+    path(lineStats(df, textCol, idCol).withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").format("parquet"), "stats")
       .bucketBy(numBuckets, "line_hash").sortBy("line_hash")
       .saveAsTable(s"${tablePrefix}_stats")
@@ -171,20 +180,34 @@ object Boilerplate {
 
   /** Append a NEW batch's partial counts (see the append contract on
     * [[writeLineStats]]) — one skinny batch-grain aggregation, no
-    * history read.
+    * history read. `batchId` stamps the partials for replay detection
+    * ([[lineStatsHasBatch]]); the -1 default means untracked.
     */
   def appendToLineStats(
       batch: DataFrame,
       textCol: String,
       idCol: String,
-      tablePrefix: String = "graft_line_stats"): Unit = {
+      tablePrefix: String = "graft_line_stats",
+      batchId: Long = -1L): Unit = {
     val spark = batch.sparkSession
     val nb = spark.table(s"${tablePrefix}_meta").head().getAs[Int]("num_buckets")
-    lineStats(batch, textCol, idCol)
+    lineStats(batch, textCol, idCol).withColumn("batch_id", lit(batchId))
       .write.mode("append").format("parquet")
       .bucketBy(nb, "line_hash").sortBy("line_hash")
       .saveAsTable(s"${tablePrefix}_stats")
   }
+
+  /** Whether a [[appendToLineStats]] with this `batchId` already
+    * committed — a bounded existence probe (limit-1 over the skinny
+    * partials table); the idempotent-replay guard for at-least-once
+    * writers.
+    */
+  def lineStatsHasBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String,
+      batchId: Long): Boolean =
+    !spark.table(s"${tablePrefix}_stats")
+      .where(col("batch_id") === batchId).limit(1).isEmpty
 
   /** The standing merged counts: per-batch partials summed bucket-
     * locally (the store is bucketed by line_hash, so this aggregation

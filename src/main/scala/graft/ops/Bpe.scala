@@ -82,10 +82,16 @@ object Bpe {
     * symbols only, and a hex-pair symbol's id in [[vocabTableByteLevel]]
     * IS its byte value (sorted order of the 256 pairs = numeric byte
     * order). No lowercasing — byte-level vocabularies are
-    * case-preserving by construction.
+    * case-preserving by construction. (3) Whitespace is the EXPLICIT
+    * class `[ \t\n\x0B\f\r]` (Java's ASCII `\s`), never the `\s`
+    * shorthand: Java's `\s` includes U+000B (VT) while RE2's does
+    * not, so the shorthand would pretokenize a VT-bearing text
+    * differently in Spark than in the DuckDB replay — spelling the
+    * class out once fixes both engines (the string is interpolated
+    * into both).
     */
   val byteLevelPattern: String =
-    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** Byte-level pretokens of a text column (see [[byteLevelPattern]]). */
   def pretokenizeByteLevel(text: Column): Column =

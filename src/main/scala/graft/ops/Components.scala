@@ -170,6 +170,56 @@ object Components {
         (col(idCol) === col("component")).as("is_canonical"))
   }
 
+  /** [[dedupClusters]] with the pair family mined from the
+    * MATERIALIZED IVFADC index instead of a blocked exact self-join —
+    * the corpus-scale SemDeDup spelling (Abbas et al. 2023 cluster
+    * over ANN neighborhoods for exactly this reason): the index is
+    * built once over the input ([[VectorIndex.writeIvfPqIndex]]),
+    * every vector probes it as a query
+    * ([[VectorIndex.searchIvfIndexAdc]]: PQ-code scan → top-`shortlist`
+    * ADC prefilter → exact rescore → top-`k`), and a pair (a, b) is
+    * emitted when the EXACT rescored cosine clears `threshold` — so
+    * emitted pairs are SOUND at any parameterization, and the closure
+    * consumes them exactly like the blocked form's.
+    *
+    * Pair volume ∝ |corpus| × shortlist on the exact-cosine stage
+    * (the PQ scan stays ∝ |corpus|² × nprobe/nlist but touches m
+    * small ints per row) — never an unblocked |corpus|² of raw
+    * vectors. Recall < 1 at production knobs (a neighbor outside the
+    * probed lists/shortlist/top-k is missed; a lost EDGE only splits
+    * a cluster — it never invents a false merge). EXACT MODE
+    * (nprobe = nlist, shortlist ≥ |corpus|, k ≥ |corpus|) makes the
+    * pair family precisely "every pair at cosine ≥ threshold", so the
+    * closure equals the unblocked exact form — q181's full-value
+    * oracle pin (the q90 exact-mode discipline).
+    */
+  def dedupClustersIndexed(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      shortlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      tablePrefix: String,
+      basePath: String): DataFrame = {
+    VectorIndex.writeIvfPqIndex(vecs, embCol, idCol, nlist = nlist,
+      m = m, ksub = ksub, dim = dim, refineIters = 1,
+      tablePrefix = tablePrefix, basePath = basePath)
+    val hits = VectorIndex.searchIvfIndexAdc(
+      vecs.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, shortlist = shortlist,
+      tablePrefix = tablePrefix)
+    val pairs = hits
+      .where(col("vec_id") =!= col("__qid") && col("score") >= threshold)
+      .select(col("__qid").as("id_a"), col("vec_id").as("id_b"))
+    dedupClusters(vecs, idCol, pairs, "id_a", "id_b")
+  }
+
   /** Leakage-safe deterministic split: assign train/val/test by
     * DUPLICATE CLUSTER, not by document, so near-duplicates can never
     * straddle a split boundary — the contamination path a per-document

@@ -37,4 +37,51 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") > 0)
   }
+
+  /** TOKENIZER-AWARE decontamination: the [[ngramOverlap]] probe run
+    * on n-grams of the PRODUCTION TOKENIZER'S integer ids instead of
+    * words — the convention the published eval-leak checks actually
+    * use (GPT-3 Appendix C and its successors define overlap on token
+    * n-grams of the training tokenizer, not on whitespace words).
+    * Token n-grams see contamination word n-grams structurally CAN'T:
+    * a rare word shared between a train doc and an eval doc in
+    * otherwise different contexts never forms a shared word n-gram
+    * (n >= 2), but its subword ids form shared id n-grams; and id
+    * n-grams cross word boundaries inside the id stream, so partial
+    * phrase overlap straddling a word boundary also fires.
+    *
+    * `merges`/`vocab` are the trained byte-level tokenizer
+    * ([[Bpe.trainByteLevel]] / [[Bpe.vocabTableByteLevel]] — the q178
+    * path); both relations are vocabulary-sized. Scale shape is
+    * [[ngramOverlap]]'s exactly: the eval side is benchmark-sized, its
+    * distinct id-n-gram set broadcasts, and the corpus side is
+    * dictionary-grain tokenize + map-only explode + hash probe — no
+    * corpus shuffle. The n-gram key is the space-joined id string
+    * (lossless for integer ids, and the replayable cross-engine
+    * spelling). Output: (idCol, n_shared, contaminated).
+    */
+  def tokenIdNgramOverlap(
+      train: DataFrame, eval: DataFrame, textCol: String, idCol: String,
+      merges: Seq[Bpe.Merge], vocab: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def idGrams(ids: Column): Column =
+      when(size(ids) >= n,
+        transform(sequence(lit(0), size(ids) - n),
+          i => array_join(
+            transform(slice(ids, i + 1, n), t => t.cast("string")), " ")))
+        .otherwise(array().cast("array<string>"))
+    def grams(df: DataFrame): DataFrame =
+      Bpe.tokenizeToIdsByteLevel(df, textCol, idCol, merges, vocab)
+        .select(col(idCol), explode(idGrams(col("token_ids"))).as("__g"))
+    val evalGrams = grams(eval).select(col("__g")).distinct()
+    val hits = grams(train)
+      .join(broadcast(evalGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_shared"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
 }

@@ -126,7 +126,8 @@ object TextAnalysis {
   /** The multi-n repetition-stats vector — ONE tokenize pass for every
     * requested n (layout documented at
     * [[graft.functions.MultiNgramStatsExpr]]): [n_tokens,
-    * sum_token_chars, then per n: total, top, dup, dup_chars]. The
+    * sum_token_chars, then per n: total, top, top_chars, dup,
+    * dup_chars]. The
     * form the full Gopher Table A1 rule family evaluates; null text
     * yields the all-zero vector (empty-document semantics).
     */

@@ -635,12 +635,18 @@ object StreamingOps {
     * appends its batch-grain partial counts to the
     * [[graft.ops.Boilerplate.writeLineStats]] store (no history
     * recount — [[graft.ops.Boilerplate.storedLineStats]] merges
-    * partials bucket-locally at read time). Idempotency is doc-grain:
-    * a seen-ids parquet anti-join drops replayed documents before they
-    * can double their lines' counts (the incrementalStoreSink J5
-    * discipline). The store (write + meta) must exist before the
-    * stream starts — create it with writeLineStats, empty-corpus is
-    * fine.
+    * partials bucket-locally at read time). Idempotency is TWO-layer:
+    * a seen-ids parquet anti-join drops documents replayed across
+    * COMPLETED batches (the incrementalStoreSink J5 discipline), and
+    * each batch's partials are STAMPED with the streaming batch id so
+    * a crash BETWEEN the stats append and the seen-ids write cannot
+    * double-count — on restart Spark replays the same batch id, the
+    * [[graft.ops.Boilerplate.lineStatsHasBatch]] probe finds the
+    * committed partials, and the sink skips straight to the seen-ids
+    * write (summed counts are not idempotent, so without the stamp
+    * that window would permanently double-count — advisor round-11
+    * note). The store (write + meta) must exist before the stream
+    * starts — create it with writeLineStats, empty-corpus is fine.
     */
   def lineStatsStoreSink(
       docs: DataFrame,
@@ -653,7 +659,7 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batchRaw: DataFrame, _: Long) =>
+      .foreachBatch { (batchRaw: DataFrame, batchId: Long) =>
         val spark = batchRaw.sparkSession
         val newOnly =
           if (graft.core.FsUtil.exists(spark, seenPath))
@@ -665,8 +671,14 @@ object StreamingOps {
         // append; a streaming-source plan must not be re-run.
         val batch = newOnly.localCheckpoint()
         if (!batch.isEmpty) {
-          graft.ops.Boilerplate.appendToLineStats(
-            batch, textCol, idCol, tablePrefix)
+          // Replay guard: partials for this batch id already committed
+          // (crash happened after the append, before the seen-ids
+          // write) — skip to the seen-ids write instead of
+          // double-counting.
+          if (!graft.ops.Boilerplate.lineStatsHasBatch(
+              spark, tablePrefix, batchId))
+            graft.ops.Boilerplate.appendToLineStats(
+              batch, textCol, idCol, tablePrefix, batchId = batchId)
           batch.select(col(idCol)).write.mode("append").parquet(seenPath)
         }
         graft.core.Caches.releaseAll()

@@ -545,6 +545,18 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(stored == direct,
       s"streamed partials must merge to the direct counts: $stored vs $direct")
+    // Crash-window replay guard (advisor round-11): each batch's
+    // partials are stamped with its streaming batch id, so a restart
+    // that replays a batch whose stats append committed (but whose
+    // seen-ids write did not) detects the stamp and skips the append
+    // instead of double-counting. Both processed batch ids must be
+    // probeable; an unseen id must not be.
+    assert(graft.ops.Boilerplate.lineStatsHasBatch(spark, prefix, 0L),
+      "batch 0 partials carry their stamp")
+    assert(graft.ops.Boilerplate.lineStatsHasBatch(spark, prefix, 1L),
+      "batch 1 partials carry their stamp")
+    assert(!graft.ops.Boilerplate.lineStatsHasBatch(spark, prefix, 99L),
+      "unseen batch id probes false")
     // And the cleaner consumes the standing store: "shared footer"
     // (3 docs) strips, uniques survive.
     val cleaned = graft.ops.Boilerplate.removeAgainstLineStats(

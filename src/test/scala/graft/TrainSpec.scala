@@ -876,14 +876,19 @@ class TrainSpec extends SparkSpec {
     // triplets at these parameters (too few anchors with an LSH-probed
     // positive) — exactly the corpus-shape dependence that made the
     // old hard `TRUE AS has_triplets` oracle column unsafe.
+    // Since round 12 q167's default negative arm is the ADC-shortlist
+    // path (shortlist 1024 ≥ the ~nEmb/4 probed candidates at gate
+    // scale, so the floor's meaning is unchanged) — this floor runs
+    // that exact parameterization.
     val d = "/root/testdata/sf0.01"
     val emb = graft.core.Tables.embeddings(spark, d)
     val anchors = emb.where(col("vec_id") % 50 === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft-trip-floor").toString
     try {
-      val n = graft.ops.ContrastivePairs.hardTripletsAnn(
+      val n = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
         numPlanes = 6, nlist = 16, nprobe = 4, k = 64,
+        shortlist = 1024, m = 4, ksub = 16, dim = 64,
         tablePrefix = "t_trip_floor", basePath = s"$dir/idx").count()
       assert(n >= 1, "gate-corpus recall floor: at least one triplet")
     } finally graft.core.Caches.releaseAll()
