@@ -382,6 +382,18 @@ object GraftFunctions {
         graft.ops.QualityFilter.gopherRepetitionRulesFull(
           org.apache.spark.sql.functions.col(textCol))))
     },
+    // The C4 page-drop funnel over the line-cleaned text (Raffel 2020
+    // §2.2 — q179's rule family, documented funnel order):
+    // (id, n_words, verdict, passed)
+    "c4_line_funnel" -> { args =>
+      arity("c4_line_funnel", args, 3)
+      val textCol = strLit(args(1), "textCol")
+      plan(graft.ops.QualityFilter.funnel(
+        tableOf(strLit(args(0), "table")), textCol,
+        strLit(args(2), "idCol"),
+        graft.ops.C4Filter.c4Rules(
+          org.apache.spark.sql.functions.col(textCol))))
+    },
     // deterministic mini-batch SGD trajectory:
     // (epoch, batch, bucket, weight)
     "train_classifier_minibatch" -> { args =>

@@ -68,7 +68,7 @@ object Decontaminate {
       when(size(ids) >= n,
         transform(sequence(lit(0), size(ids) - n),
           i => array_join(
-            transform(slice(ids, i + 1, n), t => t.cast("string")), " ")))
+            transform(slice(ids, i + 1, lit(n)), t => t.cast("string")), " ")))
         .otherwise(array().cast("array<string>"))
     def grams(df: DataFrame): DataFrame =
       Bpe.tokenizeToIdsByteLevel(df, textCol, idCol, merges, vocab)

@@ -1700,6 +1700,48 @@ class OpsSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("index-backed SemDeDup: exact mode == unblocked exact closure; tight knobs only refine") {
+    import graft.ops.{Components, Dedup, VectorIndex}
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdd").toString
+    val n = emb.count().toInt
+    // Exact reference: UNBLOCKED ≥-threshold pairs (constant block)
+    // closed under connectivity — what dedupClustersIndexed must equal
+    // in exact mode (nprobe = nlist, k = shortlist = |corpus|).
+    val exactPairs = Dedup.embeddingNearDuplicates(
+      emb.withColumn("__blk", lit(0)), "embedding", "vec_id", "__blk", 0.4)
+    val exact = Components.dedupClusters(emb, "vec_id", exactPairs,
+        "id_a", "id_b")
+      .select("vec_id", "component", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val indexed = Components.dedupClustersIndexed(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8, nprobe = 8, k = n, shortlist = n,
+        m = 4, ksub = 16, dim = 64,
+        tablePrefix = "t_semdd", basePath = s"$dir/idx")
+      .select("vec_id", "component", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(indexed == exact, "exact-mode index closure must equal the " +
+      "unblocked exact closure")
+    assert(exact.exists(!_._4), "fixture must have at least one non-" +
+      "canonical member or the pin is vacuous")
+    graft.core.Caches.releaseAll()
+    // Production knobs (partial probe, tight shortlist/k): emitted
+    // pairs stay sound — a missed edge can only SPLIT a cluster, so
+    // the tight assignment must REFINE the exact one (two ids sharing
+    // a tight component always share the exact component).
+    val tight = Components.dedupClustersIndexed(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8, nprobe = 1, k = 2, shortlist = 2,
+        m = 4, ksub = 16, dim = 64,
+        tablePrefix = "t_semdd2", basePath = s"$dir/idx2")
+      .select("vec_id", "component").as[(Long, Long)].collect()
+    val exactComp = exact.map(r => r._1 -> r._2).toMap
+    for ((_, members) <- tight.groupBy(_._2); x = members.head._1;
+         (y, _) <- members)
+      assert(exactComp(x) == exactComp(y),
+        s"tight cluster must refine the exact clusters: $x vs $y")
+    graft.core.Caches.releaseAll()
+  }
+
   test("materialized corpus index: index-backed join/cascade == direct; append == rebuild") {
     import graft.ops.{Dedup, DedupCascade}
     // Sliding-window docs so the RS join has a rich pair structure.

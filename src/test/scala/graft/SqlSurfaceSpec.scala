@@ -127,6 +127,9 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM gopher_repetition_funnel('tvf_docs', 'text', 'doc_id')",
       graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
         graft.ops.QualityFilter.gopherRepetitionRulesFull(col("text"))))
+    pin("SELECT * FROM c4_line_funnel('tvf_docs', 'text', 'doc_id')",
+      graft.ops.QualityFilter.funnel(docs, "text", "doc_id",
+        graft.ops.C4Filter.c4Rules(col("text"))))
     pin("SELECT * FROM remove_boilerplate('tvf_docs', 'text', 'doc_id', 2)",
       graft.ops.Boilerplate.removeCommonLines(docs, "text", "doc_id", 2L))
     // Scalar additions: the multi-n repetition vector and the sorted-

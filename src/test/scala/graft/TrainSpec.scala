@@ -894,6 +894,42 @@ class TrainSpec extends SparkSpec {
     } finally graft.core.Caches.releaseAll()
   }
 
+  test("token-id n-gram decontamination fires where word n-grams structurally cannot") {
+    import graft.ops.{Bpe, Decontaminate}
+    // Tokenizer trained on an unrelated corpus (the production shape:
+    // the tokenizer predates the decontamination run).
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the slow green turtle walks under the busy bridge"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainByteLevel(corpus, "text", 6)
+    val vocab = Bpe.vocabTableByteLevel(spark, merges)
+    // Doc 10: rare word shared in DISJOINT contexts — no shared word
+    //   trigram exists (one shared word can't span three), but the
+    //   word's subword ids share 4-grams.
+    // Doc 11: shared TWO-word phrase — word trigrams miss it (no three
+    //   consecutive shared words), token 4-grams straddle the word
+    //   boundary inside the id stream.
+    // Doc 12: letter-disjoint from the eval set — neither arm fires.
+    val train = Seq(
+      (10L, "aaa bbb zzzqqqxxx ccc ddd"),
+      (11L, "k1 k2 k3 shared phrase k4 k5"),
+      (12L, "jjj kkk lll vvv www")).toDF("doc_id", "text")
+    val eval = Seq(
+      (20L, "eee fff zzzqqqxxx ggg hhh"),
+      (21L, "m1 m2 shared phrase m3 m4")).toDF("doc_id", "text")
+    val tok = Decontaminate.tokenIdNgramOverlap(
+        train, eval, "text", "doc_id", merges, vocab, 4)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    val word = Decontaminate.ngramOverlap(
+        train, eval, "text", "doc_id", 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(tok(10L) && !word(10L), s"rare-word contamination: $tok / $word")
+    assert(tok(11L) && !word(11L), s"straddling phrase: $tok / $word")
+    assert(!tok(12L) && !word(12L), s"clean doc must stay clean: $tok / $word")
+    graft.core.Caches.releaseAll()
+  }
+
   // ------------------------------------------- exact substring spans
 
   test("maximal duplicated spans finds the planted shared run, exactly bounded") {
