@@ -2857,12 +2857,12 @@ object SparkEntry {
       // §2.11 training-data, CORPUS-SCALE form of q161: triplets for a
       // bounded anchor set with NO label blocking and NO Σ|block|²
       // stage — positives probed from LSH sign buckets (anchor-side
-      // multi-probe R-S join), hard negatives from the materialized
-      // IVFADC index (PQ-code scan → top-`shortlist` ADC prefilter →
-      // exact rescore; q175 pins ADC == the plain probe at a covering
-      // shortlist, and FLOORS measured the un-prefiltered arm at
-      // 79.4s vs the ADC arm's 24.0s at sf10m — so since round 12 the
-      // ADC path IS the default, the round-11 #1 ask). Pair volume ∝
+      // multi-probe R-S join), hard negatives from the vector index —
+      // since round 12 through the IVFADC shortlist PAST the measured
+      // break-even (see the dispatch below; q175 pins ADC == the
+      // plain probe at a covering shortlist, and FLOORS measured the
+      // un-prefiltered arm at 79.4s vs the ADC arm's ~24s at sf10m —
+      // the round-11 #1 ask). Pair volume ∝
       // anchors × bucket size + anchors × shortlist (exact-cosine
       // stage; the PQ scan stays ∝ anchors × corpus × nprobe / nlist
       // but touches m=4 small ints per row). shortlist = 1024 = 16×k:
@@ -2882,12 +2882,32 @@ object SparkEntry {
       val prefix = s"graft_idx_q167_$runToken"
       val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
         java.lang.Integer.toHexString(d.hashCode)
-      val trip = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
-        emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
-        numPlanes = adaptivePlanes(parquetRowCount(s, s"$d/embeddings.parquet")),
-        nlist = 16, nprobe = 4, k = 64,
-        shortlist = 1024, m = 4, ksub = 16, dim = 64,
-        tablePrefix = prefix, basePath = base)
+      val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
+      // MEASURED DISPATCH (the Boilerplate/bloom break-even
+      // discipline): the PQ half costs a flat ~7 s of extra index
+      // build + catalog writes, and the ADC scan-cut saves
+      // ∝ anchors × corpus × nprobe/nlist exact cosines — measured
+      // sf0.1 (2k vectors): plain 3.0 s vs ADC 10.5 s; sf10m (200k):
+      // plain floor 79.4 s vs ADC floor ~24 s. Break-even lands near
+      // corpus ≈ 64k at the %50 anchor density, so below 2^16 vectors
+      // the plain probe IS the right plan and above it the ADC
+      // shortlist is. Both arms share the soundness envelope (the
+      // rescore is exact either way), so the oracle is
+      // arm-independent.
+      val trip =
+        if (nEmb < (1L << 16))
+          graft.ops.ContrastivePairs.hardTripletsAnn(
+            emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+            numPlanes = adaptivePlanes(nEmb),
+            nlist = 16, nprobe = 4, k = 64,
+            tablePrefix = prefix, basePath = base)
+        else
+          graft.ops.ContrastivePairs.hardTripletsAnnAdc(
+            emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+            numPlanes = adaptivePlanes(nEmb),
+            nlist = 16, nprobe = 4, k = 64,
+            shortlist = 1024, m = 4, ksub = 16, dim = 64,
+            tablePrefix = prefix, basePath = base)
       val ver = trip
         .join(emb.select(col("vec_id").as("anchor_id"),
           col("embedding").as("__ea")), "anchor_id")
@@ -3314,15 +3334,17 @@ object SparkEntry {
       // in full value (the q90 exact-mode discipline; q88's label-
       // blocked closure is the recall-limited sibling this row
       // supersedes at corpus scale). SCALE-ADAPTIVE subset (the q175
-      // anchor discipline): the double-arm pin is bounded at ~2000
-      // vectors at every scale (mod = max(1, n/2000), identity at
-      // gate scales); production deployments run the SAME operator
+      // anchor discipline): the double-arm pin is bounded at ~1000
+      // vectors at every scale (mod = max(1, n/1000), identity at
+      // gate scales — both engines' quadratic arms stay ~1M pairs,
+      // ~7 s Spark / ~6 s DuckDB at sf0.1); production deployments
+      // run the SAME operator
       // over the full corpus at production knobs, where emitted pairs
       // stay sound and a missed edge can only split a cluster, never
       // invent a merge (OpsSpec pins that envelope).
       val emb = embeddings(s, d)
       val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
-      val mod = math.max(1L, nEmb / 2000L)
+      val mod = math.max(1L, nEmb / 1000L)
       val sub = emb.where(col("vec_id") % mod === 0)
       // Exact-mode k must cover the measured subset (id distributions
       // under ScaleUp are not guaranteed uniform mod `mod`); one
@@ -6178,7 +6200,7 @@ Hosts: %s
     "q181_semantic_clusters_indexed" ->
       """WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id % greatest(1,
-             (SELECT count(*) FROM embeddings) // 2000) = 0),
+             (SELECT count(*) FROM embeddings) // 1000) = 0),
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
