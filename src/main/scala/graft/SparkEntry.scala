@@ -2865,11 +2865,15 @@ object SparkEntry {
       // the round-11 #1 ask). Pair volume ∝
       // anchors × bucket size + anchors × shortlist (exact-cosine
       // stage; the PQ scan stays ∝ anchors × corpus × nprobe / nlist
-      // but touches m=4 small ints per row). shortlist = 1024 = 16×k:
-      // ≥ the probed candidate count at gate scale (≤ ~5k vectors, so
+      // but touches m=4 small ints per row). shortlist = 256 = 4×k:
+      // ≥ the probed candidate count at gate scale (≤ ~1k vectors, so
       // ADC == plain there and the TrainSpec recall floor is
       // unchanged); beyond that it is the documented recall/scan-cut
-      // knob. LSH/IVF/ADC recall < 1 by design, so the oracle is the
+      // knob — and the SHUFFLE knob: the shortlist rank's partial
+      // top-k keeps `shortlist` rows per (anchor, partition), so
+      // TripletProbe at sf10m measures sl256 at 59-64 s vs the exact
+      // arm's 73-83 s while sl1024's 4× partial volume gives the win
+      // back (71-117 s). LSH/IVF/ADC recall < 1 by design, so the oracle is the
       // q67-discipline SOUNDNESS envelope: every emitted triplet
       // re-verified against the raw embeddings (cosines exact on the
       // 4-decimal grid — the ADC rescore is exact, so soundness is
@@ -2884,16 +2888,19 @@ object SparkEntry {
         java.lang.Integer.toHexString(d.hashCode)
       val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
       // MEASURED DISPATCH (the Boilerplate/bloom break-even
-      // discipline): the PQ half costs a flat ~7 s of extra index
-      // build + catalog writes, and the ADC scan-cut saves
-      // ∝ anchors × corpus × nprobe/nlist exact cosines — measured
-      // sf0.1 (2k vectors): plain 3.0 s vs ADC 10.5 s; sf10m (200k):
-      // plain floor 79.4 s vs ADC floor ~24 s. Break-even lands near
-      // corpus ≈ 64k at the %50 anchor density, so below 2^16 vectors
-      // the plain probe IS the right plan and above it the ADC
-      // shortlist is. Both arms share the soundness envelope (the
-      // rescore is exact either way), so the oracle is
-      // arm-independent.
+      // discipline): the PQ half costs a flat few seconds of extra
+      // index build + catalog writes (TripletProbe sf10m: build_ivf
+      // 14-19 s vs build_ivfpq 19-22 s), and the ADC 4-lookup scan
+      // undercuts the 64-dim cosine on the anchors × corpus ×
+      // nprobe/nlist candidate stream (search 59-64 s vs 73-83 s at
+      // sf10m, sl256) — but at small corpora the flat build/catalog
+      // overhead dominates (sf0.1, 2k vectors: plain 3.0 s vs ADC
+      // 10.5 s in-query). Break-even lands near corpus ≈ 64k at the
+      // %50 anchor density, so below 2^16 vectors the plain probe IS
+      // the right plan and above it the ADC shortlist is; a STANDING
+      // index deployment amortizes the build and takes the ADC arm
+      // earlier. Both arms share the soundness envelope (the rescore
+      // is exact either way), so the oracle is arm-independent.
       val trip =
         if (nEmb < (1L << 16))
           graft.ops.ContrastivePairs.hardTripletsAnn(
@@ -2905,8 +2912,8 @@ object SparkEntry {
           graft.ops.ContrastivePairs.hardTripletsAnnAdc(
             emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
             numPlanes = adaptivePlanes(nEmb),
-            nlist = 16, nprobe = 4, k = 64,
-            shortlist = 1024, m = 4, ksub = 16, dim = 64,
+            nlist = 64, nprobe = 4, k = 64,
+            shortlist = 256, m = 4, ksub = 16, dim = 64,
             tablePrefix = prefix, basePath = base)
       val ver = trip
         .join(emb.select(col("vec_id").as("anchor_id"),
@@ -6167,7 +6174,9 @@ Hosts: %s
          idl AS (SELECT doc_id, list(tid ORDER BY wi, si) AS ids
            FROM ids GROUP BY 1),
          tg AS (SELECT idl.doc_id,
-             array_to_string(ids[u.i+1:u.i+4], ' ') AS g
+             ((ids[u.i+1] * ${256 + bpeRounds} + ids[u.i+2])
+               * ${256 + bpeRounds} + ids[u.i+3])
+               * ${256 + bpeRounds} + ids[u.i+4] AS g
            FROM idl, LATERAL unnest(range(greatest(len(ids) - 3, 0)))
              AS u(i)),
          teg AS (SELECT DISTINCT tg.g FROM tg JOIN src USING (doc_id)

@@ -56,20 +56,37 @@ object Decontaminate {
     * [[ngramOverlap]]'s exactly: the eval side is benchmark-sized, its
     * distinct id-n-gram set broadcasts, and the corpus side is
     * dictionary-grain tokenize + map-only explode + hash probe — no
-    * corpus shuffle. The n-gram key is the space-joined id string
-    * (lossless for integer ids, and the replayable cross-engine
-    * spelling). Output: (idCol, n_shared, contaminated).
+    * corpus shuffle. The n-gram KEY is the ids packed into one long
+    * in base vocabSize (= 256 + merges) — EXACT (injective) while
+    * vocabSize^n < 2^62, so no hash trade and an arithmetic replay in
+    * the oracle; a vocabulary/n combination past the bound (e.g. the
+    * 13-grams GPT-3 used on a 50k vocabulary) falls back to the
+    * space-joined id STRING key, equally exact, ~3× the probe bytes
+    * (the same two-spelling discipline as the n-gram stats family).
+    * Output: (idCol, n_shared, contaminated).
     */
   def tokenIdNgramOverlap(
       train: DataFrame, eval: DataFrame, textCol: String, idCol: String,
       merges: Seq[Bpe.Merge], vocab: DataFrame, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    def idGrams(ids: Column): Column =
-      when(size(ids) >= n,
-        transform(sequence(lit(0), size(ids) - n),
-          i => array_join(
-            transform(slice(ids, i + 1, lit(n)), t => t.cast("string")), " ")))
-        .otherwise(array().cast("array<string>"))
+    val base = 256L + merges.length
+    val packable = n * math.log(base.toDouble) < 62 * math.log(2.0)
+    def idGrams(ids: Column): Column = {
+      def packed(i: Column): Column =
+        (0 until n).foldLeft(lit(0L).cast("long")) { (acc, j) =>
+          acc * base + element_at(ids, (i + j + 1).cast("int")).cast("long")
+        }
+      def joined(i: Column): Column = array_join(
+        transform(slice(ids, i + 1, lit(n)), t => t.cast("string")), " ")
+      if (packable)
+        when(size(ids) >= n,
+          transform(sequence(lit(0), size(ids) - n), i => packed(i)))
+          .otherwise(array().cast("array<long>"))
+      else
+        when(size(ids) >= n,
+          transform(sequence(lit(0), size(ids) - n), i => joined(i)))
+          .otherwise(array().cast("array<string>"))
+    }
     def grams(df: DataFrame): DataFrame =
       Bpe.tokenizeToIdsByteLevel(df, textCol, idCol, merges, vocab)
         .select(col(idCol), explode(idGrams(col("token_ids"))).as("__g"))

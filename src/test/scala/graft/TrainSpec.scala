@@ -876,21 +876,31 @@ class TrainSpec extends SparkSpec {
     // triplets at these parameters (too few anchors with an LSH-probed
     // positive) — exactly the corpus-shape dependence that made the
     // old hard `TRUE AS has_triplets` oracle column unsafe.
-    // Since round 12 q167's default negative arm is the ADC-shortlist
-    // path (shortlist 1024 ≥ the ~nEmb/4 probed candidates at gate
-    // scale, so the floor's meaning is unchanged) — this floor runs
-    // that exact parameterization.
+    // Since round 12 q167 dispatches on the measured break-even:
+    // plain probe (nlist 16) below 2^16 vectors — the arm every gate
+    // corpus takes — and the ADC shortlist at the scale geometry
+    // (nlist 64, shortlist 256) above it. BOTH arms get a floor here:
+    // the plain one at the gate parameterization, the ADC one at the
+    // big-corpus parameterization run against the gate corpus (its
+    // sparser probe must still mine SOMETHING or the scale arm has
+    // silently zeroed).
     val d = "/root/testdata/sf0.01"
     val emb = graft.core.Tables.embeddings(spark, d)
     val anchors = emb.where(col("vec_id") % 50 === 0)
     val dir = java.nio.file.Files.createTempDirectory("graft-trip-floor").toString
     try {
-      val n = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
+      val n = graft.ops.ContrastivePairs.hardTripletsAnn(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
         numPlanes = 6, nlist = 16, nprobe = 4, k = 64,
-        shortlist = 1024, m = 4, ksub = 16, dim = 64,
         tablePrefix = "t_trip_floor", basePath = s"$dir/idx").count()
-      assert(n >= 1, "gate-corpus recall floor: at least one triplet")
+      assert(n >= 1, "gate-corpus recall floor (plain arm): at least one triplet")
+      graft.core.Caches.releaseAll()
+      val nAdc = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
+        emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
+        numPlanes = 6, nlist = 64, nprobe = 4, k = 64,
+        shortlist = 256, m = 4, ksub = 16, dim = 64,
+        tablePrefix = "t_trip_floor_adc", basePath = s"$dir/idxadc").count()
+      assert(nAdc >= 1, "scale-arm recall floor: at least one triplet")
     } finally graft.core.Caches.releaseAll()
   }
 
