@@ -3300,18 +3300,22 @@ object SparkEntry {
       // train side — q79's shape, one level below words. The word-
       // trigram arm (q79's op verbatim) rides along so the output
       // SHOWS the gap: the planted train docs (constant VALUES rows,
-      // replayed verbatim by the oracle) share ONLY the rare word
-      // "zqvxkwpthj" with the planted eval probe — word trigrams
-      // cannot fire on a single shared word (both plants' context
-      // words are disjoint nonsense), but the word's subword ids form
-      // shared id 4-grams, so tok_contaminated = true /
-      // word_contaminated = false on every planted row at any scale.
+      // replayed verbatim by the oracle) cover BOTH word-blind
+      // contamination modes — three rows share ONLY the rare word
+      // "zqvxkwpthj" with the planted eval probe (a single shared
+      // word can never span a word trigram), and a fourth shares the
+      // TWO-word phrase "zqvxkwpthj rrthree" (still no three
+      // consecutive shared words, but its id 4-grams STRADDLE the
+      // word boundary inside the token stream) — so
+      // tok_contaminated = true / word_contaminated = false on every
+      // planted row at any scale.
       import s.implicits._
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       val plantTrain = Seq(
         ((1L << 41) + 1L, "qqalpha qqbeta zqvxkwpthj qqgamma qqdelta"),
         ((1L << 41) + 2L, "qqepsilon qqzeta zqvxkwpthj qqeta qqtheta"),
-        ((1L << 41) + 3L, "qqiota qqkappa zqvxkwpthj qqlambda qqmu"))
+        ((1L << 41) + 3L, "qqiota qqkappa zqvxkwpthj qqlambda qqmu"),
+        ((1L << 41) + 4L, "ssalpha ssbeta zqvxkwpthj rrthree ssgamma"))
         .toDF("doc_id", "text")
       val plantEval = Seq(((1L << 42) + 1L,
         "rrone rrtwo zqvxkwpthj rrthree rrfour")).toDF("doc_id", "text")
@@ -6156,6 +6160,8 @@ Hosts: %s
               'qqepsilon qqzeta zqvxkwpthj qqeta qqtheta', FALSE),
              (CAST(2199023255555 AS BIGINT),
               'qqiota qqkappa zqvxkwpthj qqlambda qqmu', FALSE),
+             (CAST(2199023255556 AS BIGINT),
+              'ssalpha ssbeta zqvxkwpthj rrthree ssgamma', FALSE),
              (CAST(4398046511105 AS BIGINT),
               'rrone rrtwo zqvxkwpthj rrthree rrfour', TRUE))
              v(doc_id, text, is_eval)),
