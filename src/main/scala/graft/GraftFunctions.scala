@@ -394,6 +394,65 @@ object GraftFunctions {
         graft.ops.C4Filter.c4Rules(
           org.apache.spark.sql.functions.col(textCol))))
     },
+    // UniMax capped waterfill over a group column:
+    // (grp, n_tokens, cap_tokens, alloc_tokens, capped)
+    "unimax_allocation" -> { args =>
+      arity("unimax_allocation", args, 6)
+      plan(graft.ops.UniMax.allocate(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "grpCol"), strLit(args(2), "textCol"),
+        intLit(args(3), "epochCap"), longLit(args(4), "budgetNum"),
+        longLit(args(5), "budgetDen")))
+    },
+    // WordPiece training (q182's relation, the bpe_train discipline:
+    // the trainer runs at resolution time, the result is a literal
+    // relation): (merge_rank, pair_a, pair_b, pair_count, score)
+    "wordpiece_train" -> { args =>
+      arity("wordpiece_train", args, 3)
+      val spark = SparkSession.active
+      val merges = graft.ops.WordPiece.train(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "textCol"), longLit(args(2), "numMerges").toInt)
+      import spark.implicits._
+      plan(merges.map(m => (m.rank.toLong, m.a, m.b, m.count, m.score))
+        .toDF("merge_rank", "pair_a", "pair_b", "pair_count", "score"))
+    },
+    // train-then-encode composition (q183's shape): greedy
+    // longest-match integer ids over the trained vocabulary.
+    "wordpiece_ids" -> { args =>
+      arity("wordpiece_ids", args, 5)
+      val docs = tableOf(strLit(args(0), "table"))
+      val textCol = strLit(args(1), "textCol")
+      val merges = graft.ops.WordPiece.train(docs, textCol,
+        longLit(args(3), "numMerges").toInt)
+      val vocab = graft.ops.WordPiece.vocabTable(docs, textCol, merges)
+      val vs = vocab.select("token").collect().map(_.getString(0))
+        .toSeq.sorted
+      plan(graft.ops.WordPiece.tokenizeToIds(docs, textCol,
+        strLit(args(2), "idCol"), vocab, vs,
+        longLit(args(4), "maxChars").toInt))
+    },
+    // train-then-eval composition: byte-level fertility/compression
+    // stats per group (q185's relation).
+    "tokenizer_fertility" -> { args =>
+      arity("tokenizer_fertility", args, 4)
+      val docs = tableOf(strLit(args(0), "table"))
+      val textCol = strLit(args(1), "textCol")
+      val merges = graft.ops.Bpe.trainByteLevel(docs, textCol,
+        longLit(args(3), "numMerges").toInt)
+      plan(graft.ops.TokenizerEval.fertilityByGroup(docs, textCol,
+        strLit(args(2), "grpCol"), merges))
+    },
+    // D4 prototypicality prune relation:
+    // (vec_id, centroid_id, proto_micro, rank, cluster_size, drop_n, kept)
+    "prototype_pruning" -> { args =>
+      arity("prototype_pruning", args, 7)
+      plan(graft.ops.Prototypes.prunePrototypical(
+        tableOf(strLit(args(0), "table")),
+        strLit(args(1), "embCol"), strLit(args(2), "idCol"),
+        intLit(args(3), "nClusters"), intLit(args(4), "refineRounds"),
+        longLit(args(5), "epsNum"), longLit(args(6), "epsDen")))
+    },
     // deterministic mini-batch SGD trajectory:
     // (epoch, batch, bucket, weight)
     "train_classifier_minibatch" -> { args =>

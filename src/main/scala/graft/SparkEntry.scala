@@ -3371,10 +3371,138 @@ object SparkEntry {
           tablePrefix = prefix, basePath = base)
         .orderBy(col("vec_id"))
     }),
+    "q182_wordpiece_train" -> ((s, d) => {
+      // §2.11 tokenization: WORDPIECE training (Schuster & Nakajima
+      // 2012; Wu et al. 2016 §4.1; the BERT convention) — the third
+      // trained-tokenizer family: BPE's distributed merge loop with
+      // the selection criterion swapped for the LIKELIHOOD-RATIO score
+      // count(ab)/(count(a)*count(b)) on an exact 10^12 integer grid
+      // (DECIMAL(38,0) DIV here, HUGEINT // in the oracle — a raw
+      // double ratio could misorder near-ties) and '##'-prefixed
+      // continuation symbols (the merged symbol strips b's prefix and
+      // inherits a's form). Per round: symbol counts AND pair counts
+      // (two map-side-combined aggs over the vocabulary-sized
+      // histogram — the denominators shift as merges move mass), a
+      // one-row argmax collect, map-only merge application. The oracle
+      // replays every round; the merge table must match round for
+      // round including the score column.
+      val merges = graft.ops.WordPiece.train(documents(s, d), "text",
+        wpRounds)
+      import s.implicits._
+      merges.map(m => (m.rank.toLong, m.a, m.b, m.count, m.score))
+        .toDF("merge_rank", "pair_a", "pair_b", "pair_count", "score")
+        .orderBy(col("merge_rank"))
+    }),
+    "q183_wordpiece_ids" -> ((s, d) => {
+      // §2.11 tokenization: WordPiece GREEDY LONGEST-MATCH encode to
+      // integer ids — q178's dictionary-join shape with the matcher
+      // swapped for the BERT inference algorithm
+      // (functions/WordPieceTokenize.scala), which is NOT the training
+      // composition: the vocabulary is a string SET and longest match
+      // can disagree with the merge decomposition on the same vocab,
+      // so the oracle replays longest-match itself (an unrolled step
+      // CTE chain, bounded by the 16-code-point [UNK]-wholesale cap;
+      // each active step consumes >= 1 code point). PLANTS (the q180
+      // discipline — constant rows replayed verbatim by the oracle): a
+      // word over the length cap and a word whose code points the
+      // training corpus never saw, both of which must emit exactly
+      // ['[UNK]'] (id 0) — so n_unk > 0 rows exist at every scale,
+      // unlike the byte-level family's unk-free-by-construction q178.
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val merges = graft.ops.WordPiece.train(docs, "text", wpRounds)
+      val vocab = graft.ops.WordPiece.vocabTable(docs, "text", merges)
+      // Vocabulary-sized collect (the vocabTable base-alphabet
+      // discipline); sorted so the expression's per-JVM cache key is
+      // run-stable.
+      val vocabStrings = vocab.select(col("token")).collect()
+        .map(_.getString(0)).toSeq.sorted
+      val planted = Seq(
+        ((1L << 41) + 1L, "zz unmatchableverylongword zz"),
+        ((1L << 41) + 2L, "ordinary ωμέγα words"))
+        .toDF("doc_id", "text")
+      graft.ops.WordPiece.tokenizeToIds(docs.unionByName(planted), "text",
+          "doc_id", vocab, vocabStrings, maxChars = wpMaxChars)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), i => i.cast("string")),
+            " ").as("ids_str"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i === 0L)).cast("long")
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+    "q184_unimax_mixture" -> ((s, d) =>
+      // §2.11 mixtures: UniMax per-language budget allocation (Chung
+      // et al. 2023) — the published alternative to q83's temperature
+      // sampling: cap every language at 2 epochs of its own corpus and
+      // waterfill the remaining budget (3/4 of total capacity by the
+      // integer-grid convention) as uniformly as language caps allow.
+      // The sequential waterfill collapses to a closed form (capped
+      // set = the monotone ascending-capacity prefix), so the whole
+      // allocation is one corpus token-count agg + windows over the
+      // LANGUAGE-grain relation. The skewed lang distribution (en ~3x
+      // any other) exercises both branches at every scale: the four
+      // small languages cap, en takes the leftover.
+      graft.ops.UniMax.allocate(documents(s, d), "lang", "text",
+          epochCap = 2, budgetNum = 3L, budgetDen = 4L)
+        .orderBy(col("grp"))),
+    "q185_tokenizer_fertility" -> ((s, d) => {
+      // §2.11 tokenization: tokenizer EFFICIENCY eval (Rust et al.
+      // 2021) — per-source fertility (tokens per pretoken) and
+      // compression (bytes per token) under the trained byte-level
+      // vocabulary, both as exact milli-grid floor divisions of long
+      // sums. Dictionary-grain: each distinct pretoken folds through
+      // the native expression once; the per-occurrence side is one
+      // broadcast join + a group-grain map-side-combinable agg. The
+      // oracle re-trains in SQL and reads subword counts off the final
+      // training word table (training corpus == scored corpus, the
+      // q178 join-by-word exactness).
+      val docs = documents(s, d)
+      val merges = graft.ops.Bpe.trainByteLevel(docs, "text", bpeRounds)
+      graft.ops.TokenizerEval.fertilityByGroup(docs, "text", "source",
+          merges)
+        .orderBy(col("grp"))
+    }),
+    "q186_prototype_pruning" -> ((s, d) =>
+      // §2.11 embedding curation: D4's diversification half (Tirumala
+      // et al. 2023; Sorscher et al. 2022's SSL prototypes) — k-means
+      // the store (deterministic hash-sample seeds + 2 Lloyd rounds),
+      // score each vector by cosine to its own centroid, drop the most
+      // prototypical 1/10 of every cluster (exact integer floor at the
+      // 1e-6 score grid, rank ties by id). Centroid values are float
+      // means (engine-internal, the PQ-codebook situation), so the
+      // oracle is the q52/q62 ENVELOPE: in-engine booleans pin that
+      // assignment is the independent argmax, every cluster drops
+      // exactly its floor share, dropped scores dominate kept scores
+      // at grid grain, and kept+dropped partition the store. SemDeDup
+      // (q88/q181) composes in front of this for the full D4 pipeline.
+      graft.ops.Prototypes.pruneEnvelope(embeddings(s, d), "embedding",
+        "vec_id", nClusters = 16, refineRounds = 2, epsNum = 1L,
+        epsDen = 10L)),
+    "q187_perplexity_buckets" -> ((s, d) =>
+      // §2.11 quality: CCNet's head/middle/tail split (Wenzek et al.
+      // 2020 §4.3 — the bucketing LLaMA's pipeline consumes): q82's
+      // exact micro-nat LM scores ntile'd into per-language terciles,
+      // head = most corpus-typical. The order (nll_micro, doc_id) is
+      // total and ntile's remainder sizing matches across engines, so
+      // the full assignment is value-checked; the oracle extends q82's
+      // CTE chain with the same window.
+      graft.ops.LanguageModel.perplexityBuckets(documents(s, d), "text",
+          "doc_id", "lang", alpha = 1.0, nBuckets = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
   private val bpeRounds = 20
+
+  /** WordPiece merge rounds shared by q182/q183 and their oracles. */
+  private val wpRounds = 10
+
+  /** WordPiece [UNK]-wholesale word-length cap (code points) — also
+    * the oracle's longest-match step-unroll bound (q183).
+    */
+  private val wpMaxChars = 16
 
   /** RUN-UNIQUE namespace token for every query that materializes
     * catalog tables / tmpdir paths (the index-writing rows q141, q144,
@@ -6234,6 +6362,151 @@ Hosts: %s
            comp.vec_id = comp.component AS is_canonical
          FROM comp JOIN sz USING (component)
          ORDER BY comp.vec_id""",
+    // q182: the full WordPiece training replay — per-round symbol +
+    // pair counts, HUGEINT cross-multiplied grid score, (score DESC,
+    // count DESC, a, b) argmax, '##'-stripping merge application.
+    "q182_wordpiece_train" ->
+      s"""WITH ${wpTrainCtes(wpRounds)}
+         SELECT * FROM (${(1 to wpRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, a AS pair_a, " +
+          s"b AS pair_b, CAST(c AS BIGINT) AS pair_count, " +
+          s"CAST(score AS BIGINT) AS score FROM m$r")
+        .mkString(" UNION ALL ")})
+         ORDER BY merge_rank""",
+    // q183: train replay + vocabulary ids + the unrolled greedy
+    // longest-match chain over the distinct words of the PLANTED
+    // corpus (the training side reads the unplanted documents table,
+    // exactly the Spark arm), then doc-order id reassembly.
+    "q183_wordpiece_ids" ->
+      s"""WITH ${wpTrainCtes(wpRounds)},
+         ${wpVocabCtes(wpRounds)},
+         docs2 AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT * FROM (VALUES
+             (CAST(${(1L << 41) + 1L} AS BIGINT), 'zz unmatchableverylongword zz'),
+             (CAST(${(1L << 41) + 2L} AS BIGINT), 'ordinary ωμέγα words')) v(doc_id, text)),
+         wx AS (SELECT doc_id, u.i AS wi, dw0.ws[u.i+1] AS word FROM (
+             SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '') AS ws
+             FROM docs2) dw0,
+           LATERAL unnest(range(len(dw0.ws))) AS u(i)),
+         dw AS (SELECT DISTINCT word FROM wx),
+         ${wpMatchCtes(wpMaxChars, wpMaxChars)},
+         sub AS (SELECT wt.word, u.i AS si, wt.toks[u.i+1] AS token
+           FROM wp_toks wt, LATERAL unnest(range(len(wt.toks))) AS u(i)),
+         wid AS (SELECT sub.word, sub.si, coalesce(v.token_id, -1) AS tid
+           FROM sub LEFT JOIN voc v USING (token)),
+         agg AS (SELECT wx.doc_id,
+             string_agg(CAST(wid.tid AS VARCHAR), ' ' ORDER BY wx.wi, wid.si)
+               AS ids_str,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (WHERE wid.tid = 0) AS BIGINT) AS n_unk
+           FROM wx JOIN wid USING (word) GROUP BY 1)
+         SELECT d2.doc_id, coalesce(agg.ids_str, '') AS ids_str,
+           coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_unk, 0) AS n_unk
+         FROM docs2 d2 LEFT JOIN agg USING (doc_id)
+         ORDER BY d2.doc_id""",
+    // q184: the identical closed-form waterfill in window SQL —
+    // HUGEINT cross-multiplied prefix test, floor-div base + first-rem
+    // remainder spread, (capacity ASC, grp ASC) total order.
+    "q184_unimax_mixture" ->
+      """WITH g AS (SELECT lang AS grp, CAST(SUM(len(list_filter(
+             string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+             t -> t <> ''))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         c AS (SELECT grp, n_tokens, n_tokens * 2 AS cap_tokens FROM g),
+         t AS (SELECT CAST(coalesce(SUM(cap_tokens), 0) AS BIGINT) AS sum_cap,
+             CAST(count(*) AS BIGINT) AS n FROM c),
+         b AS (SELECT CAST(CAST(sum_cap AS HUGEINT) * 3 // 4 AS BIGINT)
+             AS budget, n FROM t),
+         r AS (SELECT grp, n_tokens, cap_tokens,
+             CAST(row_number() OVER (ORDER BY cap_tokens, grp) AS BIGINT) AS i,
+             CAST(coalesce(SUM(cap_tokens) OVER (ORDER BY cap_tokens, grp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cprev
+           FROM c),
+         f AS (SELECT r.*, b.budget, b.n,
+             CAST(cap_tokens AS HUGEINT) * (b.n - r.i + 1) <=
+               CAST(b.budget - r.cprev AS HUGEINT) AS capped
+           FROM r, b),
+         k AS (SELECT CAST(coalesce(SUM(cap_tokens) FILTER (WHERE capped), 0)
+               AS BIGINT) AS ck,
+             CAST(count(*) FILTER (WHERE capped) AS BIGINT) AS kk FROM f)
+         SELECT grp, n_tokens, cap_tokens,
+           CAST(CASE WHEN capped THEN cap_tokens
+             ELSE (CASE WHEN f.n > k.kk
+                 THEN (f.budget - k.ck) // (f.n - k.kk)
+                 ELSE 0 END)
+               + (CASE WHEN f.i - k.kk <= (CASE WHEN f.n > k.kk
+                   THEN (f.budget - k.ck) % (f.n - k.kk) ELSE 0 END)
+                 THEN 1 ELSE 0 END)
+             END AS BIGINT) AS alloc_tokens,
+           capped
+         FROM f, k ORDER BY grp""",
+    // q185: byte-level train replay; subword counts read off the final
+    // training word table (training corpus == scored corpus), byte
+    // counts are strlen (UTF-8 octets), milli-grid floor divisions.
+    "q185_tokenizer_fertility" ->
+      s"""WITH ${bpeByteTrainCtes(bpeRounds)},
+         wx AS (SELECT source, u.w AS word FROM (
+             SELECT source, regexp_extract_all(coalesce(text, ''),
+               '${graft.ops.Bpe.byteLevelPattern}') AS ws
+             FROM documents) d, LATERAL unnest(d.ws) AS u(w)),
+         st AS (SELECT wx.source, CAST(strlen(wx.word) AS BIGINT) AS nb,
+             CAST(len(string_split(wr.w, ' ')) AS BIGINT) AS nsub
+           FROM wx JOIN w$bpeRounds wr ON wr.word = wx.word),
+         agg AS (SELECT source AS grp,
+             CAST(count(*) AS BIGINT) AS n_pretokens,
+             CAST(SUM(nb) AS BIGINT) AS n_bytes,
+             CAST(SUM(nsub) AS BIGINT) AS n_tokens
+           FROM st GROUP BY 1)
+         SELECT grp, n_pretokens, n_bytes, n_tokens,
+           CAST(CASE WHEN n_tokens > 0 THEN (n_bytes * 1000) // n_tokens
+             ELSE 0 END AS BIGINT) AS bytes_per_token_milli,
+           CAST(CASE WHEN n_pretokens > 0
+             THEN (n_tokens * 1000) // n_pretokens
+             ELSE 0 END AS BIGINT) AS fertility_milli
+         FROM agg ORDER BY grp""",
+    // q187: q82's scoring CTEs verbatim, integer micro-nat mean, then
+    // the per-language ntile with the same (nll_micro, doc_id) order.
+    "q187_perplexity_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             t -> t <> '') AS t FROM documents),
+         bg AS (SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t)-1,0)+1),
+             i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b FROM toks),
+         db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2, count(*) AS c
+           FROM bg GROUP BY 1, 2, 3),
+         c12 AS (SELECT w1, w2, sum(c) AS c12 FROM db GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         v AS (SELECT count(DISTINCT tk) AS v
+           FROM (SELECT unnest(t) AS tk FROM toks)),
+         sc AS (SELECT db.doc_id,
+             sum(db.c * CAST(round_even(
+               -ln((c12.c12 + 1.0) / (c1.c1 + 1.0 * v.v)) * 1000000, 0)
+               AS BIGINT)) AS s,
+             sum(db.c) AS n
+           FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+           GROUP BY db.doc_id),
+         scl AS (SELECT d.doc_id, d.lang AS grp,
+             CAST(COALESCE(sc.n, 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE((2*sc.s + sc.n) // (2*sc.n), 0) AS BIGINT)
+               AS nll_micro
+           FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         SELECT doc_id, grp, n_bigrams, nll_micro,
+           CAST(ntile(3) OVER (PARTITION BY grp
+             ORDER BY nll_micro, doc_id) AS BIGINT) AS bucket
+         FROM scl ORDER BY doc_id""",
+    // q186: envelope — centroid values are engine-internal float means
+    // (the q52/q62 discipline); the booleans are independent in-engine
+    // soundness checks, pinned TRUE.
+    "q186_prototype_pruning" ->
+      """SELECT count(*) AS n_vecs, TRUE AS assigned_argmax,
+           TRUE AS drop_count_exact,
+           TRUE AS dropped_are_most_prototypical,
+           TRUE AS kept_drop_partition
+         FROM embeddings""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.
     "q161_contrastive_triplets" ->
@@ -6398,4 +6671,99 @@ Hosts: %s
     }
     sb.toString
   }
+
+  /** WORDPIECE training replay (q182/q183): w0 is the suite-convention
+    * histogram under the '##'-continuation initial split; each round
+    * recomputes symbol counts (sc\$r — the likelihood denominators
+    * shift as merges move mass), cross-multiplies the 10^12 grid score
+    * in HUGEINT (exact floor, [[graft.ops.WordPiece.ScoreGrid]]), takes
+    * the (score DESC, count DESC, a, b) argmax, and applies the
+    * two-pass padded replace with the '##'-stripping concat — the
+    * merged symbol inherits a's word-initial/continuation form.
+    */
+  private def wpTrainCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """w0 AS MATERIALIZED (SELECT word, replace(trim(regexp_replace(word, '(?s)(.)', '\1 ', 'g')), ' ', ' ##') AS w, freq FROM (
+        SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), t -> t <> '')) AS w
+          FROM documents) GROUP BY 1))"""
+    for (r <- 1 to n) {
+      val mergedSym =
+        s"m.a || CASE WHEN m.b LIKE '##%' THEN substr(m.b, 3) ELSE m.b END"
+      sb ++= s""",
+        sc$r AS MATERIALIZED (SELECT u.s AS s, CAST(SUM(t.freq) AS BIGINT) AS cs
+          FROM (SELECT string_split(w, ' ') AS sym, freq FROM w${r - 1}) t,
+            LATERAL unnest(t.sym) AS u(s)
+          GROUP BY 1),
+        m$r AS MATERIALIZED (SELECT a, b, c, score FROM (
+          SELECT p.a, p.b, p.c,
+            CAST(CAST(p.c AS HUGEINT) * ${graft.ops.WordPiece.ScoreGrid} // (CAST(ca.cs AS HUGEINT) * CAST(cb.cs AS HUGEINT)) AS BIGINT) AS score
+          FROM (SELECT t.sym[u.i+1] AS a, t.sym[u.i+2] AS b, CAST(SUM(t.freq) AS BIGINT) AS c
+            FROM (SELECT string_split(w, ' ') AS sym, freq FROM w${r - 1}) t,
+              LATERAL unnest(range(len(t.sym) - 1)) AS u(i)
+            GROUP BY 1, 2) p
+          JOIN sc$r ca ON ca.s = p.a JOIN sc$r cb ON cb.s = p.b)
+        ORDER BY score DESC, c DESC, a, b LIMIT 1),
+        w$r AS MATERIALIZED (SELECT word, trim(replace(replace(' ' || w || ' ', ' ' || m.a || ' ' || m.b || ' ', ' ' || $mergedSym || ' '), ' ' || m.a || ' ' || m.b || ' ', ' ' || $mergedSym || ' ')) AS w, freq FROM w${r - 1}, m$r m)"""
+    }
+    sb.toString
+  }
+
+  /** WordPiece greedy LONGEST-MATCH replay over the distinct words of
+    * `dw` (word) against the vocabulary `voc` (token, token_id):
+    * unrolled step CTEs ws1..ws`steps` — each step takes the longest
+    * vocabulary entry matching at the cursor (continuation positions
+    * prepend '##'), a no-match marks the word bad ([UNK] wholesale),
+    * and positions/lengths count code points (DuckDB's substr/length
+    * grain, exactly [[graft.functions.WordPieceTokenizeOps]]'s
+    * contract). Words over `maxChars` code points are bad upfront, so
+    * `steps` = maxChars bounds the unroll by construction (every
+    * active step consumes >= 1 code point). Emits wp_toks(word, toks).
+    */
+  private def wpMatchCtes(steps: Int, maxChars: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""ws0 AS MATERIALIZED (SELECT word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks, length(word) > $maxChars AS bad FROM dw)"""
+    for (k <- 1 to steps) {
+      // MATERIALIZED is load-bearing (the q164 lesson): each step
+      // references the previous one twice (scan + match), which would
+      // inline 2^steps ways otherwise.
+      sb ++= s""",
+        wm$k AS MATERIALIZED (SELECT u.word, CAST(max(g.L) AS BIGINT) AS best
+          FROM ws${k - 1} u,
+            LATERAL unnest(range(1, length(u.word) - u.pos + 2)) AS g(L)
+          JOIN voc v ON v.token = (CASE WHEN u.pos > 1 THEN '##' ELSE '' END) || substr(u.word, u.pos, g.L)
+          WHERE NOT u.bad AND u.pos <= length(u.word)
+          GROUP BY 1),
+        ws$k AS MATERIALIZED (SELECT u.word,
+            CASE WHEN u.bad OR u.pos > length(u.word) THEN u.pos
+                 ELSE u.pos + coalesce(m.best, 0) END AS pos,
+            CASE WHEN u.bad OR u.pos > length(u.word) OR m.best IS NULL THEN u.toks
+                 ELSE list_append(u.toks, (CASE WHEN u.pos > 1 THEN '##' ELSE '' END) || substr(u.word, u.pos, m.best)) END AS toks,
+            u.bad OR (u.pos <= length(u.word) AND m.best IS NULL) AS bad
+          FROM ws${k - 1} u LEFT JOIN wm$k m USING (word))"""
+    }
+    sb ++= s""",
+        wp_toks AS (SELECT word, CASE WHEN bad THEN ['[UNK]'] ELSE toks END AS toks FROM ws$steps)"""
+    sb.toString
+  }
+
+  /** The WordPiece vocabulary replay (q183): [UNK] id 0, base symbols
+    * of the initial split 1..B in binary order, merge r's '##'-joined
+    * symbol B + r, duplicates collapsing to the smallest id across the
+    * whole union ([[graft.ops.WordPiece.vocabTable]]).
+    */
+  private def wpVocabCtes(n: Int): String =
+    s"""bsym AS (SELECT DISTINCT u.s AS token
+          FROM (SELECT string_split(w, ' ') AS sym FROM w0) t,
+            LATERAL unnest(t.sym) AS u(s)),
+        bn AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bsym),
+        bids AS (SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid FROM bsym),
+        mgw AS (${(1 to n).map(r =>
+      s"SELECT a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS token, CAST($r AS BIGINT) AS r FROM m$r")
+      .mkString(" UNION ALL ")}),
+        voc AS (SELECT token, CAST(min(tid) AS BIGINT) AS token_id FROM (
+            SELECT '[UNK]' AS token, CAST(0 AS BIGINT) AS tid
+            UNION ALL SELECT token, tid FROM bids
+            UNION ALL SELECT mgw.token, bn.nb + mgw.r AS tid FROM mgw, bn)
+          GROUP BY token)"""
 }

@@ -236,7 +236,7 @@ object Bpe {
     * compareTo diverges on supplementary characters). Used by the
     * driver-local argmax tie-break and the vocabulary id sort.
     */
-  private def utf8Lt(x: String, y: String): Boolean = {
+  private[ops] def utf8Lt(x: String, y: String): Boolean = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -469,7 +469,7 @@ object Bpe {
     * re-assemble in subword order — all at dictionary grain, so the
     * occurrence join pays nothing extra. Shared by both conventions.
     */
-  private def idsReassemble(
+  private[ops] def idsReassemble(
       df: DataFrame, idCol: String, words: DataFrame, dict: DataFrame,
       vocab: DataFrame): DataFrame = {
     val dictIds = dict

@@ -140,4 +140,47 @@ object LanguageModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(microMean / lit(1000000.0), lit(0.0)).as("avg_nll"))
   }
+
+  /** CCNet's HEAD/MIDDLE/TAIL perplexity bucketing (Wenzek et al. 2020
+    * §4.3 — the split LLaMA's pipeline consumes: per language, rank
+    * documents by LM score and cut into `nBuckets` equal-count
+    * buckets; head = lowest perplexity = most corpus-typical): train
+    * the bigram LM, score every document ([[scoreDocs]]'s exact
+    * micro-nat mean), and ntile within the group — bucket 1 is head.
+    * The order (nll_micro ASC, id ASC) is total, and ntile's
+    * first-buckets-take-the-remainder sizing is the same in Spark and
+    * DuckDB, so the assignment is engine-exact. Documents with no
+    * bigrams score 0 and land in head by convention.
+    *
+    * Scale shape: scoring is [[scoreDocs]]'s (model-relation joins at
+    * distinct-bigram grain); the ntile is a per-language total order —
+    * fine while languages are few and partitions hold a language's
+    * ids+scores (a skinny relation); the 100 TB escape hatch is the
+    * [[Calibrate]] form (two exact percentile boundaries per language,
+    * broadcast, map-side bucket compare) at the price of boundary-tie
+    * rows landing by value rather than by count.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      grpCol: String,
+      alpha: Double = 1.0,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1)
+    val lm = bigramLm(docs, textCol, alpha)
+    val scored = scoreDocs(docs, lm, textCol, idCol, alpha)
+    // avg_nll is microMean/1e6 with microMean an exact integer double
+    // far below 2^53, so rint(avg_nll * 1e6) recovers it exactly.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("nll_micro").asc, col("id").asc)
+    docs.select(col(idCol).as("id"), col(grpCol).as("grp"))
+      .join(scored, Seq("id"))
+      .withColumn("nll_micro",
+        rint(col("avg_nll") * lit(1000000.0)).cast("long"))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col("id"), col("grp"), col("n_bigrams"), col("nll_micro"),
+        col("bucket"))
+  }
 }

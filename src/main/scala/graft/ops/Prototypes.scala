@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PROTOTYPICALITY pruning (§2.11 extensions, embedding-curation
+  * family) — the diversification half of D4 (Tirumala et al. 2023,
+  * "D4: Improving LLM Pretraining via Document De-Duplication and
+  * Diversification", which runs SemDeDup THEN SSL-prototype pruning;
+  * Sorscher et al. 2022, "Beyond neural scaling laws", the SSL
+  * prototypes metric): cluster the embedding store with k-means, score
+  * every vector by cosine to its own centroid (HIGH = prototypical =
+  * redundant mass near the cluster core), and drop the most
+  * prototypical `epsNum/epsDen` fraction of every cluster — keeping
+  * the hard, diverse examples large-data regimes want.
+  *
+  * Scale shape: centroids are k rows (picked by the deterministic
+  * [[Similarity.pickCentroids]] hash sample, refined by
+  * [[Similarity.refineCentroids]] Lloyd rounds whose shuffles carry
+  * only map-side pre-aggregated (centroid, dim) means); assignment is
+  * a broadcast cross-score with a map-side-combinable max_by — the
+  * store never shuffles raw vectors; the per-cluster rank window
+  * shuffles one skinny row per vector keyed by centroid. The drop
+  * count is the exact integer floor(size * epsNum / epsDen) per
+  * cluster, so the boundary is deterministic given the scores.
+  *
+  * Determinism: scores snap to the 1e-6 grid BEFORE ranking (rank ties
+  * break by id), so the kept/dropped boundary is stable at grid grain
+  * within the engine. Centroid VALUES are float means (engine-internal,
+  * like [[ProductQuantize]]'s codebooks), so the cross-engine oracle is
+  * the q52/q62 ENVELOPE: in-engine booleans pinning (a) assignment is
+  * the independent argmax, (b) every cluster drops exactly its floor
+  * share, (c) at grid grain every dropped score >= every kept score in
+  * its cluster, (d) kept + dropped partition the store.
+  */
+object Prototypes {
+
+  /** Per-vector prune relation: (vec_id, centroid_id, proto_micro,
+    * rank, cluster_size, drop_n, kept).
+    */
+  def prunePrototypical(
+      store: DataFrame,
+      embCol: String,
+      idCol: String,
+      nClusters: Int,
+      refineRounds: Int,
+      epsNum: Long,
+      epsDen: Long): DataFrame = {
+    require(nClusters >= 1 && refineRounds >= 0 && epsNum >= 0 && epsDen >= 1)
+    val cents = centroids(store, embCol, idCol, nClusters, refineRounds)
+    val assigned = assignBest(store, cents, embCol, idCol)
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("proto_micro").desc, col(idCol).asc)
+    val sz = Window.partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cluster_size", count(lit(1)).over(sz))
+      .withColumn("drop_n", expr(
+        s"(cluster_size * $epsNum) DIV $epsDen"))
+      .withColumn("kept", col("rank") > col("drop_n"))
+  }
+
+  /** The deterministic-seed Lloyd centroids ([[Similarity]] pick +
+    * refine rounds; each round persisted so round N doesn't recompute
+    * round N-1's assignment).
+    */
+  def centroids(
+      store: DataFrame, embCol: String, idCol: String,
+      nClusters: Int, refineRounds: Int): DataFrame = {
+    var c = Similarity.pickCentroids(store, nClusters, embCol, idCol)
+    var r = 0
+    while (r < refineRounds) {
+      c = graft.core.Caches.persistTracked(
+        Similarity.refineCentroids(store, c, embCol, idCol))
+      r += 1
+    }
+    c
+  }
+
+  /** Broadcast cross-score assignment with the chosen centroid AND its
+    * grid score: (idCol, centroid_id, proto_micro). Ties break toward
+    * the lower centroid id (the [[Similarity.ivfAssign]] convention);
+    * the max cosine equals the chosen pair's cosine under ties by
+    * definition, so max() is exact for the score column.
+    */
+  private def assignBest(
+      store: DataFrame, cents: DataFrame,
+      embCol: String, idCol: String): DataFrame =
+    store.crossJoin(broadcast(cents))
+      .withColumn("__sim",
+        graft.functions.VectorFunctions.vecCosine(
+          col(embCol), col("centroid_emb")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+          .as("centroid_id"),
+        rint(max(col("__sim")) * lit(1000000.0)).cast("long")
+          .as("proto_micro"))
+
+  /** The ENVELOPE row for the oracle (one row): n_vecs plus the four
+    * in-engine soundness booleans (see object doc). `TRUE` on the
+    * empty store (vacuous).
+    */
+  def pruneEnvelope(
+      store: DataFrame,
+      embCol: String,
+      idCol: String,
+      nClusters: Int,
+      refineRounds: Int,
+      epsNum: Long,
+      epsDen: Long): DataFrame = {
+    val cents = graft.core.Caches.persistTracked(
+      centroids(store, embCol, idCol, nClusters, refineRounds))
+    val pruned = graft.core.Caches.persistTracked(
+      prunePrototypical(store, embCol, idCol, nClusters, refineRounds,
+        epsNum, epsDen))
+    // (a) independent argmax re-score: the assigned centroid must be
+    // the max_by over a SECOND cross-score (same tie-break).
+    val recheck = assignBest(store, cents, embCol, idCol)
+      .withColumnRenamed("centroid_id", "__cid2")
+      .withColumnRenamed("proto_micro", "__pm2")
+    val argmaxOk = pruned.join(recheck, Seq(idCol))
+      .select((col("centroid_id") === col("__cid2") &&
+        col("proto_micro") === col("__pm2")).as("ok"))
+    // (b)+(c)+(d): per-cluster drop counts, score boundary, partition.
+    val perCluster = pruned.groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("sz"),
+        max(col("drop_n")).as("dn"),
+        count(when(!col("kept"), lit(1))).as("n_drop"),
+        min(when(!col("kept"), col("proto_micro"))).as("min_drop"),
+        max(when(col("kept"), col("proto_micro"))).as("max_keep"))
+      .select(
+        (col("n_drop") === col("dn")).as("drop_ok"),
+        (col("n_drop") + (col("sz") - col("n_drop")) === col("sz"))
+          .as("part_ok"),
+        (coalesce(col("min_drop") >= col("max_keep"), lit(true)))
+          .as("order_ok"))
+    val nv = store.agg(count(lit(1)).as("n_vecs"))
+    nv.crossJoin(
+        argmaxOk.agg(coalesce(min(col("ok")), lit(true)).as("assigned_argmax")))
+      .crossJoin(perCluster.agg(
+        coalesce(min(col("drop_ok")), lit(true)).as("drop_count_exact"),
+        coalesce(min(col("order_ok")), lit(true))
+          .as("dropped_are_most_prototypical"),
+        coalesce(min(col("part_ok")), lit(true)).as("kept_drop_partition")))
+  }
+}

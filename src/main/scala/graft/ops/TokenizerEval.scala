@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer EFFICIENCY evaluation (§2.11 extensions, tokenization
+  * family) — the standard intrinsic statistics a pretraining pipeline
+  * publishes for a trained tokenizer (Rust et al. 2021, "How Good is
+  * Your Tokenizer?"; the compression numbers every BPE paper tables):
+  * per corpus slice, FERTILITY (subword tokens per pretoken) and
+  * COMPRESSION (UTF-8 bytes per subword token) under the trained
+  * byte-level vocabulary. A tokenizer that fragments one language's
+  * text into per-byte tokens shows up here as that slice's fertility
+  * spiking — the diagnostic that drives vocabulary-size and
+  * training-mix decisions.
+  *
+  * Integer-exact convention: both ratios are milli-grid floor
+  * divisions of exact long sums (bytes * 1000 DIV tokens,
+  * tokens * 1000 DIV pretokens) — engine-portable, no doubles.
+  *
+  * Scale shape: pretokens explode map-side; the per-distinct-pretoken
+  * subword counts come from ONE dictionary (vocabulary-sized,
+  * persisted, folded through the native byte-level expression exactly
+  * once per distinct pretoken — [[Bpe.tokenizeToIdsByteLevel]]'s
+  * dictionary discipline); the join is AQE-broadcast and the final
+  * aggregation is group-grain, map-side combinable. No corpus-sized
+  * shuffle anywhere.
+  */
+object TokenizerEval {
+
+  /** Per-group byte-level tokenizer stats: (grp, n_pretokens, n_bytes,
+    * n_tokens, bytes_per_token_milli, fertility_milli). Empty texts
+    * contribute no pretokens; a group with zero tokens reports 0 for
+    * both ratios (cannot occur when the group has any non-empty text —
+    * byte-level tokenization is unk-free and emits >= 1 token per
+    * pretoken).
+    */
+  def fertilityByGroup(
+      df: DataFrame,
+      textCol: String,
+      grpCol: String,
+      merges: Seq[Bpe.Merge]): DataFrame = {
+    val words = df.select(col(grpCol).as("grp"),
+      explode(Bpe.pretokenizeByteLevel(col(textCol))).as("__w"))
+    val dict = graft.core.Caches.persistTracked(
+      words.select(col("__w")).distinct()
+        .select(col("__w"),
+          size(Bpe.tokenizeByteLevel(col("__w"), merges)).cast("long")
+            .as("__nsub"),
+          octet_length(col("__w")).cast("long").as("__nb")))
+    words.join(dict, Seq("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("__nb")).as("n_bytes"),
+        sum(col("__nsub")).as("n_tokens"))
+      .withColumn("bytes_per_token_milli", expr(
+        "CASE WHEN n_tokens > 0 THEN (n_bytes * 1000) DIV n_tokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("fertility_milli", expr(
+        "CASE WHEN n_pretokens > 0 THEN (n_tokens * 1000) DIV n_pretokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
+  }
+}

@@ -132,6 +132,28 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.ops.C4Filter.c4Rules(col("text"))))
     pin("SELECT * FROM remove_boilerplate('tvf_docs', 'text', 'doc_id', 2)",
       graft.ops.Boilerplate.removeCommonLines(docs, "text", "doc_id", 2L))
+    Seq((20L, "en", "w w w w"), (21L, "en", "w w"), (22L, "de", "w w"),
+      (23L, "fr", "w")).toDF("doc_id", "lang", "text")
+      .createOrReplaceTempView("tvf_lang")
+    pin("SELECT * FROM unimax_allocation('tvf_lang', 'lang', 'text', 2, 3, 4)",
+      graft.ops.UniMax.allocate(spark.table("tvf_lang"), "lang", "text",
+        2, 3L, 4L))
+    pin("SELECT * FROM prototype_pruning('tvf_emb', 'embedding', 'vec_id', " +
+      "2, 1, 1, 4)",
+      graft.ops.Prototypes.prunePrototypical(spark.table("tvf_emb"),
+        "embedding", "vec_id", 2, 1, 1L, 4L))
+    val wpm = graft.ops.WordPiece.train(docs, "text", 6)
+    pin("SELECT * FROM wordpiece_train('tvf_docs', 'text', 6)",
+      wpm.map(m => (m.rank.toLong, m.a, m.b, m.count, m.score))
+        .toDF("merge_rank", "pair_a", "pair_b", "pair_count", "score"))
+    val wpv = graft.ops.WordPiece.vocabTable(docs, "text", wpm)
+    val wps = wpv.select("token").collect().map(_.getString(0)).toSeq.sorted
+    pin("SELECT * FROM wordpiece_ids('tvf_docs', 'text', 'doc_id', 6, 16)",
+      graft.ops.WordPiece.tokenizeToIds(docs, "text", "doc_id", wpv, wps,
+        16))
+    pin("SELECT * FROM tokenizer_fertility('tvf_docs', 'text', 'doc_id', 4)",
+      graft.ops.TokenizerEval.fertilityByGroup(docs, "text", "doc_id",
+        graft.ops.Bpe.trainByteLevel(docs, "text", 4)))
     // Scalar additions: the multi-n repetition vector and the sorted-
     // array binary-search membership probe.
     pin("SELECT doc_id, multi_ngram_stats(text, 2, 3) AS v FROM tvf_docs",
