@@ -71,8 +71,15 @@ object Prototypes {
     var c = Similarity.pickCentroids(store, nClusters, embCol, idCol)
     var r = 0
     while (r < refineRounds) {
+      // limit(nClusters) is a NO-OP on values (refine groups by the
+      // <= nClusters surviving centroid ids, so the relation already
+      // holds at most nClusters rows) but makes the bound STRUCTURAL:
+      // the broadcast build side of the assignment cross-join ends in
+      // a GlobalLimit the plan linter can prove bounded — the
+      // ProductQuantize codebook-cap discipline.
       c = graft.core.Caches.persistTracked(
-        Similarity.refineCentroids(store, c, embCol, idCol))
+        Similarity.refineCentroids(store, c, embCol, idCol)
+          .limit(nClusters))
       r += 1
     }
     c
