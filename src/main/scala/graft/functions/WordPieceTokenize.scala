@@ -76,9 +76,21 @@ object WordPieceTokenizeOps {
   val Unk = "[UNK]"
   private val unkArray: Array[AnyRef] = Array(UTF8String.fromString(Unk))
 
-  /** Per-vocabulary state: the string set, the longest entry's CONTENT
-    * length in code points (caps the longest-match probe), and the
-    * word cache.
+  /** Per-vocabulary state: the string set, the probe caps, and the
+    * word cache. Two caps because the candidate string differs by
+    * position: at a CONTINUATION position the candidate is
+    * "##" + piece, so only entries starting with "##" can match and
+    * the longest matchable piece is the longest STRIPPED content
+    * (`maxContentCps`); at the WORD-INITIAL position the candidate is
+    * the raw piece, so ANY entry can match with its FULL length —
+    * including entries that themselves start with literal "##"
+    * (reachable on '#'-bearing corpora: continuation base symbols
+    * like "##z" match a word literally starting "##z", and merges
+    * like "#"+"###" produce word-initial "####"), whose full length
+    * exceeds their stripped length. Capping pos 0 at the stripped
+    * length would return a shorter match (or [UNK]) where the
+    * documented string-set longest match — and the DuckDB oracle,
+    * which probes every length — returns the longer token.
     */
   final class Table(val vocab: Set[String], val maxChars: Int)
       extends Serializable {
@@ -88,6 +100,9 @@ object WordPieceTokenizeOps {
         val c = if (t.startsWith("##")) t.substring(2) else t
         c.codePointCount(0, c.length)
       }.max
+    val maxFullCps: Int =
+      if (vocab.isEmpty) 0
+      else vocab.iterator.map(t => t.codePointCount(0, t.length)).max
     @transient lazy val cache =
       new java.util.concurrent.ConcurrentHashMap[String, Array[AnyRef]]()
   }
@@ -124,7 +139,11 @@ object WordPieceTokenizeOps {
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var pos = 0
     while (pos < n) {
-      var len = math.min(n - pos, math.max(table.maxContentCps, 1))
+      // Word-initial candidates are RAW strings: cap at the longest
+      // FULL entry; continuation candidates are "##"+piece: cap at
+      // the longest stripped content (see Table doc).
+      val cap = if (pos == 0) table.maxFullCps else table.maxContentCps
+      var len = math.min(n - pos, math.max(cap, 1))
       var matched: String = null
       while (len >= 1 && matched == null) {
         val piece = new String(cps, pos, len)

@@ -145,7 +145,12 @@ object Bpe {
   }
 
   /** Distinct-word histogram of the suite tokenization (lowercased,
-    * whitespace-split, empties dropped): (word, freq).
+    * whitespace-split, empties dropped): (word, freq). The
+    * `lower(trim(...))` here is the shared CASING CONVENTION for every
+    * tokenizer trained from this histogram — inference paths
+    * ([[WordPiece.tokenizeToIds]], [[Bpe.tokenizeToIds]]) apply the
+    * identical lowercasing, and must keep doing so, or a cased corpus
+    * would silently tokenize [UNK]-heavy against a lowercase vocab.
     */
   def wordCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(filter(

@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
 object Prototypes {
 
   /** Per-vector prune relation: (vec_id, centroid_id, proto_micro,
-    * rank, cluster_size, drop_n, kept).
+    * rank, cluster_size, drop_n, kept). `centroidsOpt` lets a caller
+    * that also scores against the centroids independently (the
+    * [[pruneEnvelope]] argmax re-check, the [[Similarity.ivfAssign]]
+    * pattern) thread ONE centroid relation through both, so a near-tie
+    * assignment can't flip between two independently built Lloyd
+    * chains on a ULP difference.
     */
   def prunePrototypical(
       store: DataFrame,
@@ -46,9 +51,11 @@ object Prototypes {
       nClusters: Int,
       refineRounds: Int,
       epsNum: Long,
-      epsDen: Long): DataFrame = {
+      epsDen: Long,
+      centroidsOpt: Option[DataFrame] = None): DataFrame = {
     require(nClusters >= 1 && refineRounds >= 0 && epsNum >= 0 && epsDen >= 1)
-    val cents = centroids(store, embCol, idCol, nClusters, refineRounds)
+    val cents = centroidsOpt.getOrElse(
+      centroids(store, embCol, idCol, nClusters, refineRounds))
     val assigned = assignBest(store, cents, embCol, idCol)
     val w = Window.partitionBy(col("centroid_id"))
       .orderBy(col("proto_micro").desc, col(idCol).asc)
@@ -121,7 +128,7 @@ object Prototypes {
       centroids(store, embCol, idCol, nClusters, refineRounds))
     val pruned = graft.core.Caches.persistTracked(
       prunePrototypical(store, embCol, idCol, nClusters, refineRounds,
-        epsNum, epsDen))
+        epsNum, epsDen, centroidsOpt = Some(cents)))
     // (a) independent argmax re-score: the assigned centroid must be
     // the max_by over a SECOND cross-score (same tie-break).
     val recheck = assignBest(store, cents, embCol, idCol)

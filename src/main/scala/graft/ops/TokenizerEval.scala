@@ -30,10 +30,11 @@ object TokenizerEval {
 
   /** Per-group byte-level tokenizer stats: (grp, n_pretokens, n_bytes,
     * n_tokens, bytes_per_token_milli, fertility_milli). Empty texts
-    * contribute no pretokens; a group with zero tokens reports 0 for
-    * both ratios (cannot occur when the group has any non-empty text —
-    * byte-level tokenization is unk-free and emits >= 1 token per
-    * pretoken).
+    * contribute no pretokens; a group whose texts yield NO pretokens
+    * emits NO row at all (the relation is built by exploding
+    * pretokens), so the zero-denominator CASE branches below are
+    * unreachable — they are kept only for spelling parity with the
+    * DuckDB oracle, which agrees on the absent-row semantics.
     */
   def fertilityByGroup(
       df: DataFrame,

@@ -273,6 +273,13 @@ object WordPiece {
     * `vocabStrings` must be the token column of `vocab` (the set the
     * matcher probes); `maxChars` is the [UNK]-wholesale cap, counted
     * in code points (see [[graft.functions.WordPieceTokenizeExpr]]).
+    *
+    * CASING CONTRACT: input is lowercased before the whitespace split
+    * (the BERT-uncased convention) — this matches [[Bpe.wordCounts]],
+    * the histogram `train`/`vocabTable` are built from, which applies
+    * the SAME `lower(trim(...))`. The two sites must stay in sync: a
+    * cased corpus tokenized against a vocab trained lowercase would
+    * silently produce [UNK]-heavy output.
     */
   def tokenizeToIds(
       df: DataFrame, textCol: String, idCol: String,

@@ -88,6 +88,30 @@ class WordPieceSpec extends SparkSpec {
     assert(out(2) === ((3L, Seq.empty[Long])))
   }
 
+  test("wordpiece longest-match: word-initial literal '##' uses full entry length") {
+    // Vocab entries are a string SET: at pos 0 the candidate is the
+    // RAW piece, so an entry literally starting "##" ("##z", 3 cps,
+    // stripped content 1 cp) must match a word starting "##z" with
+    // its FULL length. A probe capped at the stripped content length
+    // (here 1) would only try "#" and return [UNK] — the round-12
+    // advisory bug; the DuckDB oracle probes every length.
+    val vocab = Seq("[UNK]", "##z", "##q")
+    def toks(w: String): Seq[String] = {
+      val df = Seq(Tuple1(w)).toDF("w")
+        .select(WordPiece.tokenizeWord(col("w"), vocab, 16).as("t"))
+      df.collect()(0).getSeq[String](0)
+    }
+    // "##z" matches entry "##z" at pos 0 (full length 3), then pos 3
+    // is past the end. "##z##q": "##z" then continuation candidate
+    // "##" + "##q"... no entry "####q", so the word dead-ends -> [UNK].
+    assert(toks("##z") === Seq("##z"))
+    assert(toks("##q") === Seq("##q"))
+    assert(toks("##z##q") === Seq("[UNK]"))
+    // Continuation positions still cap at stripped content: "z##q"
+    // has no pos-0 match (no entry "z") -> [UNK].
+    assert(toks("z") === Seq("[UNK]"))
+  }
+
   test("wordpiece longest-match can disagree with the training fold") {
     // The structural reason q183's oracle replays longest-match: with
     // vocab {a, ##b, ##c, ##bc, ab} (merges (##b,##c) then (a,##b)),
