@@ -67,14 +67,30 @@ object Decontaminate {
     */
   def tokenIdNgramOverlap(
       train: DataFrame, eval: DataFrame, textCol: String, idCol: String,
-      merges: Seq[Bpe.Merge], vocab: DataFrame, n: Int): DataFrame = {
+      merges: Seq[Bpe.Merge], vocab: DataFrame, n: Int): DataFrame =
+    tokenIdNgramOverlapFromIds(
+      Bpe.tokenizeToIdsByteLevel(train, textCol, idCol, merges, vocab),
+      Bpe.tokenizeToIdsByteLevel(eval, textCol, idCol, merges, vocab),
+      idCol, vocabSize = 256L + merges.length, n = n)
+
+  /** [[tokenIdNgramOverlap]] over PRE-TOKENIZED relations — the
+    * standing-store spelling ([[TokenStore]]): both sides arrive as
+    * (idCol, token_ids array<bigint>), so the tokenizer train +
+    * dictionary fold is paid once per corpus version instead of once
+    * per consumer. Identical probe semantics and identical packed-key
+    * arithmetic (`vocabSize` must be the trained base, 256 + merges,
+    * or the injective packing silently changes key space).
+    */
+  def tokenIdNgramOverlapFromIds(
+      trainIds: DataFrame, evalIds: DataFrame, idCol: String,
+      vocabSize: Long, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val base = 256L + merges.length
-    val packable = n * math.log(base.toDouble) < 62 * math.log(2.0)
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val packable = n * math.log(vocabSize.toDouble) < 62 * math.log(2.0)
     def idGrams(ids: Column): Column = {
       def packed(i: Column): Column =
         (0 until n).foldLeft(lit(0L).cast("long")) { (acc, j) =>
-          acc * base + element_at(ids, (i + j + 1).cast("int")).cast("long")
+          acc * vocabSize + element_at(ids, (i + j + 1).cast("int")).cast("long")
         }
       def joined(i: Column): Column = array_join(
         transform(slice(ids, i + 1, lit(n)), t => t.cast("string")), " ")
@@ -88,14 +104,13 @@ object Decontaminate {
           .otherwise(array().cast("array<string>"))
     }
     def grams(df: DataFrame): DataFrame =
-      Bpe.tokenizeToIdsByteLevel(df, textCol, idCol, merges, vocab)
-        .select(col(idCol), explode(idGrams(col("token_ids"))).as("__g"))
-    val evalGrams = grams(eval).select(col("__g")).distinct()
-    val hits = grams(train)
+      df.select(col(idCol), explode(idGrams(col("token_ids"))).as("__g"))
+    val evalGrams = grams(evalIds).select(col("__g")).distinct()
+    val hits = grams(trainIds)
       .join(broadcast(evalGrams), "__g")
       .groupBy(col(idCol))
       .agg(countDistinct(col("__g")).as("n_shared"))
-    train.select(col(idCol))
+    trainIds.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))

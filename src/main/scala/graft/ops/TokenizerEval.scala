@@ -61,4 +61,42 @@ object TokenizerEval {
         "CASE WHEN n_pretokens > 0 THEN (n_tokens * 1000) DIV n_pretokens " +
           "ELSE CAST(0 AS BIGINT) END"))
   }
+
+  /** [[fertilityByGroup]] over a PRE-TOKENIZED corpus — the
+    * standing-store spelling ([[TokenStore]]): the trained tokenizer's
+    * fold is read off `ids` (idCol, token_ids) instead of re-derived.
+    * Exactness: [[Bpe.tokenizeToIdsByteLevel]] concatenates per-
+    * pretoken emissions in document order, so a document's token count
+    * IS the sum of its pretokens' subword counts — n_tokens via
+    * size(token_ids) equals the per-pretoken sum; n_pretokens/n_bytes
+    * are map-side re-pretokenizations (regex only — no BPE fold, the
+    * cheap half). Documents with no pretokens drop before the group
+    * agg so a group whose texts yield none still emits no row
+    * ([[fertilityByGroup]]'s absent-row semantics); such documents
+    * carry zero tokens/bytes, so the drop never changes a sum.
+    */
+  def fertilityByGroupFromIds(
+      df: DataFrame,
+      textCol: String,
+      grpCol: String,
+      idCol: String,
+      ids: DataFrame): DataFrame =
+    df.select(col(grpCol).as("grp"), col(idCol),
+        Bpe.pretokenizeByteLevel(col(textCol)).as("__ws"))
+      .withColumn("__np", size(col("__ws")).cast("long"))
+      .where(col("__np") > 0)
+      .withColumn("__nb", aggregate(col("__ws"), lit(0L),
+        (acc, w) => acc + octet_length(w).cast("long")))
+      .join(ids.select(col(idCol), size(col("token_ids")).cast("long")
+        .as("__nt")), Seq(idCol))
+      .groupBy(col("grp"))
+      .agg(sum(col("__np")).as("n_pretokens"),
+        sum(col("__nb")).as("n_bytes"),
+        sum(col("__nt")).as("n_tokens"))
+      .withColumn("bytes_per_token_milli", expr(
+        "CASE WHEN n_tokens > 0 THEN (n_bytes * 1000) DIV n_tokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("fertility_milli", expr(
+        "CASE WHEN n_pretokens > 0 THEN (n_tokens * 1000) DIV n_pretokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
 }
