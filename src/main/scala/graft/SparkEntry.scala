@@ -2883,10 +2883,13 @@ object SparkEntry {
       import graft.functions.VectorFunctions.vecCosine
       val emb = embeddings(s, d)
       val anchors = emb.where(col("vec_id") % 50 === 0)
-      val prefix = s"graft_idx_q167_$runToken"
-      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-        java.lang.Integer.toHexString(d.hashCode)
       val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
+      // STANDING index since round 13: the build is ensured once per
+      // (run, dataset) and shared with q175's two arms — see
+      // ensureStandingVectorIndex; geometry unchanged from the
+      // measured round-12 sizing, so results are bit-identical to the
+      // per-query-build spelling.
+      val prefix = ensureStandingVectorIndex(s, d, nEmb)
       // MEASURED DISPATCH (the Boilerplate/bloom break-even
       // discipline): the PQ half costs a flat few seconds of extra
       // index build + catalog writes (TripletProbe sf10m: build_ivf
@@ -2903,18 +2906,15 @@ object SparkEntry {
       // is exact either way), so the oracle is arm-independent.
       val trip =
         if (nEmb < (1L << 16))
-          graft.ops.ContrastivePairs.hardTripletsAnn(
+          graft.ops.ContrastivePairs.hardTripletsAnnIndexed(
             emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
-            numPlanes = adaptivePlanes(nEmb),
-            nlist = 16, nprobe = 4, k = 64,
-            tablePrefix = prefix, basePath = base)
+            numPlanes = adaptivePlanes(nEmb), nprobe = 4, k = 64,
+            tablePrefix = prefix)
         else
-          graft.ops.ContrastivePairs.hardTripletsAnnAdc(
+          graft.ops.ContrastivePairs.hardTripletsAnnAdcIndexed(
             emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
-            numPlanes = adaptivePlanes(nEmb),
-            nlist = 64, nprobe = 4, k = 64,
-            shortlist = 256, m = 4, ksub = 16, dim = 64,
-            tablePrefix = prefix, basePath = base)
+            numPlanes = adaptivePlanes(nEmb), nprobe = 4, k = 64,
+            shortlist = 256, tablePrefix = prefix)
       val ver = trip
         .join(emb.select(col("vec_id").as("anchor_id"),
           col("embedding").as("__ea")), "anchor_id")
@@ -3266,9 +3266,16 @@ object SparkEntry {
       val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
       val anchorMod = math.max(50L, nEmb / 100L)
       val anchors = emb.where(col("vec_id") % anchorMod === 0)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idx_q175_${runToken}_" +
-        java.lang.Integer.toHexString(d.hashCode)
       val np = adaptivePlanes(nEmb)
+      // STANDING index since round 13 (shared with q167): BOTH arms
+      // probe the SAME materialization, so the equality pin is now
+      // also a same-centroids pin — before, each arm built its own
+      // index (two of the suite's three redundant builds). Geometry
+      // follows the standing sizing (nlist 16 -> 64 past 2^16); the
+      // covering shortlist max(2^20, nEmb) >= probed-candidate count
+      // at every nlist >= 4, so the pin's by-construction equality is
+      // geometry-independent.
+      val prefix = ensureStandingVectorIndex(s, d, nEmb)
       // SCALE-ADAPTIVE covering shortlist (advisor round-11): the
       // probed candidate count per anchor is ≈ nEmb × nprobe / nlist
       // = nEmb / 4, so max(2^20, nEmb) covers every probed candidate
@@ -3276,15 +3283,13 @@ object SparkEntry {
       // nEmb ≲ 4.2M, past which the equality pin would silently
       // truncate and flip false on a correct implementation.
       val covering = math.min(math.max(1L << 20, nEmb), Int.MaxValue.toLong).toInt
-      val plain = graft.ops.ContrastivePairs.hardTripletsAnn(
+      val plain = graft.ops.ContrastivePairs.hardTripletsAnnIndexed(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
-        numPlanes = np, nlist = 16, nprobe = 4, k = 64,
-        tablePrefix = s"graft_idx_q175p_$runToken", basePath = s"${base}_p")
-      val adc = graft.ops.ContrastivePairs.hardTripletsAnnAdc(
+        numPlanes = np, nprobe = 4, k = 64, tablePrefix = prefix)
+      val adc = graft.ops.ContrastivePairs.hardTripletsAnnAdcIndexed(
         emb, "embedding", "vec_id", anchors, posThreshold = 0.4,
-        numPlanes = np, nlist = 16, nprobe = 4, k = 64,
-        shortlist = covering, m = 4, ksub = 16, dim = 64,
-        tablePrefix = s"graft_idx_q175a_$runToken", basePath = s"${base}_a")
+        numPlanes = np, nprobe = 4, k = 64,
+        shortlist = covering, tablePrefix = prefix)
       anchors.agg(count(lit(1)).as("n_anchors"))
         .crossJoin(
           adc.exceptAll(plain).agg(count(lit(1)).as("__d1"))
@@ -3564,6 +3569,33 @@ object SparkEntry {
     val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
     graft.ops.TokenStore.ensure(documents(s, d), "text", "doc_id",
       bpeRounds, prefix, base)
+    prefix
+  }
+
+  /** STANDING IVFPQ INDEX per (run, data dir) — the round-13
+    * amortization's vector half: q167's negative arm and BOTH of
+    * q175's pinned arms probe the same embeddings at the same
+    * geometry; before the share each built its own index (three full
+    * builds per suite run — TripletProbe sf10m: 14-22 s each). One
+    * [[graft.ops.VectorIndex.ensureIvfPqIndex]] build now serves all
+    * three probes (q181 keeps its OWN index: it indexes the
+    * scale-adaptive ~1000-vector SUBSET, a structurally different —
+    * and bounded-cheap — vector set). Geometry is the measured q167
+    * sizing (nlist 16 below 2^16 vectors, 64 above — the round-12 √n
+    * correction) and is ENCODED IN THE PREFIX, so a scale change can
+    * never silently reuse a mismatched materialization. Sharing one
+    * index strengthens q175's ADC==plain pin: both arms now provably
+    * score against the same centroids.
+    */
+  private def ensureStandingVectorIndex(
+      s: org.apache.spark.sql.SparkSession, d: String, nEmb: Long): String = {
+    val nlist = if (nEmb < (1L << 16)) 16 else 64
+    val prefix = s"graft_idx_std_${runToken}_" +
+      java.lang.Integer.toHexString(d.hashCode) + s"_n$nlist"
+    val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
+    graft.ops.VectorIndex.ensureIvfPqIndex(embeddings(s, d), "embedding",
+      "vec_id", nlist = nlist, m = 4, ksub = 16, dim = 64,
+      refineIters = 1, pqIters = 2, tablePrefix = prefix, basePath = base)
     prefix
   }
 

@@ -133,6 +133,56 @@ object ContrastivePairs {
     joinNegatives(pos, hits, posThreshold)
   }
 
+  /** [[hardTripletsAnn]] against an EXISTING index (the standing-index
+    * spelling — [[VectorIndex.ensureIvfPqIndex]] amortizes the build
+    * across consumers): identical arms, no write. The index must cover
+    * `df` (same vectors, same id grain) — the caller's prefix
+    * contract.
+    */
+  def hardTripletsAnnIndexed(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      anchors: DataFrame,
+      posThreshold: Double,
+      numPlanes: Int,
+      nprobe: Int,
+      k: Int,
+      tablePrefix: String): DataFrame = {
+    require(numPlanes >= 1 && nprobe >= 1 && k >= 1,
+      s"bad config: numPlanes=$numPlanes nprobe=$nprobe k=$k")
+    val pos = lshPositives(df, embCol, idCol, anchors, posThreshold, numPlanes)
+    val hits = VectorIndex.searchIvfIndex(
+      anchors.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, tablePrefix = tablePrefix)
+    joinNegatives(pos, hits, posThreshold)
+  }
+
+  /** [[hardTripletsAnnAdc]] against an EXISTING IVFPQ index — the
+    * standing-index spelling of the ADC arm (see
+    * [[hardTripletsAnnIndexed]]).
+    */
+  def hardTripletsAnnAdcIndexed(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      anchors: DataFrame,
+      posThreshold: Double,
+      numPlanes: Int,
+      nprobe: Int,
+      k: Int,
+      shortlist: Int,
+      tablePrefix: String): DataFrame = {
+    require(numPlanes >= 1 && nprobe >= 1 && k >= 1,
+      s"bad config: numPlanes=$numPlanes nprobe=$nprobe k=$k")
+    val pos = lshPositives(df, embCol, idCol, anchors, posThreshold, numPlanes)
+    val hits = VectorIndex.searchIvfIndexAdc(
+      anchors.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, shortlist = shortlist,
+      tablePrefix = tablePrefix)
+    joinNegatives(pos, hits, posThreshold)
+  }
+
   /** [[hardTripletsAnn]] with the IVFADC shortlist prefilter on the
     * negative arm: the probe scans PQ CODES (m small ints per row
     * instead of the raw embedding), keeps the top-`shortlist`
