@@ -34,6 +34,11 @@ object GraftFunctions {
     if (args.length != n) throw new IllegalArgumentException(
       s"$name expects $n argument(s), got ${args.length}")
 
+  // Per-call suffix for TVFs that materialize an index: each
+  // resolution gets its own namespace (two d4_prune calls in one
+  // session must not share/overwrite an index mid-plan).
+  private val d4TvfCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** A constant string-array argument: either `array('a', 'b', ...)`
     * (CreateArray of string literals — the form SQL produces) or a
     * folded array literal.
@@ -452,6 +457,40 @@ object GraftFunctions {
         strLit(args(1), "embCol"), strLit(args(2), "idCol"),
         intLit(args(3), "nClusters"), intLit(args(4), "refineRounds"),
         longLit(args(5), "epsNum"), longLit(args(6), "epsDen")))
+    },
+    // The FULL D4 composition (q188's per-vector relation): index-
+    // backed EXACT-MODE SemDeDup at `threshold` then prototype pruning
+    // of the survivors. The index is hermetic to the call (run-unique
+    // prefix, the q144 discipline); exact-mode knobs (nprobe = nlist,
+    // k = shortlist = |table|) come from one bounded count at
+    // resolution time — the wordpiece_train TVF's trainer-at-
+    // resolution convention. (table, embCol, idCol, threshold,
+    // nClusters, refineRounds, epsNum, epsDen) ->
+    // (id, component, family_size, is_canonical, centroid_id,
+    //  proto_micro, kept)
+    "d4_prune" -> { args =>
+      arity("d4_prune", args, 8)
+      val embCol = strLit(args(1), "embCol")
+      val tbl = tableOf(strLit(args(0), "table"))
+      val prefix = s"graft_idx_d4tvf_${SparkEntry.runToken}_" +
+        d4TvfCalls.incrementAndGet()
+      val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
+      val kCap = math.min(math.max(1L, tbl.count()),
+        Int.MaxValue.toLong).toInt
+      // PQ geometry from the data (one bounded row): in exact mode
+      // the codes only gate the covering shortlist, so any valid
+      // (m | dim) split is sound — take the largest of {4, 2, 1}.
+      val dim = tbl.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col(embCol)))
+        .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(1)
+      val m = Seq(4, 2, 1).find(x => dim >= x && dim % x == 0).get
+      plan(graft.ops.Prototypes.d4Prune(tbl,
+        embCol, strLit(args(2), "idCol"),
+        doubleLit(args(3), "threshold"), nlist = 16, nprobe = 16,
+        k = kCap, shortlist = kCap, m = m, ksub = 16, dim = dim,
+        intLit(args(4), "nClusters"), intLit(args(5), "refineRounds"),
+        longLit(args(6), "epsNum"), longLit(args(7), "epsDen"),
+        tablePrefix = prefix, basePath = base))
     },
     // deterministic mini-batch SGD trajectory:
     // (epoch, batch, bucket, weight)

@@ -3520,6 +3520,37 @@ object SparkEntry {
           "doc_id", "lang", alpha = 1.0, nBuckets = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
+    "q188_d4_pipeline" -> ((s, d) => {
+      // §2.11 embedding curation: the FULL D4 composition (Tirumala et
+      // al. 2023 — SemDeDup THEN prototype pruning, §4.1's order; the
+      // round-12 verdict's item 3): q181's index-backed exact-mode
+      // SemDeDup keeps one canonical per duplicate family, the
+      // SURVIVORS k-means + floor-share prune (q186's half). The
+      // oracle is the composed envelope: n_vecs and n_survivors are
+      // FULL-VALUE (exact mode makes the survivor count the unblocked
+      // exact closure's canonical-family count, which DuckDB
+      // recomputes via q181's recursive-CTE machinery), the four q186
+      // soundness booleans run over the survivor set, and
+      // pruned_domain_is_survivors pins the pipeline ORDER — a
+      // composition that pruned the raw store instead of the
+      // survivors reads FALSE. Scale-adaptive subset (q181's
+      // discipline): the pinned row is bounded ~1000 vectors at every
+      // scale; production runs the same operator at production knobs.
+      val emb = embeddings(s, d)
+      val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
+      val mod = math.max(1L, nEmb / 1000L)
+      val sub = emb.where(col("vec_id") % mod === 0)
+      val nSub = math.max(1L, sub.count())
+      val kCap = math.min(nSub, Int.MaxValue.toLong).toInt
+      val prefix = s"graft_idx_q188_$runToken"
+      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      graft.ops.Prototypes.d4Envelope(sub, "embedding", "vec_id",
+        threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
+        shortlist = kCap, m = 4, ksub = 16, dim = 64, nClusters = 16,
+        refineRounds = 2, epsNum = 1L, epsDen = 10L,
+        tablePrefix = prefix, basePath = base)
+    }),
   )
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
@@ -6588,6 +6619,34 @@ Hosts: %s
            TRUE AS dropped_are_most_prototypical,
            TRUE AS kept_drop_partition
          FROM embeddings""",
+    // q188: the composed D4 envelope — n_vecs and n_survivors full-
+    // value (exact-mode SemDeDup survivors == the unblocked exact
+    // closure's canonical families, q181's recursive-CTE machinery);
+    // the prototype-stage booleans are in-engine (q186's envelope
+    // discipline) plus the pipeline-order domain pin.
+    "q188_d4_pipeline" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id % greatest(1,
+             (SELECT count(*) FROM embeddings) // 1000) = 0),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4),
+         e AS (SELECT id_a AS u, id_b AS v FROM p
+               UNION SELECT id_b AS u, id_a AS v FROM p),
+         reach(v, r) AS (
+           SELECT vec_id, vec_id FROM e0
+           UNION
+           SELECT reach.v, e.v FROM reach JOIN e ON reach.r = e.u),
+         comp AS (SELECT v AS vec_id, min(r) AS component
+           FROM reach GROUP BY v)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_vecs,
+           (SELECT CAST(count(*) AS BIGINT) FROM comp
+             WHERE vec_id = component) AS n_survivors,
+           TRUE AS assigned_argmax, TRUE AS drop_count_exact,
+           TRUE AS dropped_are_most_prototypical,
+           TRUE AS kept_drop_partition,
+           TRUE AS pruned_domain_is_survivors""",
     // q161: same label-blocked pair set (q59's), same
     // (cosine DESC, id) windows for both extremes, 4-decimal grid.
     "q161_contrastive_triplets" ->

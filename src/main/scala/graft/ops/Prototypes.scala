@@ -129,6 +129,20 @@ object Prototypes {
     val pruned = graft.core.Caches.persistTracked(
       prunePrototypical(store, embCol, idCol, nClusters, refineRounds,
         epsNum, epsDen, centroidsOpt = Some(cents)))
+    val nv = store.agg(count(lit(1)).as("n_vecs"))
+    nv.crossJoin(envelopeBools(store, cents, pruned, embCol, idCol))
+  }
+
+  /** The four in-engine soundness booleans over a (store, centroids,
+    * pruned) triple — ONE row. Shared by [[pruneEnvelope]] and the D4
+    * composition's [[d4Envelope]] (there `store` is the SemDeDup
+    * survivor set). The centroid relation must be the SAME one the
+    * pruned relation scored against (see [[prunePrototypical]]'s
+    * centroidsOpt) or a near-tie can flip the argmax re-check.
+    */
+  private def envelopeBools(
+      store: DataFrame, cents: DataFrame, pruned: DataFrame,
+      embCol: String, idCol: String): DataFrame = {
     // (a) independent argmax re-score: the assigned centroid must be
     // the max_by over a SECOND cross-score (same tie-break).
     val recheck = assignBest(store, cents, embCol, idCol)
@@ -151,13 +165,127 @@ object Prototypes {
           .as("part_ok"),
         (coalesce(col("min_drop") >= col("max_keep"), lit(true)))
           .as("order_ok"))
-    val nv = store.agg(count(lit(1)).as("n_vecs"))
-    nv.crossJoin(
-        argmaxOk.agg(coalesce(min(col("ok")), lit(true)).as("assigned_argmax")))
+    argmaxOk.agg(coalesce(min(col("ok")), lit(true)).as("assigned_argmax"))
       .crossJoin(perCluster.agg(
         coalesce(min(col("drop_ok")), lit(true)).as("drop_count_exact"),
         coalesce(min(col("order_ok")), lit(true))
           .as("dropped_are_most_prototypical"),
         coalesce(min(col("part_ok")), lit(true)).as("kept_drop_partition")))
+  }
+
+  /** The FULL D4 pipeline (Tirumala et al. 2023 run SemDeDup THEN
+    * SSL-prototype pruning — §4.1's composition order, which matters:
+    * pruning's cluster geometry is computed over the DEDUPLICATED
+    * store, so duplicate mass can't drag a centroid toward itself and
+    * shield its copies from the prototypicality drop): index-backed
+    * SemDeDup ([[Components.dedupClustersIndexed]] — pairs from the
+    * materialized IVFADC probe, exact-rescored, closure) keeps one
+    * canonical per duplicate family; the survivors then k-means +
+    * floor-share prune ([[prunePrototypical]]).
+    *
+    * Output, one row per INPUT vector: (idCol, component, family_size,
+    * is_canonical, centroid_id, proto_micro, kept) — SemDeDup's family
+    * columns for every vector, prototype columns only for survivors
+    * (null otherwise), and `kept` = survived BOTH stages. Scale shape
+    * is the two halves' unchanged: banded/bucketed pair mining, k-row
+    * centroid broadcasts, one skinny rank window.
+    */
+  def d4Prune(
+      store: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      shortlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      nClusters: Int,
+      refineRounds: Int,
+      epsNum: Long,
+      epsDen: Long,
+      tablePrefix: String,
+      basePath: String): DataFrame = {
+    val stages = d4Stages(store, embCol, idCol, threshold, nlist, nprobe,
+      k, shortlist, m, ksub, dim, nClusters, refineRounds, epsNum, epsDen,
+      tablePrefix, basePath)
+    stages.clusters
+      .select(col(idCol), col("component"),
+        col("cluster_size").as("family_size"), col("is_canonical"))
+      .join(stages.pruned.select(col(idCol), col("centroid_id"),
+        col("proto_micro"), col("kept").as("__pk")), Seq(idCol), "left")
+      .withColumn("kept",
+        col("is_canonical") && coalesce(col("__pk"), lit(false)))
+      .drop("__pk")
+  }
+
+  /** The D4 ENVELOPE row (one row) for the oracle: `n_vecs` and
+    * `n_survivors` are FULL-VALUE (the SemDeDup half runs in exact
+    * mode in the pinned row, so the survivor count equals the
+    * unblocked exact closure's canonical count — DuckDB recomputes
+    * it); the four [[pruneEnvelope]] booleans are evaluated over the
+    * SURVIVOR set; and `pruned_domain_is_survivors` pins the
+    * composition ORDER — the prototype stage's domain is exactly the
+    * stage-1 survivor set, both directions (a pipeline that pruned the
+    * raw store, or pruned before deduplicating, reads FALSE).
+    */
+  def d4Envelope(
+      store: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      shortlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      nClusters: Int,
+      refineRounds: Int,
+      epsNum: Long,
+      epsDen: Long,
+      tablePrefix: String,
+      basePath: String): DataFrame = {
+    val stages = d4Stages(store, embCol, idCol, threshold, nlist, nprobe,
+      k, shortlist, m, ksub, dim, nClusters, refineRounds, epsNum, epsDen,
+      tablePrefix, basePath)
+    val survIds = stages.survivors.select(col(idCol))
+    val prunedIds = stages.pruned.select(col(idCol))
+    val domainOk = prunedIds.exceptAll(survIds)
+      .agg(count(lit(1)).as("__d1"))
+      .crossJoin(survIds.exceptAll(prunedIds).agg(count(lit(1)).as("__d2")))
+      .select((col("__d1") === 0 && col("__d2") === 0)
+        .as("pruned_domain_is_survivors"))
+    store.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(stages.survivors.agg(count(lit(1)).as("n_survivors")))
+      .crossJoin(envelopeBools(stages.survivors, stages.cents,
+        stages.pruned, embCol, idCol))
+      .crossJoin(domainOk)
+  }
+
+  private final case class D4Stages(clusters: DataFrame,
+      survivors: DataFrame, cents: DataFrame, pruned: DataFrame)
+
+  private def d4Stages(
+      store: DataFrame, embCol: String, idCol: String, threshold: Double,
+      nlist: Int, nprobe: Int, k: Int, shortlist: Int, m: Int, ksub: Int,
+      dim: Int, nClusters: Int, refineRounds: Int, epsNum: Long,
+      epsDen: Long, tablePrefix: String, basePath: String): D4Stages = {
+    val clusters = graft.core.Caches.persistTracked(
+      Components.dedupClustersIndexed(store, embCol, idCol, threshold,
+        nlist, nprobe, k, shortlist, m, ksub, dim, tablePrefix, basePath))
+    val survivors = graft.core.Caches.persistTracked(
+      store.select(col(idCol), col(embCol))
+        .join(clusters.where(col("is_canonical")).select(col(idCol)),
+          Seq(idCol)))
+    val cents = graft.core.Caches.persistTracked(
+      centroids(survivors, embCol, idCol, nClusters, refineRounds))
+    val pruned = graft.core.Caches.persistTracked(
+      prunePrototypical(survivors, embCol, idCol, nClusters, refineRounds,
+        epsNum, epsDen, centroidsOpt = Some(cents)))
+    D4Stages(clusters, survivors, cents, pruned)
   }
 }

@@ -1742,6 +1742,63 @@ class OpsSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("D4 composition: SemDeDup survivors feed the prototype prune, in that order") {
+    import graft.ops.{Components, Prototypes}
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d4").toString
+    val n = emb.count().toInt
+    val d4 = Prototypes.d4Prune(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8, nprobe = 8, k = n, shortlist = n,
+        m = 4, ksub = 16, dim = 64, nClusters = 4, refineRounds = 1,
+        epsNum = 1L, epsDen = 10L,
+        tablePrefix = "t_d4a", basePath = s"$dir/a")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(6)))
+    graft.core.Caches.releaseAll()
+    // Family columns == the standalone SemDeDup stage (same knobs).
+    val sem = Components.dedupClustersIndexed(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8, nprobe = 8, k = n, shortlist = n,
+        m = 4, ksub = 16, dim = 64,
+        tablePrefix = "t_d4b", basePath = s"$dir/b")
+      .select("vec_id", "component", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(d4.map(r => (r._1, r._2, r._3, r._4)).toSet == sem)
+    val canon = sem.filter(_._4).map(_._1)
+    assert(canon.size < n, "fixture must deduplicate something or the " +
+      "order pin is vacuous")
+    // ORDER pin: the prototype stage's domain is exactly the survivor
+    // set — non-survivors carry null prototype columns and kept=false.
+    assert(d4.filter(_._5.isDefined).map(_._1).toSet == canon)
+    for (r <- d4 if !r._4) assert(r._5.isEmpty && !r._6)
+    // kept == survived both stages: equals prunePrototypical over the
+    // survivor relation (the survivors-only geometry — pruning the RAW
+    // store would score against duplicate-dragged centroids).
+    graft.core.Caches.releaseAll()
+    val surv = emb.join(
+      sem.filter(_._4).map(_._1).toSeq.toDF("vec_id"), Seq("vec_id"))
+    val direct = Prototypes.prunePrototypical(surv, "embedding", "vec_id",
+        nClusters = 4, refineRounds = 1, epsNum = 1L, epsDen = 10L)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    for (r <- d4 if r._4)
+      assert(r._6 == direct(r._1), s"vec ${r._1} kept mismatch")
+    graft.core.Caches.releaseAll()
+    // The envelope row agrees: full-value survivor count + all-true
+    // soundness booleans.
+    val env = Prototypes.d4Envelope(emb, "embedding", "vec_id",
+        threshold = 0.4, nlist = 8, nprobe = 8, k = n, shortlist = n,
+        m = 4, ksub = 16, dim = 64, nClusters = 4, refineRounds = 1,
+        epsNum = 1L, epsDen = 10L,
+        tablePrefix = "t_d4c", basePath = s"$dir/c").head()
+    assert(env.getAs[Long]("n_vecs") == n.toLong)
+    assert(env.getAs[Long]("n_survivors") == canon.size.toLong)
+    for (c <- Seq("assigned_argmax", "drop_count_exact",
+        "dropped_are_most_prototypical", "kept_drop_partition",
+        "pruned_domain_is_survivors"))
+      assert(env.getAs[Boolean](c), c)
+    graft.core.Caches.releaseAll()
+  }
+
   test("materialized corpus index: index-backed join/cascade == direct; append == rebuild") {
     import graft.ops.{Dedup, DedupCascade}
     // Sliding-window docs so the RS join has a rich pair structure.

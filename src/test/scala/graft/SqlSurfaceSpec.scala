@@ -142,6 +142,20 @@ class SqlSurfaceSpec extends SparkSpec {
       "2, 1, 1, 4)",
       graft.ops.Prototypes.prunePrototypical(spark.table("tvf_emb"),
         "embedding", "vec_id", 2, 1, 1L, 4L))
+    locally {
+      // d4_prune: the SQL side builds its own hermetic index; the
+      // Scala twin builds another — both deterministic, row-equal.
+      val tok = java.lang.Long.toHexString(System.nanoTime())
+      val pfx = s"graft_idx_d4spec_$tok"
+      pin("SELECT * FROM d4_prune('tvf_emb', 'embedding', 'vec_id', " +
+        "0.9, 2, 1, 1, 4)",
+        graft.ops.Prototypes.d4Prune(spark.table("tvf_emb"),
+          "embedding", "vec_id", threshold = 0.9, nlist = 16,
+          nprobe = 16, k = 4, shortlist = 4, m = 2, ksub = 16, dim = 2,
+          nClusters = 2, refineRounds = 1, epsNum = 1L, epsDen = 4L,
+          tablePrefix = pfx,
+          basePath = s"${System.getProperty("java.io.tmpdir")}/$pfx"))
+    }
     val wpm = graft.ops.WordPiece.train(docs, "text", 6)
     pin("SELECT * FROM wordpiece_train('tvf_docs', 'text', 6)",
       wpm.map(m => (m.rank.toLong, m.a, m.b, m.count, m.score))
