@@ -3318,14 +3318,7 @@ object SparkEntry {
       // planted row at any scale.
       import s.implicits._
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val plantTrain = Seq(
-        ((1L << 41) + 1L, "qqalpha qqbeta zqvxkwpthj qqgamma qqdelta"),
-        ((1L << 41) + 2L, "qqepsilon qqzeta zqvxkwpthj qqeta qqtheta"),
-        ((1L << 41) + 3L, "qqiota qqkappa zqvxkwpthj qqlambda qqmu"),
-        ((1L << 41) + 4L, "ssalpha ssbeta zqvxkwpthj rrthree ssgamma"))
-        .toDF("doc_id", "text")
-      val plantEval = Seq(((1L << 42) + 1L,
-        "rrone rrtwo zqvxkwpthj rrthree rrfour")).toDF("doc_id", "text")
+      val (plantTrain, plantEval) = decontPlants(s)
       val eval = docs.where(col("doc_id") % 97 === 0).unionByName(plantEval)
       val train = docs.where(col("doc_id") % 97 =!= 0).unionByName(plantTrain)
       // Store-backed since round 13 (the round-12 verdict's #1 ask —
@@ -3551,7 +3544,57 @@ object SparkEntry {
         refineRounds = 2, epsNum = 1L, epsDen = 10L,
         tablePrefix = prefix, basePath = base)
     }),
+    "q189_token_decontamination_13gram" -> ((s, d) => {
+      // §2.11 decontamination at GPT-3's PUBLISHED n (Brown et al.
+      // 2020 App. C runs 13-grams): 276^13 >> 2^62, so the packed-long
+      // gram key is out of injective range and the operator takes the
+      // documented STRING-KEY fallback
+      // (Decontaminate.tokenIdNgramOverlapFromIds, packable = false)
+      // — the round-12 verdict's item 7: the fallback was spec-covered
+      // only; this row oracle-covers it (the oracle replays the
+      // space-joined id-string keys). Same standing-store plumbing and
+      // plants as q180; at n = 13 the single-shared-word plants CANNOT
+      // fire (their shared id run is bounded by the word's ~11 tokens)
+      // while the straddling two-word plant's shared run can — all
+      // values replayed by the oracle, nothing hard-coded.
+      val (plantTrain, plantEval) = decontPlants(s)
+      val prefix = ensureTokenStore(s, d)
+      val merges = graft.ops.TokenStore.merges(s, prefix)
+      val vocab = graft.ops.TokenStore.vocab(s, prefix)
+      val storeIds = graft.ops.TokenStore.ids(s, prefix)
+      val plantTrainIds = graft.ops.Bpe.tokenizeToIdsByteLevel(
+        plantTrain, "text", "doc_id", merges, vocab)
+      val plantEvalIds = graft.ops.Bpe.tokenizeToIdsByteLevel(
+        plantEval, "text", "doc_id", merges, vocab)
+      graft.ops.Decontaminate.tokenIdNgramOverlapFromIds(
+          storeIds.where(col("doc_id") % 97 =!= 0)
+            .unionByName(plantTrainIds),
+          storeIds.where(col("doc_id") % 97 === 0)
+            .unionByName(plantEvalIds),
+          "doc_id", vocabSize = 256L + merges.length, n = 13)
+        .orderBy(col("doc_id"))
+    }),
   )
+
+  /** The q180/q189 decontamination plants (constant rows, replayed
+    * verbatim by both oracles): train docs 1-3 share ONLY the rare
+    * word "zqvxkwpthj" with the eval probe (word-blind mode 1 — a
+    * single shared word never spans a word trigram), train doc 4
+    * shares the two-word phrase "zqvxkwpthj rrthree" (mode 2 — id
+    * n-grams straddling the word boundary).
+    */
+  private def decontPlants(s: org.apache.spark.sql.SparkSession)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    (Seq(
+      ((1L << 41) + 1L, "qqalpha qqbeta zqvxkwpthj qqgamma qqdelta"),
+      ((1L << 41) + 2L, "qqepsilon qqzeta zqvxkwpthj qqeta qqtheta"),
+      ((1L << 41) + 3L, "qqiota qqkappa zqvxkwpthj qqlambda qqmu"),
+      ((1L << 41) + 4L, "ssalpha ssbeta zqvxkwpthj rrthree ssgamma"))
+      .toDF("doc_id", "text"),
+      Seq(((1L << 42) + 1L, "rrone rrtwo zqvxkwpthj rrthree rrfour"))
+        .toDF("doc_id", "text"))
+  }
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
   private val bpeRounds = 20
@@ -6448,6 +6491,62 @@ Hosts: %s
            coalesce(wh.n_word, 0) AS n_word_shared,
            coalesce(wh.n_word, 0) > 0 AS word_contaminated
          FROM src s LEFT JOIN th USING (doc_id) LEFT JOIN wh USING (doc_id)
+         WHERE NOT s.is_eval ORDER BY s.doc_id""",
+    // q189: q180's train + tokenize machinery at n = 13 with the
+    // STRING gram key (space-joined ids — the fallback the operator
+    // takes when vocabSize^n >= 2^62); no word arm.
+    "q189_token_decontamination_13gram" ->
+      s"""WITH ${bpeByteTrainCtes(bpeRounds)},
+         bi AS (SELECT printf('%02X', t.i) AS token,
+             CAST(t.i AS BIGINT) AS token_id FROM range(256) t(i)),
+         mg AS (${(1 to bpeRounds).map(r =>
+           s"SELECT a || b AS token, $r AS r FROM m$r")
+           .mkString(" UNION ALL ")}),
+         mi AS (SELECT token, CAST(min(256 + r - 1) AS BIGINT) AS token_id
+           FROM mg GROUP BY token),
+         voc AS (SELECT token, token_id FROM bi
+           UNION ALL SELECT token, token_id FROM mi),
+         src AS (SELECT doc_id, text, doc_id % 97 = 0 AS is_eval
+             FROM documents
+           UNION ALL SELECT * FROM (VALUES
+             (CAST(2199023255553 AS BIGINT),
+              'qqalpha qqbeta zqvxkwpthj qqgamma qqdelta', FALSE),
+             (CAST(2199023255554 AS BIGINT),
+              'qqepsilon qqzeta zqvxkwpthj qqeta qqtheta', FALSE),
+             (CAST(2199023255555 AS BIGINT),
+              'qqiota qqkappa zqvxkwpthj qqlambda qqmu', FALSE),
+             (CAST(2199023255556 AS BIGINT),
+              'ssalpha ssbeta zqvxkwpthj rrthree ssgamma', FALSE),
+             (CAST(4398046511105 AS BIGINT),
+              'rrone rrtwo zqvxkwpthj rrthree rrfour', TRUE))
+             v(doc_id, text, is_eval)),
+         ${bpeByteApplyCtes(bpeRounds, "src")},
+         wx AS (SELECT doc_id, u.i AS wi, dw.ws[u.i+1] AS word FROM (
+             SELECT doc_id, regexp_extract_all(coalesce(text, ''),
+               '${graft.ops.Bpe.byteLevelPattern}') AS ws
+             FROM src) dw,
+           LATERAL unnest(range(len(dw.ws))) AS u(i)),
+         sub AS (SELECT sp.doc_id, sp.wi, u.i AS si, sp.s[u.i+1] AS token
+           FROM (SELECT wx.doc_id, wx.wi, string_split(tv.w, ' ') AS s
+             FROM wx JOIN tv$bpeRounds tv USING (word)) sp,
+           LATERAL unnest(range(len(sp.s))) AS u(i)),
+         ids AS (SELECT sub.doc_id, sub.wi, sub.si, voc.token_id AS tid
+           FROM sub JOIN voc ON voc.token = sub.token),
+         idl AS (SELECT doc_id, list(tid ORDER BY wi, si) AS ids
+           FROM ids GROUP BY 1),
+         tg AS (SELECT idl.doc_id,
+             array_to_string(ids[u.i+1:u.i+13], ' ') AS g
+           FROM idl, LATERAL unnest(range(greatest(len(ids) - 12, 0)))
+             AS u(i)),
+         teg AS (SELECT DISTINCT tg.g FROM tg JOIN src USING (doc_id)
+           WHERE src.is_eval),
+         th AS (SELECT tg.doc_id, CAST(count(DISTINCT tg.g) AS BIGINT)
+             AS n_tok
+           FROM tg JOIN src USING (doc_id) JOIN teg ON teg.g = tg.g
+           WHERE NOT src.is_eval GROUP BY 1)
+         SELECT s.doc_id, coalesce(th.n_tok, 0) AS n_shared,
+           coalesce(th.n_tok, 0) > 0 AS contaminated
+         FROM src s LEFT JOIN th USING (doc_id)
          WHERE NOT s.is_eval ORDER BY s.doc_id""",
     // q181: exact-mode index-backed SemDeDup == the UNBLOCKED exact
     // closure over the same scale-adaptive subset (q88's recursive-CTE
