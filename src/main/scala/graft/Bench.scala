@@ -83,8 +83,87 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+
+    // ---- burst / host-factor protocol (round 13) ----------------------
+    // Suite totals on this host are un-interpretable without context:
+    // identical-code runs spread 1.56x in one afternoon, and a roaming
+    // co-tenant inflates CONTIGUOUS alphabetical stretches 2-60x while
+    // the VM's own loadavg reads idle (round-12 evidence, FLOORS.json).
+    // So every run self-describes: per-query ratios against the last
+    // committed snapshot yield (a) a HOST FACTOR from the designated
+    // unchanged-code control rows (q175/q150 — median ratio; falls back
+    // to the overall median when controls are absent), and (b) a BURST
+    // list — maximal contiguous stretches of >= 3 queries at ratio >= 2
+    // (and >= 0.2 s absolute, so sub-second noise can't qualify) while
+    // the median OUTSIDE the stretch stays <= 1.5. A burst run refuses
+    // to overwrite BENCH_LOCAL.json. Reference: BENCH_LOCAL.json for
+    // sf0.1 runs, or SPARK_GRAFT_BENCH_REF for scale snapshots.
+    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF").getOrElse(
+      if (sfDir.endsWith("sf0.1")) "BENCH_LOCAL.json" else "")
+    val refQueries: Map[String, Double] =
+      if (refPath.nonEmpty &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(refPath))) {
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(
+            java.nio.file.Files.readString(java.nio.file.Paths.get(refPath)))
+          val q = root.get("queries")
+          if (q == null) Map.empty[String, Double] else {
+            val it = q.fields()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val e = it.next(); b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
+          }
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      } else Map.empty[String, Double]
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 1.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+    // (name, ratio, absolute growth) for queries present in both runs;
+    // timings is alphabetical by construction.
+    val ratios = timings.toSeq.flatMap { case (n, t) =>
+      refQueries.get(n).filter(_ > 0.0).map(r => (n, t / r, t - r))
+    }
+    val controls = Seq("q150_incremental_families", "q175_contrastive_ann_adc")
+    val ctrl = ratios.filter(p => controls.contains(p._1)).map(_._2)
+    val hostFactor = if (ctrl.nonEmpty) median(ctrl)
+      else median(ratios.map(_._2))
+    val burst = scala.collection.mutable.ArrayBuffer.empty[String]
+    locally {
+      val arr = ratios.toArray
+      def hot(i: Int): Boolean = arr(i)._2 >= 2.0 && arr(i)._3 >= 0.2
+      var i = 0
+      while (i < arr.length) {
+        if (hot(i)) {
+          var j = i
+          while (j + 1 < arr.length && hot(j + 1)) j += 1
+          if (j - i + 1 >= 3) {
+            val outside = arr.indices
+              .filterNot(k => k >= i && k <= j).map(arr(_)._2)
+            if (median(outside.toSeq) <= 1.5)
+              burst ++= arr.slice(i, j + 1).map(_._1)
+          }
+          i = j + 1
+        } else i += 1
+      }
+    }
+    val burstJson = burst.map(jstr).mkString("[", ",", "]")
+    if (burst.nonEmpty)
+      System.err.println(s"BENCH BURST detected (co-tenant signature): " +
+        s"${burst.head}..${burst.last} at >=2x vs $refPath with median " +
+        s"elsewhere ~${r3(median(ratios.map(_._2)))}; refusing to " +
+        "overwrite BENCH_LOCAL.json")
+    System.err.println(s"BENCH host_factor=${r3(hostFactor)} " +
+      s"(controls ${controls.mkString(",")} vs $refPath)")
+
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"materialization":"bit_xor(xxhash64(*))","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"host_factor":${r3(hostFactor)},"burst":$burstJson,"materialization":"bit_xor(xxhash64(*))","sf":${jstr(sfDir)}}"""
     // One bare line on stdout (build.sbt routes forked stdout through
     // un-prefixed so the driver can json-parse it), plus a file copy.
     println(line)
@@ -94,10 +173,11 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
     // BENCH_LOCAL.json is the canonical sf0.1 snapshot the docs cite;
-    // a run against any other input must not clobber it. BENCH_LAST.json
+    // a run against any other input must not clobber it, and neither
+    // must a BURST run (see the protocol above). BENCH_LAST.json
     // always holds the most recent run (any SF) for scale-snapshot
     // copying without stdout parsing.
-    if (sfDir == "/root/testdata/sf0.1")
+    if (sfDir == "/root/testdata/sf0.1" && burst.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
       catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)
