@@ -437,6 +437,38 @@ object GraftFunctions {
         strLit(args(2), "idCol"), vocab, vs,
         longLit(args(4), "maxChars").toInt))
     },
+    // Unigram-LM (SentencePiece) training (q190's relation; trainer
+    // at resolution time, the wordpiece_train convention):
+    // (token_id, token, count, cost_micro)
+    "unigram_train" -> { args =>
+      arity("unigram_train", args, 6)
+      val spark = SparkSession.active
+      val pieces = graft.ops.Unigram.train(
+        tableOf(strLit(args(0), "table")), strLit(args(1), "textCol"),
+        intLit(args(2), "seedSize"), intLit(args(3), "maxPieceLen"),
+        intLit(args(4), "emRounds"), intLit(args(5), "pruneCount"))
+      import spark.implicits._
+      plan(pieces.map(p => (p.token, p.count, p.costMicro))
+        .toDF("token", "count", "cost_micro")
+        .join(graft.ops.Unigram.vocabTable(spark, pieces), Seq("token"))
+        .select(org.apache.spark.sql.functions.col("token_id"),
+          org.apache.spark.sql.functions.col("token"),
+          org.apache.spark.sql.functions.col("count"),
+          org.apache.spark.sql.functions.col("cost_micro")))
+    },
+    // train-then-encode composition (q191's shape): Viterbi integer
+    // ids over the trained unigram vocabulary.
+    "unigram_ids" -> { args =>
+      arity("unigram_ids", args, 7)
+      val docs = tableOf(strLit(args(0), "table"))
+      val textCol = strLit(args(1), "textCol")
+      val pieces = graft.ops.Unigram.train(docs, textCol,
+        intLit(args(3), "seedSize"), intLit(args(4), "maxPieceLen"),
+        intLit(args(5), "emRounds"), intLit(args(6), "pruneCount"))
+      val vocab = graft.ops.Unigram.vocabTable(SparkSession.active, pieces)
+      plan(graft.ops.Unigram.tokenizeToIds(docs, textCol,
+        strLit(args(2), "idCol"), pieces, vocab))
+    },
     // train-then-eval composition: byte-level fertility/compression
     // stats per group (q185's relation).
     "tokenizer_fertility" -> { args =>

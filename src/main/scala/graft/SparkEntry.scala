@@ -3574,6 +3574,60 @@ object SparkEntry {
           "doc_id", vocabSize = 256L + merges.length, n = 13)
         .orderBy(col("doc_id"))
     }),
+    "q190_unigram_train" -> ((s, d) => {
+      // §2.11 tokenization: UNIGRAM-LM training (Kudo 2018 — the
+      // SentencePiece default; the FOURTH trained convention) —
+      // substring seed, hard-EM on the exact micro-nat grid, HUGEINT
+      // loss prune, post-prune recount (ops/Unigram.scala). FULL-VALUE
+      // replay: the oracle re-derives seed scoring, every Viterbi EM
+      // pass (unrolled DP CTEs with the (cost, pieces, longest-last)
+      // tie-break carried forward), the prune argsort and the final
+      // Laplace costs — token ids in binary piece order (no merge
+      // rank; the SentencePiece sorted-table convention).
+      import s.implicits._
+      val pieces = graft.ops.Unigram.train(documents(s, d), "text",
+        ugSeedSize, ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+      val vocab = graft.ops.Unigram.vocabTable(s, pieces)
+      pieces.map(p => (p.token, p.count, p.costMicro))
+        .toDF("token", "count", "cost_micro")
+        .join(vocab, Seq("token"))
+        .select(col("token_id"), col("token"), col("count"),
+          col("cost_micro"))
+        .orderBy(col("token_id"))
+    }),
+    "q191_unigram_ids" -> ((s, d) => {
+      // §2.11 tokenization: unigram VITERBI encode to integer ids —
+      // q183's dictionary-join shape with the matcher swapped for the
+      // min-cost DP (which can disagree with greedy longest-match:
+      // UnigramSpec pins the structural cases). PLANTS (the q183
+      // discipline): an over-length word and unseen code points, both
+      // ['[UNK]'] (id 0) at every scale; Viterbi-TIE coverage is
+      // organic — equal-count pieces are common at gate scales and
+      // any cross-engine tie-break disagreement reads as a hash
+      // mismatch here (tie plants can't be made scale-robust with
+      // constant rows: a planted piece's constant seed count loses
+      // the top-N race as organic counts grow — the q167 has_triplets
+      // non-vacuity lesson, so the tie SEMANTICS pin lives in
+      // UnigramSpec's hand corpora).
+      import s.implicits._
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val pieces = graft.ops.Unigram.train(docs, "text", ugSeedSize,
+        ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+      val vocab = graft.ops.Unigram.vocabTable(s, pieces)
+      val planted = Seq(
+        ((1L << 41) + 1L, "zz unmatchableverylongword zz"),
+        ((1L << 41) + 2L, "ordinary ωμέγα words"))
+        .toDF("doc_id", "text")
+      graft.ops.Unigram.tokenizeToIds(docs.unionByName(planted), "text",
+          "doc_id", pieces, vocab, ugMaxChars, ugMaxPieceLen)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), i => i.cast("string")),
+            " ").as("ids_str"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i === 0L)).cast("long")
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** The q180/q189 decontamination plants (constant rows, replayed
@@ -3598,6 +3652,17 @@ object SparkEntry {
 
   /** BPE merge rounds shared by q153/q154 and their oracles. */
   private val bpeRounds = 20
+
+  /** Unigram-LM knobs shared by q190/q191 and their oracles: seed =
+    * alphabet + top-40 substrings (<= 4 cps), 2 hard-EM rounds, prune
+    * the 10 lowest-loss multi-char pieces, 16-cp [UNK]-wholesale cap
+    * (also the oracle's DP unroll bound).
+    */
+  private val ugSeedSize = 40
+  private val ugPruneCount = 10
+  private val ugMaxPieceLen = 4
+  private val ugEmRounds = 2
+  private val ugMaxChars = 16
 
   /** WordPiece merge rounds shared by q182/q183 and their oracles. */
   private val wpRounds = 10
@@ -6548,6 +6613,61 @@ Hosts: %s
            coalesce(th.n_tok, 0) > 0 AS contaminated
          FROM src s LEFT JOIN th USING (doc_id)
          WHERE NOT s.is_eval ORDER BY s.doc_id""",
+    // q190: the full unigram-LM train replay (see unigramTrainCtes) —
+    // pieces in binary order with final counts + Laplace micro-nat
+    // costs, row for row.
+    "q190_unigram_train" ->
+      s"""WITH ${unigramTrainCtes("documents", ugSeedSize, ugMaxPieceLen,
+            ugEmRounds, ugPruneCount, ugMaxChars)}
+         SELECT CAST(row_number() OVER (ORDER BY token) AS BIGINT)
+             AS token_id,
+           token, c AS "count", cost AS cost_micro
+         FROM ugfinal ORDER BY token_id""",
+    // q191: train replay + a fourth Viterbi chain over the corpus +
+    // planted words under the FINAL cost table; [UNK]-wholesale rows
+    // come from the LEFT JOIN's absent seg.
+    "q191_unigram_ids" ->
+      s"""WITH ${unigramTrainCtes("documents", ugSeedSize, ugMaxPieceLen,
+            ugEmRounds, ugPruneCount, ugMaxChars)},
+         ugsrc AS (SELECT doc_id, text FROM documents
+           UNION ALL SELECT * FROM (VALUES
+             (CAST(2199023255553 AS BIGINT),
+              'zz unmatchableverylongword zz'),
+             (CAST(2199023255554 AS BIGINT),
+              'ordinary ωμέγα words')) v(doc_id, text)),
+         ugdw AS MATERIALIZED (SELECT doc_id, u.i AS wi, d.t[u.i+1]
+             AS word
+           FROM (SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '')
+               AS t
+             FROM ugsrc) d,
+           LATERAL unnest(range(len(d.t))) AS u(i)),
+         ugiw AS MATERIALIZED (SELECT DISTINCT word FROM ugdw),
+         ${ugViterbiCtes("ugvi", "ugiw", "ugcf", ugMaxChars,
+            ugMaxPieceLen)},
+         ugtok AS MATERIALIZED (SELECT w.word,
+             coalesce(s.seg, ['[UNK]']) AS toks
+           FROM ugiw w LEFT JOIN ugvi_seg s USING (word)),
+         ugvoc AS MATERIALIZED (SELECT '[UNK]' AS token,
+             CAST(0 AS BIGINT) AS tid
+           UNION ALL SELECT token,
+             CAST(row_number() OVER (ORDER BY token) AS BIGINT)
+           FROM ugfinal),
+         ugtokd AS (SELECT x.doc_id, x.wi, u.i AS si, x.toks[u.i+1]
+             AS tok
+           FROM (SELECT dw.doc_id, dw.wi, t.toks
+             FROM ugdw dw JOIN ugtok t USING (word)) x,
+           LATERAL unnest(range(len(x.toks))) AS u(i)),
+         ugids AS (SELECT d.doc_id, list(v.tid ORDER BY d.wi, d.si)
+             AS ids
+           FROM ugtokd d JOIN ugvoc v ON v.token = d.tok GROUP BY 1)
+         SELECT s.doc_id,
+           coalesce(array_to_string(ids, ' '), '') AS ids_str,
+           CAST(coalesce(len(ids), 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(len(list_filter(ids, x -> x = 0)), 0) AS BIGINT)
+             AS n_unk
+         FROM ugsrc s LEFT JOIN ugids USING (doc_id)
+         ORDER BY s.doc_id""",
     // q181: exact-mode index-backed SemDeDup == the UNBLOCKED exact
     // closure over the same scale-adaptive subset (q88's recursive-CTE
     // machinery with a constant block and the mod filter).
@@ -7005,4 +7125,137 @@ Hosts: %s
             UNION ALL SELECT token, tid FROM bids
             UNION ALL SELECT mgw.token, bn.nb + mgw.r AS tid FROM mgw, bn)
           GROUP BY token)"""
+
+  // ------------------------------------------------------ unigram LM
+
+  /** Laplace micro-nat cost table over a piece relation (token, c):
+    * the [[graft.ops.Unigram]] grid — round_even(-ln((c+1)/(tot+V)) *
+    * 1e6), IEEE double ln (the q82 cross-engine discipline).
+    */
+  private def ugCostCte(name: String, piecesRel: String): String =
+    s"""$name AS MATERIALIZED (SELECT p.token,
+          CAST(round_even(-ln((CAST(p.c AS DOUBLE) + 1.0) /
+            (CAST(t.tot AS DOUBLE) + 1.0 * CAST(t.v AS DOUBLE))) * 1000000,
+            0) AS BIGINT) AS cost
+        FROM $piecesRel p, (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT)
+          AS tot, CAST(count(*) AS BIGINT) AS v FROM $piecesRel) t)"""
+
+  /** One unrolled VITERBI DP chain `pfx`_0..`pfx`_`maxChars` over the
+    * distinct words of `wordsRel` (word) under the cost table
+    * `costRel` (token, cost) — the [[graft.functions
+    * .UnigramViterbiExpr]] contract replayed: state (pos, cost, np,
+    * seg) per word, transition = append any vocabulary piece of 1..
+    * `maxPieceLen` code points ending at pos, winner by (cost ASC,
+    * np ASC, L DESC) — the forward carry of the longest-last-piece
+    * tie-break. Emits `pfx`_seg (word, seg) for words whose final
+    * position is reached (unsegmentable/over-length words are simply
+    * absent — the [UNK]-wholesale arm is the consumer's LEFT JOIN).
+    * MATERIALIZED is load-bearing twice over: each step references
+    * its predecessor twice (carry + transition) and the cost table at
+    * every step.
+    */
+  private def ugViterbiCtes(pfx: String, wordsRel: String,
+      costRel: String, maxChars: Int, maxPieceLen: Int): String = {
+    val ls = (1 to maxPieceLen).mkString("[", ",", "]")
+    val sb = new StringBuilder
+    sb ++= s"""${pfx}_0 AS (SELECT word, 0 AS pos,
+          CAST(0 AS BIGINT) AS cost, 0 AS np,
+          CAST([] AS VARCHAR[]) AS seg FROM $wordsRel)"""
+    for (k <- 1 to maxChars) {
+      sb ++= s""",
+        ${pfx}_$k AS MATERIALIZED (
+          SELECT word, pos, cost, np, seg FROM ${pfx}_${k - 1}
+          UNION ALL
+          SELECT word, $k AS pos, cost, np, seg FROM (
+            SELECT prev.word, prev.cost + vc.cost AS cost,
+              prev.np + 1 AS np, list_append(prev.seg, vc.token) AS seg,
+              row_number() OVER (PARTITION BY prev.word
+                ORDER BY prev.cost + vc.cost, prev.np + 1, g.L DESC) AS rn
+            FROM ${pfx}_${k - 1} prev, LATERAL unnest($ls) AS g(L),
+              $costRel vc
+            WHERE prev.pos = $k - g.L AND length(prev.word) >= $k
+              AND vc.token = substr(prev.word, $k - g.L + 1, g.L))
+          WHERE rn = 1)"""
+    }
+    sb ++= s""",
+        ${pfx}_seg AS MATERIALIZED (SELECT word, seg FROM ${pfx}_$maxChars
+          WHERE pos = length(word))"""
+    sb.toString
+  }
+
+  /** The full unigram TRAIN replay over `src` (doc_id, text): suite
+    * word histogram -> substring seed (alphabet + top-`seedSize` by
+    * count * len) -> `emRounds` hard-EM Viterbi passes -> prune
+    * `pruneCount` multi-char pieces by HUGEINT loss c * cost -> one
+    * post-prune pass. Ends with ugfinal (token, c, cost) — the
+    * [[graft.ops.Unigram.train]] output — plus ugcf, the final cost
+    * table inference runs under, and ugh, the training histogram.
+    */
+  private def unigramTrainCtes(src: String, seedSize: Int,
+      maxPieceLen: Int, emRounds: Int, pruneCount: Int,
+      maxChars: Int): String = {
+    val ls = (1 to maxPieceLen).mkString("[", ",", "]")
+    val sb = new StringBuilder
+    sb ++= s"""ugh AS MATERIALIZED (SELECT w AS word,
+          CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(list_filter(string_split_regex(
+              lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '')) AS w
+            FROM $src) GROUP BY 1 HAVING length(w) <= $maxChars),
+        ugsub AS MATERIALIZED (SELECT substr(w.word, s.i + 1, l.L)
+            AS token, CAST(l.L AS BIGINT) AS len,
+            CAST(SUM(w.freq) AS BIGINT) AS c
+          FROM ugh w, LATERAL unnest(range(length(w.word))) AS s(i),
+            LATERAL unnest($ls) AS l(L)
+          WHERE s.i + l.L <= length(w.word)
+          GROUP BY 1, 2),
+        ugp0 AS MATERIALIZED (
+          SELECT token, c FROM ugsub WHERE len = 1
+          UNION ALL
+          SELECT token, c FROM (SELECT token, c FROM ugsub WHERE len >= 2
+            ORDER BY c * len DESC, token LIMIT $seedSize)),
+        ${ugCostCte("ugc1", "ugp0")}"""
+    // EM rounds: pass r segments under ugc{r}, yielding counts ugcnt{r}
+    // and the re-counted piece set ugp{r}.
+    for (r <- 1 to emRounds) {
+      sb ++= s""",
+        ${ugViterbiCtes(s"ugv$r", "ugh", s"ugc$r", maxChars, maxPieceLen)},
+        ugcnt$r AS MATERIALIZED (SELECT u.t AS token,
+            CAST(SUM(h.freq) AS BIGINT) AS c
+          FROM ugv${r}_seg s JOIN ugh h USING (word),
+            LATERAL unnest(s.seg) AS u(t)
+          GROUP BY 1),
+        ugp$r AS MATERIALIZED (SELECT p.token,
+            CAST(coalesce(cn.c, 0) AS BIGINT) AS c
+          FROM ugp0 p LEFT JOIN ugcnt$r cn ON cn.token = p.token)"""
+      if (r < emRounds) sb ++= s""",
+        ${ugCostCte(s"ugc${r + 1}", s"ugp$r")}"""
+    }
+    val postEm = s"ugp$emRounds"
+    val postR = emRounds + 1
+    sb ++= s""",
+        ${ugCostCte("ugcl", postEm)},
+        ugdrop AS MATERIALIZED (SELECT token FROM (
+            SELECT p.token,
+              CAST(p.c AS HUGEINT) * CAST(cl.cost AS HUGEINT) AS loss
+            FROM $postEm p JOIN ugcl cl USING (token)
+            WHERE length(p.token) >= 2)
+          ORDER BY loss, token LIMIT $pruneCount),
+        ugps AS MATERIALIZED (SELECT token, c FROM $postEm
+          WHERE token NOT IN (SELECT token FROM ugdrop)),
+        ${ugCostCte(s"ugc$postR", "ugps")},
+        ${ugViterbiCtes(s"ugv$postR", "ugh", s"ugc$postR", maxChars,
+          maxPieceLen)},
+        ugcnt$postR AS MATERIALIZED (SELECT u.t AS token,
+            CAST(SUM(h.freq) AS BIGINT) AS c
+          FROM ugv${postR}_seg s JOIN ugh h USING (word),
+            LATERAL unnest(s.seg) AS u(t)
+          GROUP BY 1),
+        ugpf AS MATERIALIZED (SELECT p.token,
+            CAST(coalesce(cn.c, 0) AS BIGINT) AS c
+          FROM ugps p LEFT JOIN ugcnt$postR cn ON cn.token = p.token),
+        ${ugCostCte("ugcf", "ugpf")},
+        ugfinal AS MATERIALIZED (SELECT p.token, p.c, cf.cost
+          FROM ugpf p JOIN ugcf cf USING (token))"""
+    sb.toString
+  }
 }

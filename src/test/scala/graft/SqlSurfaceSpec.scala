@@ -168,6 +168,18 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM tokenizer_fertility('tvf_docs', 'text', 'doc_id', 4)",
       graft.ops.TokenizerEval.fertilityByGroup(docs, "text", "doc_id",
         graft.ops.Bpe.trainByteLevel(docs, "text", 4)))
+    locally {
+      val ugp = graft.ops.Unigram.train(docs, "text", 6, 4, 2, 2)
+      val ugv = graft.ops.Unigram.vocabTable(spark, ugp)
+      pin("SELECT * FROM unigram_train('tvf_docs', 'text', 6, 4, 2, 2)",
+        ugp.map(p => (p.token, p.count, p.costMicro))
+          .toDF("token", "count", "cost_micro")
+          .join(ugv, Seq("token"))
+          .select(col("token_id"), col("token"), col("count"),
+            col("cost_micro")))
+      pin("SELECT * FROM unigram_ids('tvf_docs', 'text', 'doc_id', 6, 4, 2, 2)",
+        graft.ops.Unigram.tokenizeToIds(docs, "text", "doc_id", ugp, ugv))
+    }
     // Scalar additions: the multi-n repetition vector and the sorted-
     // array binary-search membership probe.
     pin("SELECT doc_id, multi_ngram_stats(text, 2, 3) AS v FROM tvf_docs",
