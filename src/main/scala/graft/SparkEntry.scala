@@ -3628,6 +3628,20 @@ object SparkEntry {
             .as("n_unk"))
         .orderBy(col("doc_id"))
     }),
+    "q192_unigram_fertility" -> ((s, d) => {
+      // §2.11 tokenization: q185's fertility/compression eval
+      // PARAMETERIZED over the unigram vocabulary (Rust et al. 2021
+      // compare tokenizer families exactly this way) — pretoken grain
+      // is the suite word (what unigram trains on), token count = the
+      // word's Viterbi piece count with [UNK]-wholesale words
+      // counting 1. The oracle re-trains and re-segments in SQL.
+      val docs = documents(s, d)
+      val pieces = graft.ops.Unigram.train(docs, "text", ugSeedSize,
+        ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+      graft.ops.TokenizerEval.fertilityByGroupUnigram(docs, "text",
+          "source", pieces, ugMaxChars, ugMaxPieceLen)
+        .orderBy(col("grp"))
+    }),
   )
 
   /** The q180/q189 decontamination plants (constant rows, replayed
@@ -6668,6 +6682,39 @@ Hosts: %s
              AS n_unk
          FROM ugsrc s LEFT JOIN ugids USING (doc_id)
          ORDER BY s.doc_id""",
+    // q192: train replay + one Viterbi chain over the corpus's FULL
+    // word dictionary (over-length words included — they read as
+    // absent segs -> 1 [UNK] token), then q185's group sums/grids at
+    // suite-word pretoken grain.
+    "q192_unigram_fertility" ->
+      s"""WITH ${unigramTrainCtes("documents", ugSeedSize, ugMaxPieceLen,
+            ugEmRounds, ugPruneCount, ugMaxChars)},
+         ugwx AS MATERIALIZED (SELECT source, u.w AS word
+           FROM (SELECT source, list_filter(string_split_regex(
+               lower(trim(coalesce(text, ''))), '\\s+'), t -> t <> '')
+               AS t
+             FROM documents) d,
+           LATERAL unnest(d.t) AS u(w)),
+         ugaw AS MATERIALIZED (SELECT DISTINCT word FROM ugwx),
+         ${ugViterbiCtes("ugvf", "ugaw", "ugcf", ugMaxChars,
+            ugMaxPieceLen)},
+         ugft AS MATERIALIZED (SELECT w.word,
+             CAST(coalesce(len(s.seg), 1) AS BIGINT) AS nsub,
+             CAST(strlen(w.word) AS BIGINT) AS nb
+           FROM ugaw w LEFT JOIN ugvf_seg s USING (word)),
+         ugagg AS (SELECT wx.source AS grp,
+             CAST(count(*) AS BIGINT) AS n_pretokens,
+             CAST(SUM(ft.nb) AS BIGINT) AS n_bytes,
+             CAST(SUM(ft.nsub) AS BIGINT) AS n_tokens
+           FROM ugwx wx JOIN ugft ft USING (word)
+           GROUP BY 1)
+         SELECT grp, n_pretokens, n_bytes, n_tokens,
+           CAST(CASE WHEN n_tokens > 0 THEN (n_bytes * 1000) // n_tokens
+             ELSE 0 END AS BIGINT) AS bytes_per_token_milli,
+           CAST(CASE WHEN n_pretokens > 0
+             THEN (n_tokens * 1000) // n_pretokens
+             ELSE 0 END AS BIGINT) AS fertility_milli
+         FROM ugagg ORDER BY grp""",
     // q181: exact-mode index-backed SemDeDup == the UNBLOCKED exact
     // closure over the same scale-adaptive subset (q88's recursive-CTE
     // machinery with a constant block and the mod filter).

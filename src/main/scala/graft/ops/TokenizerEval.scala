@@ -75,6 +75,49 @@ object TokenizerEval {
     * ([[fertilityByGroup]]'s absent-row semantics); such documents
     * carry zero tokens/bytes, so the drop never changes a sum.
     */
+  /** [[fertilityByGroup]] under the UNIGRAM convention — the eval
+    * parameterized over the second trained-vocabulary family (Rust
+    * 2021 compares tokenizers exactly this way): the pretoken grain
+    * is the suite WORD (unigram trains on the word histogram, not
+    * byte-level pretokens) and a word's token count is its Viterbi
+    * piece count, with [UNK]-wholesale words counting 1 — so a
+    * vocabulary that fails to cover a slice shows up as that slice's
+    * fertility DROPPING toward 1 while its [UNK] share explodes
+    * (q191 carries the n_unk column; the two read together). Same
+    * dictionary discipline, same milli grids, same absent-row
+    * semantics as the byte-level spelling.
+    */
+  def fertilityByGroupUnigram(
+      df: DataFrame,
+      textCol: String,
+      grpCol: String,
+      pieces: Seq[Unigram.Piece],
+      maxChars: Int = 16,
+      maxPieceLen: Int = 4): DataFrame = {
+    val costs = pieces.map(p => (p.token, p.costMicro))
+    val words = df.select(col(grpCol).as("grp"),
+      explode(filter(
+        split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+        t => t =!= lit(""))).as("__w"))
+    val dict = graft.core.Caches.persistTracked(
+      words.select(col("__w")).distinct()
+        .select(col("__w"),
+          size(Unigram.viterbiPieces(col("__w"), costs, maxChars,
+            maxPieceLen)).cast("long").as("__nsub"),
+          octet_length(col("__w")).cast("long").as("__nb")))
+    words.join(dict, Seq("__w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("__nb")).as("n_bytes"),
+        sum(col("__nsub")).as("n_tokens"))
+      .withColumn("bytes_per_token_milli", expr(
+        "CASE WHEN n_tokens > 0 THEN (n_bytes * 1000) DIV n_tokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("fertility_milli", expr(
+        "CASE WHEN n_pretokens > 0 THEN (n_tokens * 1000) DIV n_pretokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
+  }
+
   def fertilityByGroupFromIds(
       df: DataFrame,
       textCol: String,
