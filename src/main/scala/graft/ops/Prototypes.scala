@@ -274,13 +274,23 @@ object Prototypes {
       nlist: Int, nprobe: Int, k: Int, shortlist: Int, m: Int, ksub: Int,
       dim: Int, nClusters: Int, refineRounds: Int, epsNum: Long,
       epsDen: Long, tablePrefix: String, basePath: String): D4Stages = {
-    val clusters = graft.core.Caches.persistTracked(
-      Components.dedupClustersIndexed(store, embCol, idCol, threshold,
-        nlist, nprobe, k, shortlist, m, ksub, dim, tablePrefix, basePath))
-    val survivors = graft.core.Caches.persistTracked(
-      store.select(col(idCol), col(embCol))
-        .join(clusters.where(col("is_canonical")).select(col(idCol)),
-          Seq(idCol)))
+    // EAGER localCheckpoint at the stage boundary (the q150 plan-growth
+    // lesson): the SemDeDup relation embeds the closure's ITERATED
+    // lineage, and the prototype stage references its survivors ~8x
+    // (two Lloyd rounds of cross-scores, the prune windows, the argmax
+    // re-check, both exceptAll directions) — composing by lineage
+    // replicates that plan multiplicatively until even RENDERING it
+    // OOMs (found by the null sweep: nulled embeddings deepen the
+    // closure's iteration count and blew an 8g driver on 500 rows).
+    // Checkpointing makes each stage a leaf; both relations are one
+    // row per input vector, the op's working grain anyway.
+    val clusters = Components.dedupClustersIndexed(store, embCol, idCol,
+      threshold, nlist, nprobe, k, shortlist, m, ksub, dim, tablePrefix,
+      basePath).localCheckpoint()
+    val survivors = store.select(col(idCol), col(embCol))
+      .join(clusters.where(col("is_canonical")).select(col(idCol)),
+        Seq(idCol))
+      .localCheckpoint()
     val cents = graft.core.Caches.persistTracked(
       centroids(survivors, embCol, idCol, nClusters, refineRounds))
     val pruned = graft.core.Caches.persistTracked(
