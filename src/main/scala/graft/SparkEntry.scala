@@ -2888,8 +2888,13 @@ object SparkEntry {
       // (run, dataset) and shared with q175's two arms — see
       // ensureStandingVectorIndex; geometry unchanged from the
       // measured round-12 sizing, so results are bit-identical to the
-      // per-query-build spelling.
-      val prefix = ensureStandingVectorIndex(s, d, nEmb)
+      // per-query-build spelling. Below the break-even this arm probes
+      // PLAIN, so it requests only the coarse half (needPq) — the PQ
+      // tables get layered on in place by the first ADC consumer
+      // (q175, or this query past 2^16), keeping the small-scale cost
+      // at the old writeIvfIndex level.
+      val prefix = ensureStandingVectorIndex(s, d, nEmb,
+        needPq = nEmb >= (1L << 16))
       // MEASURED DISPATCH (the Boilerplate/bloom break-even
       // discipline): the PQ half costs a flat few seconds of extra
       // index build + catalog writes (TripletProbe sf10m: build_ivf
@@ -3741,14 +3746,16 @@ object SparkEntry {
     * score against the same centroids.
     */
   private def ensureStandingVectorIndex(
-      s: org.apache.spark.sql.SparkSession, d: String, nEmb: Long): String = {
+      s: org.apache.spark.sql.SparkSession, d: String, nEmb: Long,
+      needPq: Boolean = true): String = {
     val nlist = if (nEmb < (1L << 16)) 16 else 64
     val prefix = s"graft_idx_std_${runToken}_" +
       java.lang.Integer.toHexString(d.hashCode) + s"_n$nlist"
     val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
     graft.ops.VectorIndex.ensureIvfPqIndex(embeddings(s, d), "embedding",
       "vec_id", nlist = nlist, m = 4, ksub = 16, dim = 64,
-      refineIters = 1, pqIters = 2, tablePrefix = prefix, basePath = base)
+      refineIters = 1, pqIters = 2, tablePrefix = prefix, basePath = base,
+      needPq = needPq)
     prefix
   }
 

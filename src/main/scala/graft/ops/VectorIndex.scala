@@ -100,6 +100,27 @@ object VectorIndex {
       tablePrefix: String = "graft_vector_index",
       basePath: String = null): Unit = {
     writeIvfIndex(vecs, embCol, idCol, nlist, refineIters, tablePrefix, basePath)
+    writePqHalf(vecs, embCol, idCol, nlist, m, ksub, dim, pqIters,
+      tablePrefix, basePath)
+  }
+
+  /** The PQ compression half alone, layered onto an EXISTING
+    * [[writeIvfIndex]] materialization under the same prefix — the
+    * in-place UPGRADE path ([[ensureIvfPqIndex]]'s `needPq` economics:
+    * a plain-probe consumer builds the cheap IVF store; the first ADC
+    * consumer adds codebooks + codes without re-clustering).
+    */
+  def writePqHalf(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      pqIters: Int = 2,
+      tablePrefix: String = "graft_vector_index",
+      basePath: String = null): Unit = {
     val spark = vecs.sparkSession
     def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
         name: String) =
@@ -247,16 +268,28 @@ object VectorIndex {
       refineIters: Int = 1,
       pqIters: Int = 2,
       tablePrefix: String = "graft_vector_index",
-      basePath: String = null): Unit = {
+      basePath: String = null,
+      needPq: Boolean = true): Unit = {
     val spark = vecs.sparkSession
+    // Coarse half first (bind or build) — every consumer needs it.
+    val storeLive = spark.catalog.tableExists(s"${tablePrefix}_store")
+    if (!storeLive && basePath != null && filesExist(spark, s"$basePath/store"))
+      registerVectorIndex(spark, tablePrefix, basePath)
+    else if (!storeLive && !spark.catalog.tableExists(s"${tablePrefix}_store"))
+      writeIvfIndex(vecs, embCol, idCol, nlist, refineIters, tablePrefix,
+        basePath)
+    if (!needPq) return
+    // PQ half: bind, or UPGRADE the existing store in place — a
+    // plain-probe consumer below the ADC break-even builds only the
+    // cheap coarse half; the first ADC consumer pays the codebook
+    // train + code write exactly once, without re-clustering.
     if (spark.catalog.tableExists(s"${tablePrefix}_codes")) return
     if (basePath != null && filesExist(spark, s"$basePath/codes")) {
       registerVectorIndexPq(spark, tablePrefix, basePath)
       return
     }
-    writeIvfPqIndex(vecs, embCol, idCol, nlist = nlist, m = m, ksub = ksub,
-      dim = dim, refineIters = refineIters, pqIters = pqIters,
-      tablePrefix = tablePrefix, basePath = basePath)
+    writePqHalf(vecs, embCol, idCol, nlist, m, ksub, dim, pqIters,
+      tablePrefix, basePath)
   }
 
   /** [[registerVectorIndex]] plus the PQ tables (`_codebooks`,
