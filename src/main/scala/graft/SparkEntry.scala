@@ -3157,8 +3157,11 @@ object SparkEntry {
       // at 256 + rank - 1, earliest id winning duplicate strings.
       // Store-backed since round 13: the trained vocabulary is read
       // off the standing tokenization store (one train per run/corpus,
-      // shared with q178/q180/q185); the oracle replays the train.
-      val prefix = ensureTokenStore(s, d)
+      // shared with q178/q180/q185/q189); the oracle replays the
+      // train. needIds = false — this row reads only the tokenizer
+      // half, so it must not be charged the corpus tokenize (the
+      // store's expensive half, layered on by the first ids consumer).
+      val prefix = ensureTokenStore(s, d, needIds = false)
       graft.ops.TokenStore.vocab(s, prefix)
         .orderBy(col("token_id"), col("token"))
     }),
@@ -3721,12 +3724,13 @@ object SparkEntry {
     * value-pinned by the gate every round.
     */
   private def ensureTokenStore(
-      s: org.apache.spark.sql.SparkSession, d: String): String = {
+      s: org.apache.spark.sql.SparkSession, d: String,
+      needIds: Boolean = true): String = {
     val prefix = s"graft_tokstore_${runToken}_" +
       java.lang.Integer.toHexString(d.hashCode)
     val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
     graft.ops.TokenStore.ensure(documents(s, d), "text", "doc_id",
-      bpeRounds, prefix, base)
+      bpeRounds, prefix, base, needIds = needIds)
     prefix
   }
 

@@ -35,7 +35,14 @@ object TokenStore {
 
   /** Build-or-rebind the standing tokenization of `docs` (textCol at
     * idCol grain) under `tablePrefix`/`basePath`. Idempotent per
-    * session AND across restarts (files outlive the catalog).
+    * session AND across restarts (files outlive the catalog), and
+    * INCREMENTAL (the [[VectorIndex.ensureIvfPqIndex]] needPq
+    * economics): a consumer that only needs the trained tokenizer
+    * (vocab readers like q177) passes `needIds = false` and pays the
+    * train alone; the first consumer that reads corpus ids layers the
+    * `_ids` table on top — the corpus tokenize, the expensive half,
+    * is charged only to queries that consume it, and still exactly
+    * once per (run, corpus).
     */
   def ensure(
       docs: DataFrame,
@@ -43,26 +50,39 @@ object TokenStore {
       idCol: String,
       numMerges: Int,
       tablePrefix: String,
-      basePath: String): Unit = {
+      basePath: String,
+      needIds: Boolean = true): Unit = {
     val spark = docs.sparkSession
+    def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+        name: String) =
+      if (basePath == null) w else w.option("path", s"$basePath/$name")
+    // Tokenizer half (merges + vocab) — every consumer needs it.
+    if (!spark.catalog.tableExists(s"${tablePrefix}_merges")) {
+      if (filesExist(spark, s"$basePath/merges"))
+        register(spark, tablePrefix, basePath)
+      else {
+        val m = Bpe.trainByteLevel(docs, textCol, numMerges)
+        import spark.implicits._
+        path(m.map(x => (x.rank.toLong, x.a, x.b, x.count))
+          .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
+          .write.mode("overwrite").format("parquet"), "merges")
+          .saveAsTable(s"${tablePrefix}_merges")
+        path(Bpe.vocabTableByteLevel(spark, m)
+          .write.mode("overwrite").format("parquet"), "vocab")
+          .saveAsTable(s"${tablePrefix}_vocab")
+      }
+    }
+    if (!needIds) return
+    // Ids half: bind, or tokenize the corpus through the stored
+    // tokenizer and layer the table on.
     if (spark.catalog.tableExists(s"${tablePrefix}_ids")) return
     if (filesExist(spark, s"$basePath/ids")) {
       register(spark, tablePrefix, basePath)
       return
     }
-    val merges = Bpe.trainByteLevel(docs, textCol, numMerges)
-    val vocab = Bpe.vocabTableByteLevel(spark, merges)
-    val ids = Bpe.tokenizeToIdsByteLevel(docs, textCol, idCol, merges, vocab)
-    import spark.implicits._
-    def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
-        name: String) =
-      if (basePath == null) w else w.option("path", s"$basePath/$name")
-    path(merges.map(m => (m.rank.toLong, m.a, m.b, m.count))
-      .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
-      .write.mode("overwrite").format("parquet"), "merges")
-      .saveAsTable(s"${tablePrefix}_merges")
-    path(vocab.write.mode("overwrite").format("parquet"), "vocab")
-      .saveAsTable(s"${tablePrefix}_vocab")
+    val m = merges(spark, tablePrefix)
+    val ids = Bpe.tokenizeToIdsByteLevel(docs, textCol, idCol, m,
+      vocab(spark, tablePrefix))
     path(ids.select(col(idCol).cast("long").as("doc_id"),
         col("token_ids"))
       .write.mode("overwrite").format("parquet"), "ids")
@@ -98,8 +118,10 @@ object TokenStore {
       spark: SparkSession, tablePrefix: String, basePath: String): Unit = {
     def ddl(name: String): String =
       spark.read.parquet(s"$basePath/$name").schema.toDDL
+    // ids may legitimately be absent (a needIds=false materialization).
     for (name <- Seq("merges", "vocab", "ids"))
-      if (!spark.catalog.tableExists(s"${tablePrefix}_$name"))
+      if (!spark.catalog.tableExists(s"${tablePrefix}_$name") &&
+          filesExist(spark, s"$basePath/$name"))
         spark.sql(s"CREATE TABLE ${tablePrefix}_$name (${ddl(name)}) " +
           s"USING PARQUET LOCATION '$basePath/$name'")
   }
