@@ -177,7 +177,10 @@ object Bench {
     // must a BURST run (see the protocol above). BENCH_LAST.json
     // always holds the most recent run (any SF) for scale-snapshot
     // copying without stdout parsing.
-    if (sfDir == "/root/testdata/sf0.1" && burst.isEmpty)
+    // Subset runs (SPARK_GRAFT_ONLY) are measurement probes, never the
+    // canonical snapshot — a 4-query run must not clobber the 190+-row
+    // reference every later burst/host-factor computation keys on.
+    if (sfDir == "/root/testdata/sf0.1" && burst.isEmpty && only.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
       catch { case _: Throwable => () }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line)

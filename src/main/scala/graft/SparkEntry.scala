@@ -3378,23 +3378,12 @@ object SparkEntry {
       // over the full corpus at production knobs, where emitted pairs
       // stay sound and a missed edge can only split a cluster, never
       // invent a merge (OpsSpec pins that envelope).
-      val emb = embeddings(s, d)
-      val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
-      val mod = math.max(1L, nEmb / 1000L)
-      val sub = emb.where(col("vec_id") % mod === 0)
-      // Exact-mode k must cover the measured subset (id distributions
-      // under ScaleUp are not guaranteed uniform mod `mod`); one
-      // bounded count() buys the by-construction equality.
-      val nSub = math.max(1L, sub.count())
-      val kCap = math.min(nSub, Int.MaxValue.toLong).toInt
-      val prefix = s"graft_idx_q181_$runToken"
-      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      graft.ops.Components.dedupClustersIndexed(sub, "embedding", "vec_id",
-          threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
-          shortlist = kCap, m = 4, ksub = 16, dim = 64,
-          tablePrefix = prefix, basePath = base)
-        .orderBy(col("vec_id"))
+      // SESSION-SHARED stage-1 relation since round 13 (see
+      // subsetSemClusters): q188's D4 stage 1 is this exact computation,
+      // so the suite builds the subset index + probe + closure once and
+      // both consume it. Same subset, same exact-mode knobs —
+      // bit-identical to the per-query spelling this replaces.
+      subsetSemClusters(s, d)._2.orderBy(col("vec_id"))
     }),
     "q182_wordpiece_train" -> ((s, d) => {
       // §2.11 tokenization: WORDPIECE training (Schuster & Nakajima
@@ -3537,20 +3526,18 @@ object SparkEntry {
       // survivors reads FALSE. Scale-adaptive subset (q181's
       // discipline): the pinned row is bounded ~1000 vectors at every
       // scale; production runs the same operator at production knobs.
-      val emb = embeddings(s, d)
-      val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
-      val mod = math.max(1L, nEmb / 1000L)
-      val sub = emb.where(col("vec_id") % mod === 0)
-      val nSub = math.max(1L, sub.count())
-      val kCap = math.min(nSub, Int.MaxValue.toLong).toInt
-      val prefix = s"graft_idx_q188_$runToken"
-      val base = s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      // Stage 1 is the SESSION-SHARED subsetSemClusters relation since
+      // round 13 — identical computation to q181's output, built once
+      // per (session, dataset) and passed in via clustersOpt; the
+      // index/probe/closure knobs below are therefore unused on the
+      // shared path (k/shortlist covered by the build's own count).
+      val (sub, clusters) = subsetSemClusters(s, d)
       graft.ops.Prototypes.d4Envelope(sub, "embedding", "vec_id",
-        threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
-        shortlist = kCap, m = 4, ksub = 16, dim = 64, nClusters = 16,
+        threshold = 0.4, nlist = 16, nprobe = 16, k = Int.MaxValue,
+        shortlist = Int.MaxValue, m = 4, ksub = 16, dim = 64, nClusters = 16,
         refineRounds = 2, epsNum = 1L, epsDen = 10L,
-        tablePrefix = prefix, basePath = base)
+        tablePrefix = s"graft_idx_q188_$runToken", basePath = null,
+        clustersOpt = Some(clusters))
     }),
     "q189_token_decontamination_13gram" -> ((s, d) => {
       // §2.11 decontamination at GPT-3's PUBLISHED n (Brown et al.
@@ -3767,6 +3754,42 @@ object SparkEntry {
     * family suite (batch = doc_id % 10 >= 8).
     */
   private def isFamilyBatch(c: Column): Column = c % 10 >= 8
+
+  /** SESSION-SHARED stage-1 SemDeDup cluster relation over the
+    * scale-adaptive ~1000-vector subset — q181's entire output and
+    * q188's D4 stage 1 are the IDENTICAL computation (same subset, same
+    * exact-mode knobs); before the share each built its own IVFPQ index
+    * and re-ran the probe + closure (two full builds per suite run).
+    * One [[graft.core.Caches.shared]] build now serves both (the
+    * familyPrior discipline); both oracles still re-derive the relation
+    * independently in DuckDB, so its content stays value-pinned.
+    * Returns (subset, clusters); the subset filter is cheap and rebuilt
+    * per caller.
+    */
+  private def subsetSemClusters(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = embeddings(s, d)
+    val nEmb = parquetRowCount(s, s"$d/embeddings.parquet")
+    val mod = math.max(1L, nEmb / 1000L)
+    val sub = emb.where(col("vec_id") % mod === 0)
+    val clusters = graft.core.Caches.shared(
+        s"semdedup-subset:$d:t0.4:nlist16:m4:ksub16") {
+      // Exact-mode k must cover the measured subset (id distributions
+      // under ScaleUp are not guaranteed uniform mod `mod`); one bounded
+      // count() buys the by-construction equality — paid once per
+      // (session, dataset) now that the relation is shared.
+      val nSub = math.max(1L, sub.count())
+      val kCap = math.min(nSub, Int.MaxValue.toLong).toInt
+      val prefix = s"graft_idx_sub_${runToken}_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
+      graft.ops.Components.dedupClustersIndexed(sub, "embedding", "vec_id",
+        threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
+        shortlist = kCap, m = 4, ksub = 16, dim = 64,
+        tablePrefix = prefix, basePath = base)
+    }
+    (sub, clusters)
+  }
 
   /** SESSION-SHARED standing-family prior for the incremental family
     * suite: the corpus-only (doc_id % 10 < 8) q149 ensemble, built and

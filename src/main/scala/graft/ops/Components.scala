@@ -54,44 +54,62 @@ object Components {
       aCol: String,
       bCol: String,
       maxIter: Int = 10): DataFrame = {
-    // Symmetric edge relation, one direction per row. Persisted: it is
-    // re-joined every round. Built by EXPLODING each pair into its two
-    // directions rather than a self-union — a union's branches are not
-    // common subexpressions to Spark, so the (potentially expensive)
-    // pair-producing plan upstream — e.g. q84's exact Jaccard join —
-    // would be executed twice in the one job that materializes this
-    // persist. The explode reads it once.
-    val edges = graft.core.Caches.persistTracked(
-      pairs
-        .select(explode(array(
-          struct(col(aCol).as("src"), col(bCol).as("dst")),
-          struct(col(bCol).as("src"), col(aCol).as("dst"))))
-          .as("__e"))
-        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-        .where(col("src") =!= col("dst"))
-        .distinct())
+    // Symmetric edge relation, one direction per row. Built by EXPLODING
+    // each pair into its two directions rather than a self-union — a
+    // union's branches are not common subexpressions to Spark, so the
+    // (potentially expensive) pair-producing plan upstream — e.g. q84's
+    // exact Jaccard join — would be executed twice in the one job that
+    // materializes it. The explode reads it once. EAGER localCheckpoint
+    // rather than persist: the loop below re-joins this relation every
+    // round, and a checkpointed RDD leaf keeps every round's analyzed
+    // plan CONSTANT-SIZED — with persist the rounds nest
+    // InMemoryRelations, and the per-round analyze/canonicalize cost
+    // grows with depth (measured on the q149 ensemble graph: rounds read
+    // 0.7 → 1.0 → 2.3 → 4.3 s under persist vs a flat ~0.2 s/round
+    // checkpointed — tools/ClosureVariants). Checkpointed round RDDs
+    // are vertex/edge-sized and reclaimed by the ContextCleaner once
+    // the loop's references drop; the documented localCheckpoint trade
+    // (blocks do not survive executor loss — lineage is cut) is
+    // acceptable for these bounded intermediate relations, and was
+    // already the jump rounds' behavior.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
 
-    var labels = graft.core.Caches.persistTracked(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("component")))
+    // FUSED round 0: label(v) = min(v, min over in-neighbors) computed
+    // straight off the edge relation — every vertex appears as `dst` of
+    // the symmetric relation, so this is exactly the first min-label
+    // round and the separate identity-label init (one more distinct +
+    // shuffle) is unnecessary.
+    var labels = edges
+      .groupBy(col("dst").as("id"))
+      .agg(least(min(col("src")), col("dst")).as("component"))
+      .localCheckpoint()
 
     // Fixpoint detection: labels only ever DECREASE (monotone min over
     // a fixed vertex set), so the label sum strictly decreases iff any
     // vertex changed this round — one scalar aggregate per round
-    // instead of a compare-join, and (unlike a limit-1 emptiness probe,
-    // which caches only the partitions it touches) the full-scan
-    // aggregate materializes the round's persisted labels completely,
-    // so the next round never recomputes the propagation join.
+    // instead of a compare-join. A PLAIN-step fixpoint is full
+    // convergence: min-propagation stable means label(dst) <= label(src)
+    // across every directed edge, and the symmetric reverse edge forces
+    // equality — labels constant per component, hence equal to the
+    // component minimum (labels are member ids, and the minimum member's
+    // own label can never drop below itself). So detecting on the plain
+    // step BEFORE any pointer jump is sound, and the final
+    // (nothing-changed) round never pays the jump machinery.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // null = empty graph
     }
-    // Null sentinel: round 1 always runs, so no separate priming job is
-    // needed (negative ids make every numeric sentinel collidable). An
-    // empty edge set converges after two trivial empty-relation rounds.
-    var prevSum: java.math.BigDecimal = null
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var converged = false
-    var iter = 0
+    var iter = 1
     // Rounds before pointer jumping engages: diameter-2 graphs (the
     // near-clique dup case) converge inside these and never pay the
     // jump; with the default cap the jump rounds then cover a ~200-hop
@@ -107,34 +125,34 @@ object Components {
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
-      // Near-dup clusters are near-cliques: almost every graph
-      // converges within the first plain rounds, which cost one shuffle
-      // each. A graph still unconverged after them is chain-shaped, so
-      // later rounds add POINTER JUMPING — compress each label through
-      // its own label (every label IS a vertex id) so reach doubles per
-      // round and a ~200-hop path still fits the default cap. The jump
-      // self-join references the round's relation twice, which would
-      // double the carried logical plan per round (2^rounds nodes — an
-      // analyzer blow-up); localCheckpoint (eager) cuts the plan to an
-      // RDD leaf, and only these rare deep rounds pay its
-      // materialization cost. Checkpointed round RDDs are vertex-sized
-      // and are reclaimed by the ContextCleaner once the loop's
-      // references drop (they are not in the Caches registry).
-      val next =
-        if (iter < plainRounds) graft.core.Caches.persistTracked(propagated)
-        else {
-          val p = propagated.localCheckpoint()
-          val lookup = p.select(col("id").as("__lid"), col("component").as("__lcomp"))
-          p.join(lookup, p("component") === col("__lid"), "left")
-            .select(p("id"),
-              least(p("component"), coalesce(col("__lcomp"), p("component")))
-                .as("component"))
-            .localCheckpoint()
-        }
-      val s = labelSum(next)
+        .localCheckpoint()
+      val s = labelSum(propagated)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
-      labels = next
+      labels =
+        if (converged || iter < plainRounds) propagated
+        else {
+          // Near-dup clusters are near-cliques: almost every graph
+          // converges within the plain rounds and never reaches here. A
+          // graph still unconverged after them is chain-shaped, so later
+          // rounds add POINTER JUMPING — compress each label through its
+          // own label (every label IS a vertex id) so reach doubles per
+          // round. The jump self-join references the round's relation
+          // twice; the checkpoint above already cut it to an RDD leaf.
+          val lookup = propagated.select(col("id").as("__lid"),
+            col("component").as("__lcomp"))
+          val jumped = propagated
+            .join(lookup, propagated("component") === col("__lid"), "left")
+            .select(propagated("id"),
+              least(propagated("component"),
+                coalesce(col("__lcomp"), propagated("component")))
+                .as("component"))
+            .localCheckpoint()
+          // The jump changes labels without a detection round; re-base
+          // the sum so the next plain round's compare stays continuous.
+          prevSum = labelSum(jumped)
+          jumped
+        }
       iter += 1
     }
     labels

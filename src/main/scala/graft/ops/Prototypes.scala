@@ -248,10 +248,11 @@ object Prototypes {
       epsNum: Long,
       epsDen: Long,
       tablePrefix: String,
-      basePath: String): DataFrame = {
+      basePath: String,
+      clustersOpt: Option[DataFrame] = None): DataFrame = {
     val stages = d4Stages(store, embCol, idCol, threshold, nlist, nprobe,
       k, shortlist, m, ksub, dim, nClusters, refineRounds, epsNum, epsDen,
-      tablePrefix, basePath)
+      tablePrefix, basePath, clustersOpt)
     val survIds = stages.survivors.select(col(idCol))
     val prunedIds = stages.pruned.select(col(idCol))
     val domainOk = prunedIds.exceptAll(survIds)
@@ -269,11 +270,21 @@ object Prototypes {
   private final case class D4Stages(clusters: DataFrame,
       survivors: DataFrame, cents: DataFrame, pruned: DataFrame)
 
+  /** `clustersOpt`: an ALREADY-COMPUTED stage-1 SemDeDup relation (the
+    * [[Components.dedupClustersIndexed]] output for the same store and
+    * knobs) — the session-shared amortization path: q181 and q188 mine
+    * the identical cluster relation, so the suite computes it once and
+    * both consume it (the familyPrior discipline). When given, the
+    * index build/probe/closure are skipped here entirely; results are
+    * identical by construction and each query's oracle still re-derives
+    * everything store-free.
+    */
   private def d4Stages(
       store: DataFrame, embCol: String, idCol: String, threshold: Double,
       nlist: Int, nprobe: Int, k: Int, shortlist: Int, m: Int, ksub: Int,
       dim: Int, nClusters: Int, refineRounds: Int, epsNum: Long,
-      epsDen: Long, tablePrefix: String, basePath: String): D4Stages = {
+      epsDen: Long, tablePrefix: String, basePath: String,
+      clustersOpt: Option[DataFrame] = None): D4Stages = {
     // EAGER localCheckpoint at the stage boundary (the q150 plan-growth
     // lesson): the SemDeDup relation embeds the closure's ITERATED
     // lineage, and the prototype stage references its survivors ~8x
@@ -284,9 +295,10 @@ object Prototypes {
     // closure's iteration count and blew an 8g driver on 500 rows).
     // Checkpointing makes each stage a leaf; both relations are one
     // row per input vector, the op's working grain anyway.
-    val clusters = Components.dedupClustersIndexed(store, embCol, idCol,
-      threshold, nlist, nprobe, k, shortlist, m, ksub, dim, tablePrefix,
-      basePath).localCheckpoint()
+    val clusters = clustersOpt.getOrElse(
+      Components.dedupClustersIndexed(store, embCol, idCol,
+        threshold, nlist, nprobe, k, shortlist, m, ksub, dim, tablePrefix,
+        basePath)).localCheckpoint()
     val survivors = store.select(col(idCol), col(embCol))
       .join(clusters.where(col("is_canonical")).select(col(idCol)),
         Seq(idCol))
