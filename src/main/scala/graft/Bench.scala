@@ -68,6 +68,17 @@ object Bench {
         // support-pair discovery) deliberately survive — their reuse
         // across consumers is part of what the suite measures.
         graft.core.Caches.releaseAll()
+        // Collect BETWEEN queries (outside every timed region): a heavy
+        // query's allocation debt otherwise lands as a major GC inside
+        // some later small query's timed region (measured: q16, a 0.5 s
+        // map-only cleaner, read 9.3 s in a burst-free suite run right
+        // after the q167/q168/q169 index+BPE block), and Spark's
+        // ContextCleaner only reclaims dropped shuffle files/broadcasts
+        // when their handles are collected — without this a ~200-query
+        // session accumulates them until an arbitrary mid-query GC.
+        // Query computation is untouched; this only stops cross-query
+        // cost attribution bleed.
+        System.gc()
       }
     }
     graft.core.Caches.releaseShared()

@@ -1477,7 +1477,8 @@ object SparkEntry {
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
       graft.ops.ProductQuantize.pqTopK(emb, qs, m = 4, ksub = 16, dim = 64,
-          k = 5, shortlist = Int.MaxValue)
+          k = 5, shortlist = Int.MaxValue,
+          codebooksOpt = Some(sharedPqCodebooks(s, d)))
         .select(col("q_id"), col("vec_id"), round(col("score"), 4).as("score"), col("rank"))
         .orderBy(col("q_id"), col("rank"))
     }),
@@ -1504,7 +1505,7 @@ object SparkEntry {
       // expensive row.)
       import graft.ops.ProductQuantize
       val emb = embeddings(s, d)
-      val books = ProductQuantize.trainCodebooks(emb, m = 4, ksub = 16, dim = 64, iters = 2)
+      val books = sharedPqCodebooks(s, d)
       val sampled = emb.where(substring(
         md5(concat(lit("q91s"), col("vec_id").cast("string"))), 1, 1)
         .isin("0", "1", "2", "3"))
@@ -2630,7 +2631,7 @@ object SparkEntry {
       // oracle replays all 20 rounds in chained CTEs: same pair
       // counts, same (count DESC, a, b) tie-break, same two-pass
       // replace fixpoint — the merge table must match round for round.
-      val merges = graft.ops.Bpe.train(documents(s, d), "text", bpeRounds)
+      val merges = sharedBpeMerges(s, d)
       import s.implicits._
       merges.map(m => (m.rank.toLong, m.a, m.b, m.count))
         .toDF("merge_rank", "pair_a", "pair_b", "pair_count")
@@ -2647,7 +2648,7 @@ object SparkEntry {
       // re-packs with the window-form prefix. Full-value: every
       // sequence string must match.
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val merges = sharedBpeMerges(s, d)
       graft.ops.SequencePack.packTokens(docs,
           concat(graft.ops.Bpe.tokenize(col("text"), merges),
             array(lit("<eod>"))), "doc_id", 64)
@@ -2825,7 +2826,7 @@ object SparkEntry {
       // per-JVM word cache, never the dictionary join). Same oracle
       // as q154: native cache == dictionary == SQL word-table replay.
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val merges = sharedBpeMerges(s, d)
       val toked = graft.ops.Bpe.tokenizeByDict(docs, "text", "doc_id", merges)
       graft.ops.SequencePack.packTokens(toked,
           concat(col("tokens"), array(lit("<eod>"))), "doc_id", 64)
@@ -2840,7 +2841,7 @@ object SparkEntry {
       // range shuffle for the shards; the oracle replays training and
       // recomputes both prefix sums in window form.
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val merges = sharedBpeMerges(s, d)
       val toked = docs.select(col("doc_id"), col("source"),
         graft.ops.Bpe.tokenize(col("text"), merges).as("__toks"))
       val capped = graft.ops.BudgetCap.capByCount(toked,
@@ -2957,7 +2958,7 @@ object SparkEntry {
       // (bounded id-assignment window, never corpus-proportional).
       // The oracle rebuilds the same ids from the training replay.
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val merges = sharedBpeMerges(s, d)
       graft.ops.Bpe.vocabTable(docs, "text", merges)
         .orderBy(col("token_id"), col("token"))
     }),
@@ -2970,7 +2971,7 @@ object SparkEntry {
       // corpus (every emitted subword is a composition of base
       // symbols through the merge table, so -1 never appears here).
       val docs = documents(s, d)
-      val merges = graft.ops.Bpe.train(docs, "text", bpeRounds)
+      val merges = sharedBpeMerges(s, d)
       val vocab = graft.ops.Bpe.vocabTable(docs, "text", merges)
       graft.ops.Bpe.tokenizeToIds(docs, "text", "doc_id", merges, vocab)
         .select(col("doc_id"),
@@ -3400,8 +3401,7 @@ object SparkEntry {
       // one-row argmax collect, map-only merge application. The oracle
       // replays every round; the merge table must match round for
       // round including the score column.
-      val merges = graft.ops.WordPiece.train(documents(s, d), "text",
-        wpRounds)
+      val merges = sharedWpMerges(s, d)
       import s.implicits._
       merges.map(m => (m.rank.toLong, m.a, m.b, m.count, m.score))
         .toDF("merge_rank", "pair_a", "pair_b", "pair_count", "score")
@@ -3424,7 +3424,7 @@ object SparkEntry {
       // unlike the byte-level family's unk-free-by-construction q178.
       import s.implicits._
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val merges = graft.ops.WordPiece.train(docs, "text", wpRounds)
+      val merges = sharedWpMerges(s, d)
       val vocab = graft.ops.WordPiece.vocabTable(docs, "text", merges)
       // Vocabulary-sized collect (the vocabTable base-alphabet
       // discipline); sorted so the expression's per-JVM cache key is
@@ -3580,8 +3580,7 @@ object SparkEntry {
       // Laplace costs — token ids in binary piece order (no merge
       // rank; the SentencePiece sorted-table convention).
       import s.implicits._
-      val pieces = graft.ops.Unigram.train(documents(s, d), "text",
-        ugSeedSize, ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+      val pieces = sharedUnigramPieces(s, d)
       val vocab = graft.ops.Unigram.vocabTable(s, pieces)
       pieces.map(p => (p.token, p.count, p.costMicro))
         .toDF("token", "count", "cost_micro")
@@ -3606,8 +3605,7 @@ object SparkEntry {
       // UnigramSpec's hand corpora).
       import s.implicits._
       val docs = documents(s, d).select(col("doc_id"), col("text"))
-      val pieces = graft.ops.Unigram.train(docs, "text", ugSeedSize,
-        ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+      val pieces = sharedUnigramPieces(s, d)
       val vocab = graft.ops.Unigram.vocabTable(s, pieces)
       val planted = Seq(
         ((1L << 41) + 1L, "zz unmatchableverylongword zz"),
@@ -3631,8 +3629,7 @@ object SparkEntry {
       // word's Viterbi piece count with [UNK]-wholesale words
       // counting 1. The oracle re-trains and re-segments in SQL.
       val docs = documents(s, d)
-      val pieces = graft.ops.Unigram.train(docs, "text", ugSeedSize,
-        ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+      val pieces = sharedUnigramPieces(s, d)
       graft.ops.TokenizerEval.fertilityByGroupUnigram(docs, "text",
           "source", pieces, ugMaxChars, ugMaxPieceLen)
         .orderBy(col("grp"))
@@ -3746,9 +3743,63 @@ object SparkEntry {
     graft.ops.VectorIndex.ensureIvfPqIndex(embeddings(s, d), "embedding",
       "vec_id", nlist = nlist, m = 4, ksub = 16, dim = 64,
       refineIters = 1, pqIters = 2, tablePrefix = prefix, basePath = base,
-      needPq = needPq)
+      needPq = needPq,
+      booksOpt = if (needPq) Some(sharedPqCodebooks(s, d)) else None)
     prefix
   }
+
+  /** SESSION-SHARED PQ codebooks over the full embedding store at the
+    * suite's one geometry (m=4, ksub=16, dim=64, 2 Lloyd rounds,
+    * trainCap default) — q90, q91, and the standing index's PQ half
+    * each trained this same relation per suite run; one build now
+    * serves all three. Correctness does not even require bit-equal
+    * float means across builds: q90 runs a covering shortlist (exact
+    * re-rank decides everything), q91/q175 pin in-engine
+    * self-consistency booleans, so codebook values are engine-internal
+    * by the envelope discipline. q181/q188's SUBSET books are a
+    * different vector set and keep their own (already shared) build.
+    */
+  private def sharedPqCodebooks(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.core.Caches.shared(s"pq-codebooks:$d:m4:ksub16:dim64:it2") {
+      graft.ops.ProductQuantize.trainCodebooks(
+        embeddings(s, d), m = 4, ksub = 16, dim = 64, iters = 2)
+    }
+
+  /** SESSION-MEMOIZED trained tokenizers (driver-side merge/piece
+    * tables — pure values bounded by the round/seed caps, NOT Spark
+    * resources): the char-level BPE trains in SIX queries per suite run
+    * (q153/q154/q165/q166/q168/q169), WordPiece in two (q182/q183),
+    * unigram-LM in three (q190/q191/q192) — each train re-scanning the
+    * corpus for the same word histogram. Training is deterministic per
+    * (dataset, params), so one train per key serves every consumer;
+    * each consumer's oracle still replays training from scratch in
+    * DuckDB, value-pinning the memoized tables every round. Keys carry
+    * the data dir (the standing-store contract: a corpus changed under
+    * the same path within one session is out of scope for every shared
+    * cache here).
+    */
+  private val trainedTokenizers =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def memoTrained[T <: AnyRef](key: String)(build: => T): T =
+    trainedTokenizers.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  private def sharedBpeMerges(
+      s: SparkSession, d: String): Seq[graft.ops.Bpe.Merge] =
+    memoTrained(s"bpe:$d:$bpeRounds") {
+      graft.ops.Bpe.train(documents(s, d), "text", bpeRounds)
+    }
+  private def sharedWpMerges(
+      s: SparkSession, d: String): Seq[graft.ops.WordPiece.Merge] =
+    memoTrained(s"wp:$d:$wpRounds") {
+      graft.ops.WordPiece.train(documents(s, d), "text", wpRounds)
+    }
+  private def sharedUnigramPieces(
+      s: SparkSession, d: String): Seq[graft.ops.Unigram.Piece] =
+    memoTrained(s"ug:$d:$ugSeedSize:$ugMaxPieceLen:$ugEmRounds:" +
+        s"$ugPruneCount:$ugMaxChars") {
+      graft.ops.Unigram.train(documents(s, d), "text", ugSeedSize,
+        ugMaxPieceLen, ugEmRounds, ugPruneCount, ugMaxChars)
+    }
 
   /** The corpus/batch split shared by the q150/q156/q162 incremental
     * family suite (batch = doc_id % 10 >= 8).

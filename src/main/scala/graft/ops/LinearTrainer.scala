@@ -24,14 +24,16 @@ import org.apache.spark.sql.functions._
   * division — engine-portable by construction.
   *
   * Scale shape: the token→bucket relation is built ONCE (one corpus
-  * scan + one (doc, bucket)-grain aggregation) and persisted; each
-  * epoch is (1) a broadcast join of the bucket-count relation with the
-  * `buckets`-row weight table + a doc-grain margin aggregation, and
-  * (2) a doc-grain residual join + a bucket-grain gradient aggregation
-  * — both map-side combinable, shuffles at doc grain only, gradient
-  * state exactly `buckets` rows (the tree-aggregation equivalent,
-  * expressed declaratively). No driver collect anywhere: weights stay
-  * a `localCheckpoint`ed `buckets`-row DataFrame between epochs.
+  * scan + one (doc, bucket)-grain aggregation, the label fused on as a
+  * rider column) and persisted; each epoch is (1) a broadcast join of
+  * the bucket-count relation with the `buckets`-row weight table + a
+  * doc-grain margin-and-residual aggregation (the fused label makes
+  * the residual part of the same exchange), and (2) a doc-grain
+  * gradient join + bucket-grain aggregation — both map-side
+  * combinable, shuffles at doc grain only, gradient state exactly
+  * `buckets` rows (the tree-aggregation equivalent, expressed
+  * declaratively). No driver collect anywhere: weights stay a
+  * `localCheckpoint`ed `buckets`-row DataFrame between epochs.
   *
   * Learning rate = 1/(lrFactor × n_docs) in micro-units — the integer
   * grid schedule. Deterministic by construction: full-batch (no
@@ -72,18 +74,22 @@ object LinearTrainer {
       lrFactor: Long = 16L): DataFrame = {
     require(epochs >= 1 && buckets >= 1 && lrFactor >= 1,
       s"bad config: epochs=$epochs buckets=$buckets lrFactor=$lrFactor")
-    // (doc, bucket, count): the feature matrix in COO form, one corpus
-    // scan, reused by every epoch.
+    // (doc, bucket, count, label): the feature matrix in COO form with
+    // the LABEL fused on as a rider column (constant per doc), one
+    // corpus scan, reused by every epoch. Fusing the label means each
+    // epoch's residual computes inside the margin aggregation itself —
+    // one shuffle — instead of a separate doc-grain z ⋈ label join per
+    // epoch (guide §2.4: two operations keyed the same way share one
+    // exchange). Docs with no tokens have no COO rows and contribute no
+    // gradient either way, so the fused spelling is value-identical.
     val tok = graft.core.Caches.persistTracked(
-      df.select(col(idCol).as("__id"),
+      df.select(col(idCol).as("__id"), labelCol.cast("long").as("__y0"),
           explode(filter(
             split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
             t => t =!= lit(""))).as("__tok"))
-        .select(col("__id"), bucketOf(col("__tok"), buckets).as("__b"))
+        .select(col("__id"), col("__y0"), bucketOf(col("__tok"), buckets).as("__b"))
         .groupBy(col("__id"), col("__b"))
-        .agg(count(lit(1)).as("__x")))
-    val lab = graft.core.Caches.persistTracked(
-      df.select(col(idCol).as("__id"), labelCol.cast("long").as("__y")))
+        .agg(count(lit(1)).as("__x"), max(col("__y0")).as("__y")))
     // Integer-grid learning rate 1/(lrFactor*n). parquetRowCount-style
     // metadata isn't available for an arbitrary frame, and one count
     // job up front is the documented price of a deterministic
@@ -95,12 +101,11 @@ object LinearTrainer {
       .localCheckpoint()
     var out: DataFrame = null
     for (e <- 1 to epochs) {
-      val z = tok.join(broadcast(w), Seq("__b"))
+      val resid = tok.join(broadcast(w), Seq("__b"))
         .groupBy(col("__id"))
-        .agg(sum(col("__x") * col("__wt")).as("__z"))
-      val resid = z.join(lab, Seq("__id"))
+        .agg(sum(col("__x") * col("__wt")).as("__z"), max(col("__y")).as("__yy"))
         .select(col("__id"),
-          (hardSigmoid(col("__z")) - col("__y") * lit(Scale)).as("__r"))
+          (hardSigmoid(col("__z")) - col("__yy") * lit(Scale)).as("__r"))
       val grad = tok.join(resid, Seq("__id"))
         .groupBy(col("__b"))
         .agg(sum(col("__r") * col("__x")).as("__g"))
@@ -154,20 +159,23 @@ object LinearTrainer {
     def batchOf(id: Column): Column =
       conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
         1, 15), 16, 10).cast("long") % numBatches
+    // Label fused onto the COO relation as in [[train]] — each step's
+    // residual computes inside its margin aggregation, no per-step
+    // z ⋈ label join. The doc-grain label relation below survives only
+    // for the per-batch doc counts (they count ALL docs, token-less
+    // included — the lrd denominator).
     val tok = graft.core.Caches.persistTracked(
-      df.select(col(idCol).as("__id"),
+      df.select(col(idCol).as("__id"), labelCol.cast("long").as("__y0"),
           explode(filter(
             split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
             t => t =!= lit(""))).as("__tok"))
-        .select(col("__id"), bucketOf(col("__tok"), buckets).as("__b"))
+        .select(col("__id"), col("__y0"), bucketOf(col("__tok"), buckets).as("__b"))
         .groupBy(col("__id"), col("__b"))
-        .agg(count(lit(1)).as("__x"))
+        .agg(count(lit(1)).as("__x"), max(col("__y0")).as("__y"))
         .withColumn("__mb", batchOf(col("__id"))))
-    val lab = graft.core.Caches.persistTracked(
-      df.select(col(idCol).as("__id"), labelCol.cast("long").as("__y"),
-        batchOf(col(idCol)).as("__mb")))
     // numBatches rows — bounded by construction.
-    val batchN = lab.groupBy(col("__mb")).agg(count(lit(1)).as("__n"))
+    val batchN = df.select(batchOf(col(idCol)).as("__mb"))
+      .groupBy(col("__mb")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     var w = tok.select(col("__b")).distinct()
@@ -177,12 +185,11 @@ object LinearTrainer {
     for (e <- 1 to epochs; b <- 0 until numBatches) {
       val lrd = lit(math.max(1L, lrFactor * batchN.getOrElse(b.toLong, 0L)))
       val btok = tok.where(col("__mb") === b)
-      val z = btok.join(broadcast(w), Seq("__b"))
+      val resid = btok.join(broadcast(w), Seq("__b"))
         .groupBy(col("__id"))
-        .agg(sum(col("__x") * col("__wt")).as("__z"))
-      val resid = z.join(lab, Seq("__id"))
+        .agg(sum(col("__x") * col("__wt")).as("__z"), max(col("__y")).as("__yy"))
         .select(col("__id"),
-          (hardSigmoid(col("__z")) - col("__y") * lit(Scale)).as("__r"))
+          (hardSigmoid(col("__z")) - col("__yy") * lit(Scale)).as("__r"))
       val grad = btok.join(resid, Seq("__id"))
         .groupBy(col("__b"))
         .agg(sum(col("__r") * col("__x")).as("__g"))

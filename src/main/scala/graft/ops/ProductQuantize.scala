@@ -231,8 +231,13 @@ object ProductQuantize {
       storeEmbCol: String = "embedding",
       queryEmbCol: String = "q_embedding",
       storeIdCol: String = "vec_id",
-      queryIdCol: String = "q_id"): DataFrame = {
-    val books = trainCodebooks(store, m, ksub, dim, iters, storeEmbCol, storeIdCol)
+      queryIdCol: String = "q_id",
+      codebooksOpt: Option[DataFrame] = None): DataFrame = {
+    // codebooksOpt: an already-trained codebook relation for the same
+    // (store, m, ksub, dim, iters) — the session-shared amortization
+    // path (several suite consumers train the identical books).
+    val books = codebooksOpt.getOrElse(
+      trainCodebooks(store, m, ksub, dim, iters, storeEmbCol, storeIdCol))
     val codes = encode(store, books, m, dim, storeEmbCol, storeIdCol)
     val lut = adcLut(queries, books, m, dim, queryEmbCol, queryIdCol)
     rerank(adcScores(codes, lut), store, queries, k, shortlist,

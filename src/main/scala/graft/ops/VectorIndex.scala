@@ -120,7 +120,8 @@ object VectorIndex {
       dim: Int,
       pqIters: Int = 2,
       tablePrefix: String = "graft_vector_index",
-      basePath: String = null): Unit = {
+      basePath: String = null,
+      booksOpt: Option[DataFrame] = None): Unit = {
     val spark = vecs.sparkSession
     def path(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
         name: String) =
@@ -129,8 +130,11 @@ object VectorIndex {
       .toDF("nlist", "num_buckets", "m", "ksub", "dim")
       .write.mode("overwrite").format("parquet"), "meta")
       .saveAsTable(s"${tablePrefix}_meta")
-    val books = ProductQuantize.trainCodebooks(
-      vecs, m, ksub, dim, pqIters, embCol, idCol)
+    // booksOpt: already-trained codebooks for the same (vecs, m, ksub,
+    // dim, pqIters) — the session-shared amortization path; the stored
+    // table is identical either way.
+    val books = booksOpt.getOrElse(ProductQuantize.trainCodebooks(
+      vecs, m, ksub, dim, pqIters, embCol, idCol))
     path(books.write.mode("overwrite").format("parquet"), "codebooks")
       .saveAsTable(s"${tablePrefix}_codebooks")
     val store = spark.table(s"${tablePrefix}_store")
@@ -269,7 +273,8 @@ object VectorIndex {
       pqIters: Int = 2,
       tablePrefix: String = "graft_vector_index",
       basePath: String = null,
-      needPq: Boolean = true): Unit = {
+      needPq: Boolean = true,
+      booksOpt: Option[DataFrame] = None): Unit = {
     val spark = vecs.sparkSession
     // Coarse half first (bind or build) — every consumer needs it.
     val storeLive = spark.catalog.tableExists(s"${tablePrefix}_store")
@@ -289,7 +294,7 @@ object VectorIndex {
       return
     }
     writePqHalf(vecs, embCol, idCol, nlist, m, ksub, dim, pqIters,
-      tablePrefix, basePath)
+      tablePrefix, basePath, booksOpt)
   }
 
   /** [[registerVectorIndex]] plus the PQ tables (`_codebooks`,

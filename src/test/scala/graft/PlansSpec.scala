@@ -588,18 +588,27 @@ class PlansSpec extends SparkSpec {
       s"row-grain probe side must be map-only:\n$plan")
   }
 
-  test("pagerank: edge discovery is persisted, not re-derived per iteration branch") {
+  test("pagerank: edge discovery is materialized, not re-derived per iteration") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.{LocalTableScanExec, RDDScanExec}
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
     val df = graft.ops.PageRank.pageRankMicro(e, "src", "dst", iterations = 3)
     val plan = df.queryExecution.sparkPlan
-    // Every reference to the edge list (deg, nodes, per-iteration
-    // contribution joins) must read the InMemoryRelation; if the cache
-    // were dropped the iteration branches would recompute the upstream
-    // discovery subtree once each.
-    val scans = plan.collect { case s: InMemoryTableScanExec => s }
-    assert(scans.size >= 4,
-      s"expected >=4 cached edge-list scans (3 iterations + nodes/deg), got ${scans.size}:\n$plan")
+    // Iterations are separated by eager checkpoints, so the FINAL
+    // iteration's plan must read only materialized leaves: the cached
+    // degree-annotated edge list (InMemoryRelation) and checkpointed
+    // RDD leaves (nodes, previous ranks) — never the raw edge source,
+    // whose re-appearance would mean the discovery subtree is being
+    // re-derived inside an iteration.
+    val cached = plan.collect { case s: InMemoryTableScanExec => s }
+    val rddLeaves = plan.collect { case s: RDDScanExec => s }
+    val rawSource = plan.collect { case s: LocalTableScanExec => s }
+    assert(cached.nonEmpty,
+      s"expected the degree-annotated edge list to be a cached scan:\n$plan")
+    assert(rddLeaves.size >= 2,
+      s"expected checkpointed nodes + previous-ranks leaves, got ${rddLeaves.size}:\n$plan")
+    assert(rawSource.isEmpty,
+      s"raw edge source re-derived inside an iteration:\n$plan")
     graft.core.Caches.releaseAll()
   }
 
