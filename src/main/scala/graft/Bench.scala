@@ -178,6 +178,25 @@ object Bench {
     // One bare line on stdout (build.sbt routes forked stdout through
     // un-prefixed so the driver can json-parse it), plus a file copy.
     println(line)
+    // TRUNCATION-PROOF per-query timings (round 14): the full line
+    // above is ~10 KB at 192 queries and a log-tail capture that
+    // truncates from the front decapitates it — round 13's per-query
+    // comparison came back EMPTY because only the tail of the big line
+    // survived. Re-emit the same queries map as small self-identified
+    // chunk lines, each independently JSON-parseable with its own
+    // {"queries": {...}} object, so ANY tail window still contains
+    // complete (name, sec) pairs a comparator can merge; the short
+    // summary stays LAST so the headline always parses.
+    locally {
+      val entries = timings.toSeq
+      val perChunk = 6
+      val nChunks = (entries.size + perChunk - 1) / perChunk
+      entries.grouped(perChunk).zipWithIndex.foreach { case (chunk, i) =>
+        val qj = chunk.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"queries_chunk","i":$i,"of":$nChunks,"queries":$qj}""")
+      }
+    }
     // The full line above can exceed a log-tail capture that truncates from
     // the front; emit a short self-contained summary LAST so the headline
     // metric always survives and parses.

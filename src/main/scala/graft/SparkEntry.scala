@@ -2479,17 +2479,23 @@ object SparkEntry {
             .as("duration_sec"))
       val assets = assetsDf.as[graft.multimodal.MediaAsset]
       val dec = new graft.multimodal.HashPcmDecoder
+      // ONE fingerprint pass (round 14): the per-window decode is the
+      // row's dominant cost and both arms consumed it — the banded arm
+      // internally, the brute arm on the sub-corpus (a per-asset-
+      // deterministic derivation, so filtering the shared relation is
+      // value-identical to re-deriving from filtered assets; pinned in
+      // MultiModalSpec). Persisted once, handed to both.
+      val allFps = graft.core.Caches.persistTracked(
+        graft.multimodal.MultiModal.audioFingerprints(
+          assets, dec, sampleRate = 512, frameLen = 512, hop = 1280))
       val bandedAll = graft.multimodal.MultiModal.audioNearDuplicates(
         assets, dec, maxHamming = 3, minSharedWindows = 2,
-        sampleRate = 512, frameLen = 512, hop = 1280)
+        sampleRate = 512, frameLen = 512, hop = 1280, fpsOpt = Some(allFps))
       val inS = (c: Column) => c < cap || (c >= 10000000L && c < 10000000L + cap)
       val banded = bandedAll.where(inS(col("audio_a")) && inS(col("audio_b")))
       // Brute arm: same deterministic fingerprints on the sub-corpus,
       // all-pairs Hamming written bit_count(~xor) >= 61 (rule-proof).
-      val subFps = graft.core.Caches.persistTracked(
-        graft.multimodal.MultiModal.audioFingerprints(
-          assetsDf.where(inS(col("asset_id"))).as[graft.multimodal.MediaAsset],
-          dec, sampleRate = 512, frameLen = 512, hop = 1280))
+      val subFps = allFps.where(inS(col("asset_id")))
       val fa = subFps.select(col("asset_id").as("va"), col("window_idx").as("wa"),
         col("fp").as("ha"))
       val fb = subFps.select(col("asset_id").as("vb"), col("window_idx").as("wb"),
@@ -3831,13 +3837,15 @@ object SparkEntry {
       // (session, dataset) now that the relation is shared.
       val nSub = math.max(1L, sub.count())
       val kCap = math.min(nSub, Int.MaxValue.toLong).toInt
-      val prefix = s"graft_idx_sub_${runToken}_" +
-        java.lang.Integer.toHexString(d.hashCode)
-      val base = s"${System.getProperty("java.io.tmpdir")}/$prefix"
-      graft.ops.Components.dedupClustersIndexed(sub, "embedding", "vec_id",
-        threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
-        shortlist = kCap, m = 4, ksub = 16, dim = 64,
-        tablePrefix = prefix, basePath = base)
+      // IN-MEMORY scratch index (round 14): this per-run bounded-subset
+      // index has no cross-session consumer, and the five-table Derby
+      // saveAsTable round-trip was ~10 s of q181's 11.4 s — the
+      // relation-level build/search is the identical pipeline
+      // (Components.dedupClustersIndexedInMemory; OpsSpec pins it
+      // row-for-row against the catalog-backed spelling).
+      graft.ops.Components.dedupClustersIndexedInMemory(sub, "embedding",
+        "vec_id", threshold = 0.4, nlist = 16, nprobe = 16, k = kCap,
+        shortlist = kCap, m = 4, ksub = 16, dim = 64)
     }
     (sub, clusters)
   }

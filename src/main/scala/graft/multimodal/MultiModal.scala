@@ -515,9 +515,17 @@ object MultiModal {
       sampleRate: Int = 512,
       frameLen: Int = 512,
       hop: Int = 640,
-      batchSize: Int = 32): DataFrame =
+      batchSize: Int = 32,
+      fpsOpt: Option[DataFrame] = None): DataFrame =
+    // fpsOpt: an already-computed [[audioFingerprints]] relation for
+    // the SAME (assets, sampleRate, frameLen, hop) — the per-window
+    // decode is the operator's dominant cost (the §4 per-task hot
+    // loop), and a caller that also needs the fingerprints for its own
+    // arms (q146's brute envelope) computes them once and hands them
+    // to both (guide §1.2).
     sharedUnitNearDupPairs(
-      audioFingerprints(assets, decoder, sampleRate, frameLen, hop, batchSize)
+      fpsOpt.getOrElse(
+          audioFingerprints(assets, decoder, sampleRate, frameLen, hop, batchSize))
         .withColumnRenamed("window_idx", "unit_idx")
         .withColumnRenamed("fp", "h64"),
       maxHamming, minSharedWindows, "audio_a", "audio_b", "n_window_pairs")

@@ -102,7 +102,8 @@ object Affinity {
       itemCol: String,
       minSupport: Long,
       itemsOpt: Option[DataFrame] = None,
-      maxBasketSize: Option[Int] = None): DataFrame = {
+      maxBasketSize: Option[Int] = None,
+      itemCountsOpt: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     maxBasketSize.foreach(m => require(m >= 2, s"maxBasketSize must be >= 2, got $m"))
     // The shared-cache key must identify the input RELATION, not just
@@ -157,8 +158,16 @@ object Affinity {
       val joinInput =
         if (minSupport <= 1L) capped
         else {
-          val frequent = capped.groupBy(col("__i"))
-            .agg(count(lit(1)).as("__n"))
+          // itemCountsOpt: the (item, basket-count) aggregate a caller
+          // already needs for its own columns (basketLift's n_a/n_b
+          // frequency joins) — without the handoff the identical
+          // aggregation over the identical items relation ran twice in
+          // the build-triggering query (guide §1.2: don't compute it
+          // twice). Only valid UNCAPPED: under maxBasketSize the prune
+          // must count the capped relation.
+          val frequent = itemCountsOpt.filter(_ => maxBasketSize.isEmpty)
+            .getOrElse(capped.groupBy(col("__i"))
+              .agg(count(lit(1)).as("__n")))
             .where(col("__n") >= minSupport)
             .select(col("__i"))
           capped.join(frequent, Seq("__i"), "left_semi")
@@ -185,10 +194,16 @@ object Affinity {
     // One persisted items relation serves the pair discovery (when
     // this call triggers the shared build) AND the frequency/total
     // aggregates below; the skinny pair relation alone stays cached
-    // for the session.
+    // for the session. The item-count aggregate is likewise built ONCE
+    // (persisted — item-grain, bounded by the item vocabulary) and
+    // serves both the apriori prune inside the discovery and the
+    // n_a/n_b lift columns; before the handoff the identical
+    // aggregation ran twice in the build-triggering query.
     val items = graft.core.Caches.persistTracked(basketItems(df, basketCol, itemCol))
-    val pairs = supportPairs(df, basketCol, itemCol, minSupport, Some(items))
-    val freq = items.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+    val freq = graft.core.Caches.persistTracked(
+      items.groupBy(col("__i")).agg(count(lit(1)).as("__n")))
+    val pairs = supportPairs(df, basketCol, itemCol, minSupport, Some(items),
+      itemCountsOpt = Some(freq))
     val total = items.select(col("__b")).distinct()
       .agg(count(lit(1)).as("__N"))
     val dec = "decimal(38,0)"

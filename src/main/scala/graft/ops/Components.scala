@@ -72,25 +72,27 @@ object Components {
     // (blocks do not survive executor loss — lineage is cut) is
     // acceptable for these bounded intermediate relations, and was
     // already the jump rounds' behavior.
-    val edges = pairs
+    // Lineage cuts route through Checkpoints.cut: eager localCheckpoint
+    // by default, config-keyed reliable checkpoint for deployments
+    // where executor loss mid-loop must not kill the job (round 14).
+    val cut = graft.core.Checkpoints.cut _
+    val edges = cut(pairs
       .select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst"))))
         .as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // FUSED round 0: label(v) = min(v, min over in-neighbors) computed
     // straight off the edge relation — every vertex appears as `dst` of
     // the symmetric relation, so this is exactly the first min-label
     // round and the separate identity-label init (one more distinct +
     // shuffle) is unnecessary.
-    var labels = edges
+    var labels = cut(edges
       .groupBy(col("dst").as("id"))
-      .agg(least(min(col("src")), col("dst")).as("component"))
-      .localCheckpoint()
+      .agg(least(min(col("src")), col("dst")).as("component")))
 
     // Fixpoint detection: labels only ever DECREASE (monotone min over
     // a fixed vertex set), so the label sum strictly decreases iff any
@@ -120,12 +122,11 @@ object Components {
       // current label. groupBy-min folds self + neighbors in one
       // partial-aggregating shuffle (map-side combine keeps the
       // shuffled volume at one row per (vertex, distinct label)).
-      val propagated = edges.join(labels, edges("src") === labels("id"))
+      val propagated = cut(edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), col("component"))
         .union(labels)
         .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint()
+        .agg(min(col("component")).as("component")))
       val s = labelSum(propagated)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
@@ -141,13 +142,12 @@ object Components {
           // twice; the checkpoint above already cut it to an RDD leaf.
           val lookup = propagated.select(col("id").as("__lid"),
             col("component").as("__lcomp"))
-          val jumped = propagated
+          val jumped = cut(propagated
             .join(lookup, propagated("component") === col("__lid"), "left")
             .select(propagated("id"),
               least(propagated("component"),
                 coalesce(col("__lcomp"), propagated("component")))
-                .as("component"))
-            .localCheckpoint()
+                .as("component")))
           // The jump changes labels without a detection round; re-base
           // the sum so the next plain round's compare stays continuous.
           prevSum = labelSum(jumped)
@@ -232,6 +232,38 @@ object Components {
       vecs.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
       "__qemb", "__qid", k = k, nprobe = nprobe, shortlist = shortlist,
       tablePrefix = tablePrefix)
+    val pairs = hits
+      .where(col("vec_id") =!= col("__qid") && col("score") >= threshold)
+      .select(col("__qid").as("id_a"), col("vec_id").as("id_b"))
+    dedupClusters(vecs, idCol, pairs, "id_a", "id_b")
+  }
+
+  /** [[dedupClustersIndexed]] over an IN-MEMORY scratch index
+    * ([[VectorIndex.buildIvfPqRelations]]) — for BOUNDED per-run
+    * subsets (q181/q188's scale-adaptive ~1000-vector SemDeDup
+    * relation), where the standing-store catalog round-trip is pure
+    * fixed cost: same build and search expressions, value-identical
+    * output (OpsSpec pins in-memory == catalog-backed row for row).
+    * Corpus-scale callers with cross-query consumers keep the
+    * materialized-table spelling above.
+    */
+  def dedupClustersIndexedInMemory(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      threshold: Double,
+      nlist: Int,
+      nprobe: Int,
+      k: Int,
+      shortlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int): DataFrame = {
+    val rel = VectorIndex.buildIvfPqRelations(vecs, embCol, idCol,
+      nlist = nlist, m = m, ksub = ksub, dim = dim, refineIters = 1)
+    val hits = VectorIndex.searchIvfAdcRelations(
+      vecs.select(col(idCol).as("__qid"), col(embCol).as("__qemb")),
+      "__qemb", "__qid", k = k, nprobe = nprobe, shortlist = shortlist, rel)
     val pairs = hits
       .where(col("vec_id") =!= col("__qid") && col("score") >= threshold)
       .select(col("__qid").as("id_a"), col("vec_id").as("id_b"))

@@ -467,10 +467,13 @@ object Dedup {
       w2.bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(s"${tablePrefix}_$name")
     }
-    val sets = corpus
+    // Persisted: the sets relation is written AND re-read to derive the
+    // prefix table — without the persist the corpus tokenize/shingle/
+    // sort pass ran twice per index build (guide §1.2).
+    val sets = graft.core.Caches.persistTracked(corpus
       .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("id"), array_sort(col("sh")).as("sh"))
+      .select(col("id"), array_sort(col("sh")).as("sh")))
     write(sets, "sets", "id")
     val prefLen =
       (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - lit(eps)) + 1).cast("int")

@@ -70,9 +70,11 @@ object PageRank {
     // support-pair graph at sf0.1, the composed form re-ran those
     // subtrees three times each and the single job carried ~15 shuffle
     // stages (q115 in-suite 9.1 s composed; ~5.1 s restructured).
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+    // Checkpoints.cut: eager localCheckpoint by default, config-keyed
+    // reliable checkpoint for executor-loss-sensitive deployments.
+    val nodes = graft.core.Checkpoints.cut(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val withDeg = graft.core.Caches.persistTracked(e.join(deg, "src"))
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
@@ -94,7 +96,7 @@ object PageRank {
       // join of three leaves instead of nesting the previous
       // iterations'. The LAST iteration stays lazy so callers compose
       // their projection/order on an un-materialized plan.
-      if (i < iterations) ranks = ranks.localCheckpoint()
+      if (i < iterations) ranks = graft.core.Checkpoints.cut(ranks)
     }
     ranks
   }

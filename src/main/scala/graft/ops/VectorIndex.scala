@@ -167,14 +167,38 @@ object VectorIndex {
       nprobe: Int,
       shortlist: Int,
       tablePrefix: String = "graft_vector_index"): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
     val spark = queries.sparkSession
     val meta = spark.table(s"${tablePrefix}_meta").head()
-    val m = meta.getAs[Int]("m")
-    val ksub = meta.getAs[Int]("ksub")
-    val dim = meta.getAs[Int]("dim")
-    val centroids = spark.table(s"${tablePrefix}_centroids")
-    val books = spark.table(s"${tablePrefix}_codebooks")
+    searchIvfAdcCore(queries, qEmbCol, qIdCol, k, nprobe, shortlist,
+      store = spark.table(s"${tablePrefix}_store"),
+      centroids = spark.table(s"${tablePrefix}_centroids"),
+      books = spark.table(s"${tablePrefix}_codebooks"),
+      codes = spark.table(s"${tablePrefix}_codes"),
+      m = meta.getAs[Int]("m"), ksub = meta.getAs[Int]("ksub"),
+      dim = meta.getAs[Int]("dim"))
+  }
+
+  /** The IVFADC search pipeline over explicit relations — shared by the
+    * catalog-backed path ([[searchIvfIndexAdc]]) and the in-memory
+    * subset path ([[buildIvfPqRelations]]); one implementation, so the
+    * two spellings cannot drift.
+    */
+  private def searchIvfAdcCore(
+      queries: DataFrame,
+      qEmbCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      shortlist: Int,
+      store: DataFrame,
+      centroids: DataFrame,
+      books: DataFrame,
+      codes: DataFrame,
+      m: Int,
+      ksub: Int,
+      dim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k $k")
+    val spark = queries.sparkSession
     val probeW = Window.partitionBy(col(qIdCol))
       .orderBy(col("__qsim").desc, col("centroid_id"))
     val probes = graft.core.Caches.persistTracked(
@@ -185,7 +209,7 @@ object VectorIndex {
         .select(col(qIdCol), col(qEmbCol), col("centroid_id")))
     val probedLists = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val prunedCodes = spark.table(s"${tablePrefix}_codes")
+    val prunedCodes = codes
       .where(col("centroid_id").isin(probedLists.map(Long.box): _*))
     // Per-query FLAT lut (m x ksub doubles, position sub * ksub +
     // code): the broadcast side of the scoring join; positions of
@@ -227,7 +251,7 @@ object VectorIndex {
       .withColumn("__sl", row_number().over(slW))
       .where(col("__sl") <= shortlist)
       .select(col("__q"), col("id"))
-    val prunedStore = spark.table(s"${tablePrefix}_store")
+    val prunedStore = store
       .where(col("centroid_id").isin(probedLists.map(Long.box): _*))
     val rankW = Window.partitionBy(col(qIdCol))
       .orderBy(col("score").desc, col("id"))
@@ -248,6 +272,72 @@ object VectorIndex {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** In-memory IVFADC relations for a BOUNDED subset — the same build
+    * semantics as [[writeIvfPqIndex]] (identical centroid pick/refine,
+    * assignment, codebook train, code encode expressions, so every
+    * value matches the materialized tables bit for bit) with the
+    * store/centroids/codebooks/codes kept as PERSISTED DATAFRAMES.
+    * Round-14 motivation: q181's scale-adaptive ~1000-vector subset
+    * index spent ~10 s of its 11.4 s in Derby `saveAsTable` churn for
+    * five catalog tables plus their read-back — pure fixed cost on a
+    * relation that fits in a handful of cache blocks. A STANDING index
+    * over a full corpus keeps the catalog contract ([[ensureIvfPqIndex]]
+    * — files survive the session, consumers rebind after restarts); a
+    * per-run scratch index over a bounded subset has no cross-session
+    * consumer, so the catalog round-trip bought nothing. OpsSpec pins
+    * in-memory search == catalog-backed search row for row.
+    */
+  case class IvfPqRelations(
+      store: DataFrame, centroids: DataFrame, books: DataFrame,
+      codes: DataFrame, m: Int, ksub: Int, dim: Int)
+
+  def buildIvfPqRelations(
+      vecs: DataFrame,
+      embCol: String,
+      idCol: String,
+      nlist: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      refineIters: Int = 1,
+      pqIters: Int = 2): IvfPqRelations = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    var centroids = Similarity.pickCentroids(vecs, nlist, embCol, idCol)
+    for (_ <- 0 until refineIters)
+      centroids = graft.core.Caches.persistTracked(
+        Similarity.refineCentroids(vecs, centroids, embCol, idCol))
+    centroids = graft.core.Caches.persistTracked(
+      centroids.select(col("centroid_id").cast("long").as("centroid_id"),
+        col("centroid_emb")))
+    val assigned = graft.core.Caches.persistTracked(
+      vecs.crossJoin(broadcast(centroids))
+        .withColumn("__sim", vecCosine(col(embCol), col("centroid_emb")))
+        .groupBy(col(idCol).cast("long").as("id"), col(embCol).as("emb"))
+        .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+          .as("centroid_id")))
+    val books = ProductQuantize.trainCodebooks(
+      vecs, m, ksub, dim, pqIters, embCol, idCol)
+    val codes = graft.core.Caches.persistTracked(
+      ProductQuantize.codesArray(
+          ProductQuantize.encode(assigned, books, m, dim, "emb", "id"))
+        .join(assigned.select(col("id"), col("centroid_id")), "id"))
+    IvfPqRelations(assigned, centroids, books, codes, m, ksub, dim)
+  }
+
+  /** [[searchIvfIndexAdc]] against [[buildIvfPqRelations]] output —
+    * the same one pipeline ([[searchIvfAdcCore]]).
+    */
+  def searchIvfAdcRelations(
+      queries: DataFrame,
+      qEmbCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      shortlist: Int,
+      rel: IvfPqRelations): DataFrame =
+    searchIvfAdcCore(queries, qEmbCol, qIdCol, k, nprobe, shortlist,
+      rel.store, rel.centroids, rel.books, rel.codes, rel.m, rel.ksub, rel.dim)
 
   /** Build-or-rebind a STANDING IVFPQ index — the amortized spelling
     * (round-13): q167/q175's arms all probe essentially the same index

@@ -223,6 +223,26 @@ class MultiModalSpec extends SparkSpec {
       .groupBy(x => x).view.map { case (p, occ) => (p._1, p._2, occ.size.toLong) }
       .filter(_._3 >= 2L).toSeq.sorted
     assert(got == brute)
+    // Round 14: a precomputed-fingerprints handoff (fpsOpt) must be
+    // value-identical to the internal derivation, and a subset FILTER
+    // of the shared relation must equal recomputing from the filtered
+    // assets (fingerprints are per-asset-deterministic) — the q146
+    // one-pass contract.
+    val shared = MultiModal.audioFingerprints(clips, dec,
+      sampleRate = 512, frameLen = 512, hop = 640)
+    val gotShared = MultiModal.audioNearDuplicates(clips, dec,
+        maxHamming = 3, minSharedWindows = 2,
+        sampleRate = 512, frameLen = 512, hop = 640, fpsOpt = Some(shared))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(gotShared == got, "fpsOpt handoff must be value-identical")
+    val subRecomputed = MultiModal.audioFingerprints(
+        clips.filter(col("asset_id") <= 2L), dec,
+        sampleRate = 512, frameLen = 512, hop = 640)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val subFiltered = shared.where(col("asset_id") <= 2L)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(subFiltered == subRecomputed,
+      "subset filter of shared fingerprints == recompute from filtered assets")
     assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 10L),
       s"full clone must share all windows: $got")
     assert(got.exists(p => p._1 == 1L && p._2 == 4L),

@@ -1725,6 +1725,17 @@ class OpsSpec extends SparkSpec {
     assert(exact.exists(!_._4), "fixture must have at least one non-" +
       "canonical member or the pin is vacuous")
     graft.core.Caches.releaseAll()
+    // Round 14: the IN-MEMORY scratch-index spelling (q181/q188's
+    // subset path — no catalog round-trip) must equal the
+    // catalog-backed spelling row for row, same knobs.
+    val inMem = Components.dedupClustersIndexedInMemory(emb, "embedding",
+        "vec_id", threshold = 0.4, nlist = 8, nprobe = 8, k = n,
+        shortlist = n, m = 4, ksub = 16, dim = 64)
+      .select("vec_id", "component", "cluster_size", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(inMem == exact, "in-memory scratch index closure must equal " +
+      "the catalog-backed closure")
+    graft.core.Caches.releaseAll()
     // Production knobs (partial probe, tight shortlist/k): emitted
     // pairs stay sound — a missed edge can only SPLIT a cluster, so
     // the tight assignment must REFINE the exact one (two ids sharing
@@ -2285,6 +2296,59 @@ class OpsSpec extends SparkSpec {
       // n_docs: sequence 0 spans at least the first doc; every count is
       // within [1, docs that fit].
       assert(out.forall(r => r._4 >= 1 && r._4 <= 17))
+    }
+  }
+
+  test("reliable-checkpoint flag: identical components, real checkpoint files") {
+    // spark.graft.reliableCheckpoint=true + a checkpoint dir routes the
+    // loop's lineage cuts through Dataset.checkpoint() (survives
+    // executor loss at 100 TB); results must be identical to the
+    // localCheckpoint default.
+    import graft.ops.Components
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 7L), (8L, 9L),
+      (9L, 10L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val base = Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable = Components.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toSet
+      assert(reliable == base, "reliable checkpoint must not change results")
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty,
+        "reliable mode must actually write checkpoint data")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+    }
+  }
+
+  test("shared relations built via persistTracked survive per-query releaseAll") {
+    // Round-13 q91 regression: a shared builder that RETURNS the very
+    // DataFrame it registered via persistTracked (trainCodebooks does)
+    // left that object in the per-query release queue — the bench's
+    // releaseAll() after the first consumer evicted the "session"
+    // cache, and every later consumer silently re-executed the full
+    // build lineage per plan reference. shared() now promotes the
+    // built object out of the queue.
+    import org.apache.spark.storage.StorageLevel
+    try {
+      val df = Seq((1L, 2L), (3L, 4L), (1L, 6L)).toDF("a", "b")
+      val shared = graft.core.Caches.shared("test-promote-survival") {
+        graft.core.Caches.persistTracked(
+          df.groupBy(col("a")).agg(sum(col("b")).as("s")))
+      }
+      shared.count() // materialize the cache like a first consumer
+      graft.core.Caches.releaseAll() // the bench's per-query release
+      assert(shared.storageLevel != StorageLevel.NONE,
+        "releaseAll must not evict a session-shared relation")
+      graft.core.Caches.releaseShared()
+      assert(shared.storageLevel == StorageLevel.NONE,
+        "releaseShared still owns the shared lifetime")
+    } finally {
+      graft.core.Caches.releaseAll()
+      graft.core.Caches.releaseShared()
     }
   }
 

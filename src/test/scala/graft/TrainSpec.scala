@@ -573,6 +573,35 @@ class TrainSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("driver-state weight path == checkpoint-chained path, row for row") {
+    // Round 14: within the config bound the per-step weight table rides
+    // the driver as a LocalRelation (one collect job per step) instead
+    // of an eager localCheckpoint chain. The expression tree is shared,
+    // so the trajectories must be BIT-identical — full-batch and
+    // mini-batch, including a batch that owns zero documents (left-join
+    // carry path).
+    val pos = (0 until 15).map(i => (i.toLong, "good clean prose text", 1L))
+    val neg = (15 until 30).map(i => (i.toLong, "spam junk noise words", 0L))
+    val df = (pos ++ neg).toDF("doc_id", "text", "y")
+    val fullA = LinearTrainer.trainImpl(df, "text", "doc_id", col("y"),
+      buckets = 32, epochs = 3, lrFactor = 16L, driverState = true)
+    val fullB = LinearTrainer.trainImpl(df, "text", "doc_id", col("y"),
+      buckets = 32, epochs = 3, lrFactor = 16L, driverState = false)
+    assert(fullA.schema.map(f => (f.name, f.dataType)) ==
+      fullB.schema.map(f => (f.name, f.dataType)))
+    assert(fullA.collect().toSeq == fullB.collect().toSeq)
+    val miniA = LinearTrainer.trainMiniBatchImpl(df, "text", "doc_id",
+      col("y"), buckets = 32, epochs = 2, numBatches = 5, lrFactor = 16L,
+      salt = "mb1", driverState = true)
+    val miniB = LinearTrainer.trainMiniBatchImpl(df, "text", "doc_id",
+      col("y"), buckets = 32, epochs = 2, numBatches = 5, lrFactor = 16L,
+      salt = "mb1", driverState = false)
+    assert(miniA.schema.map(f => (f.name, f.dataType)) ==
+      miniB.schema.map(f => (f.name, f.dataType)))
+    assert(miniA.collect().toSeq == miniB.collect().toSeq)
+    graft.core.Caches.releaseAll()
+  }
+
   test("linear trainer epoch-1 update matches the closed form") {
     // One doc "a", label 1: z=0 -> sigma=S/2 -> r=-S/2; grad=-S/2;
     // lr=1/(16*1) -> w1 = floor(S/2/16) = 31250.
