@@ -3547,13 +3547,14 @@ object SparkEntry {
     }),
     "q189_token_decontamination_13gram" -> ((s, d) => {
       // §2.11 decontamination at GPT-3's PUBLISHED n (Brown et al.
-      // 2020 App. C runs 13-grams): 276^13 >> 2^62, so the packed-long
-      // gram key is out of injective range and the operator takes the
-      // documented STRING-KEY fallback
-      // (Decontaminate.tokenIdNgramOverlapFromIds, packable = false)
-      // — the round-12 verdict's item 7: the fallback was spec-covered
-      // only; this row oracle-covers it (the oracle replays the
-      // space-joined id-string keys). Same standing-store plumbing and
+      // 2020 App. C runs 13-grams): 276^13 >> 2^62, so the single
+      // packed-long gram key is out of injective range — since round
+      // 14 the operator takes the TWO-PACKED-LONGS tier (7+6 id split,
+      // each half < 2^62 — injective, so join hits and distinct counts
+      // are identical to any faithful key spelling; the oracle replays
+      // space-joined id-string keys in DuckDB and the outputs match
+      // row for row, TrainSpec pins packed == brute force in-engine).
+      // Same standing-store plumbing and
       // plants as q180; at n = 13 the single-shared-word plants CANNOT
       // fire (their shared id run is bounded by the word's ~11 tokens)
       // while the straddling two-word plant's shared run can — all

@@ -86,18 +86,38 @@ object Decontaminate {
       vocabSize: Long, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    // Key tiers, all EXACT (injective maps preserve join hits and
+    // distinct counts, so the output is identical whichever tier
+    // fires; the tier is a function of (n, vocabSize), never of data):
+    //  1. one packed long   — vocabSize^n < 2^62 (q180's n=4);
+    //  2. TWO packed longs  — each half fits 62 bits (q189's n=13 at
+    //     vocabSize 276: 13·log2(276) ≈ 105 bits > 62, but 7+6 split
+    //     fits). Round-14: this replaces the string fallback for the
+    //     published-n case — a space-joined 13-id string is ~50 bytes
+    //     built from 13 casts per gram, over tens of millions of
+    //     grams; the struct key is 16 bytes of pure long arithmetic
+    //     (guide §2.3 narrower keys).
+    //  3. space-joined id string — the unbounded-n fallback.
     val packable = n * math.log(vocabSize.toDouble) < 62 * math.log(2.0)
+    val halfA = (n + 1) / 2
+    val packable2 = halfA * math.log(vocabSize.toDouble) < 62 * math.log(2.0)
     def idGrams(ids: Column): Column = {
-      def packed(i: Column): Column =
-        (0 until n).foldLeft(lit(0L).cast("long")) { (acc, j) =>
+      def packedRange(i: Column, from: Int, until: Int): Column =
+        (from until until).foldLeft(lit(0L).cast("long")) { (acc, j) =>
           acc * vocabSize + element_at(ids, (i + j + 1).cast("int")).cast("long")
         }
       def joined(i: Column): Column = array_join(
         transform(slice(ids, i + 1, lit(n)), t => t.cast("string")), " ")
       if (packable)
         when(size(ids) >= n,
-          transform(sequence(lit(0), size(ids) - n), i => packed(i)))
+          transform(sequence(lit(0), size(ids) - n), i => packedRange(i, 0, n)))
           .otherwise(array().cast("array<long>"))
+      else if (packable2)
+        when(size(ids) >= n,
+          transform(sequence(lit(0), size(ids) - n), i =>
+            struct(packedRange(i, 0, halfA).as("g1"),
+              packedRange(i, halfA, n).as("g2"))))
+          .otherwise(array().cast("array<struct<g1:bigint,g2:bigint>>"))
       else
         when(size(ids) >= n,
           transform(sequence(lit(0), size(ids) - n), i => joined(i)))

@@ -969,6 +969,38 @@ class TrainSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("13-gram decontamination (two-packed-longs tier) == brute force") {
+    import graft.ops.Decontaminate
+    // n=13 at vocabSize 276 forces the two-longs tier (13·log2(276) >
+    // 62 > 7·log2(276)); the overlap must equal a from-scratch Scala
+    // recount of shared 13-grams. Train doc 1 embeds eval doc 20's
+    // id run (contaminated, 3 distinct shared grams), doc 2 shares a
+    // 12-id run only (one short of n — clean), doc 3 is disjoint.
+    val vocabSize = 276L
+    val evalRun = (0 until 15).map(i => (i * 7 + 3).toLong)
+    val train = Seq(
+      (1L, (Seq(99L, 98L) ++ evalRun ++ Seq(97L)).toArray),
+      (2L, (Seq(96L) ++ evalRun.take(12) ++ Seq(95L, 94L)).toArray),
+      (3L, (0 until 20).map(i => (200 + i).toLong).toArray))
+      .toDF("doc_id", "token_ids")
+    val eval = Seq((20L, evalRun.toArray)).toDF("doc_id", "token_ids")
+    val got = Decontaminate.tokenIdNgramOverlapFromIds(
+        train, eval, "doc_id", vocabSize, n = 13)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def grams(ids: Seq[Long]): Set[Seq[Long]] =
+      ids.sliding(13).filter(_.size == 13).map(_.toSeq).toSet
+    val evalG = grams(evalRun)
+    val expect = Map(
+      1L -> grams(Seq(99L, 98L) ++ evalRun ++ Seq(97L)),
+      2L -> grams(Seq(96L) ++ evalRun.take(12) ++ Seq(95L, 94L)),
+      3L -> grams((0 until 20).map(i => (200 + i).toLong)))
+      .map { case (k, g) => k -> { val s = (g & evalG).size.toLong; (s, s > 0) } }
+    assert(got == expect, s"got $got expect $expect")
+    assert(expect(1L)._2 && !expect(2L)._2 && !expect(3L)._2,
+      "fixture must exercise contaminated, one-short, and disjoint cases")
+    graft.core.Caches.releaseAll()
+  }
+
   // ------------------------------------------- exact substring spans
 
   test("maximal duplicated spans finds the planted shared run, exactly bounded") {
