@@ -373,8 +373,17 @@ object Bpe {
     * through the NATIVE expression, not tokenizeFold: the fold
     * spelling nests 2x|merges| replace expressions, which overflows
     * Catalyst analysis beyond a few hundred merges — the exact regime
-    * these paths exist for. Persisted: the join probes it and AQE
-    * sizes the broadcast from the materialized relation.
+    * these paths exist for. Persisted AND materialized eagerly: an
+    * un-materialized cached relation has UNKNOWN size statistics
+    * (defaultSizeInBytes = huge), so the planner's first pass put the
+    * dictionary on the STREAMED side and broadcast the word-OCCURRENCE
+    * side instead — a 288 MB broadcast of 2.7M occurrences probing 310
+    * dict rows at sf1m, locked in before AQE could see the real 31 KiB
+    * (broadcast query stages materialize early and never flip build
+    * side). The count() pays the vocabulary-sized dict build once —
+    * work its first consumer paid anyway — and every consumer then
+    * plans the join from true stats: broadcast the dict when it is
+    * small, sort-merge when a 100 TB vocabulary is not.
     */
   private def wordsAndDict(
       df: DataFrame, textCol: String, idCol: String,
@@ -387,6 +396,7 @@ object Bpe {
     val dict = graft.core.Caches.persistTracked(
       words.select(col("__w")).distinct()
         .select(col("__w"), tokenize(col("__w"), merges).as("__t")))
+    dict.count()
     (words, dict)
   }
 
@@ -531,6 +541,10 @@ object Bpe {
     val dict = graft.core.Caches.persistTracked(
       words.select(col("__w")).distinct()
         .select(col("__w"), tokenizeByteLevel(col("__w"), merges).as("__t")))
+    // Eager: true dict stats before the occurrence join plans (see
+    // wordsAndDict — unknown cached-relation size put the broadcast on
+    // the occurrence side).
+    dict.count()
     idsReassemble(df, idCol, words, dict, vocab)
   }
 

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * doc_offset + in-doc index, where doc_offset comes from
   * [[Packing.exclusivePrefix]] — the two-phase distributed scan
   * (per-partition totals + broadcast offsets), NEVER a no-partition
-  * global Window. After that the only shuffle is the irreducible one:
-  * token-grain rows hash-partitioned by sequence id, one
-  * sort-within-group per sequence. q78's shard assignment packs at
-  * document grain; this packs at TOKEN grain, crossing document
-  * boundaries exactly like the training loader does.
+  * global Window. After that the only token-grain shuffle is the
+  * irreducible one: (pos, token) rows hash-partitioned by sequence id,
+  * one sort-within-group per sequence — the doc id never crosses it
+  * (n_docs is recovered exactly from the doc-grain offsets, see
+  * packTokens). q78's shard assignment packs at document grain; this
+  * packs at TOKEN grain, crossing document boundaries exactly like the
+  * training loader does.
   *
   * Tokenization is the suite convention (lowercased, whitespace-split,
   * empties dropped), so the oracle recomputes every sequence string
@@ -57,26 +59,52 @@ object SequencePack {
       idCol: String,
       seqLen: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    def seqOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.Bridge.expression(c),
+          org.apache.spark.sql.graftbridge.Bridge.expression(lit(seqLen.toLong))))
     val toks = df.select(col(idCol).as("__id"), toksCol.as("__t"))
     val toksP = graft.core.Caches.persistTracked(toks)
     val offsets = Packing.exclusivePrefix(
       toksP.select(col("__id"), size(col("__t")).as("__w")), "__id", "__w")
-    toksP
+    val withOff = toksP
       .join(offsets.select(col("__id"), col("offset")), Seq("__id"))
-      .select(col("__id"), col("offset"),
-        posexplode(col("__t")).as(Seq("__i", "__tok")))
-      .select(col("__id"), (col("offset") + col("__i")).as("__pos"),
-        col("__tok"))
-      .groupBy(org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("__pos")),
-          org.apache.spark.sql.graftbridge.Bridge.expression(lit(seqLen.toLong))))
-        .as("seq_id"))
+    // seq_text/n_tokens: the irreducible token-grain grouping — and
+    // ONLY it. n_docs used to ride this aggregate as countDistinct(id),
+    // whose distinct rewrite re-keys the partial aggregation by
+    // (seq, id) and drags every collect_list buffer through two extra
+    // ObjectHashAggregate merge levels (measured: the pass-through
+    // PartialMerge level alone was 44 s/task at sf1m — 3x the whole
+    // query's floor). The doc id is projected away BEFORE the exchange.
+    val seqText = withOff
+      .select(col("offset"), posexplode(col("__t")).as(Seq("__i", "__tok")))
+      .select((col("offset") + col("__i")).as("__pos"), col("__tok"))
+      .groupBy(seqOf(col("__pos")).as("seq_id"))
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("__pos"), col("__tok")))),
           s => s.getField("__tok")), " ").as("seq_text"),
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("__id")).as("n_docs"))
+        count(lit(1)).as("n_tokens"))
+    // n_docs at DOC grain: the stream concatenates documents, so each
+    // doc's token positions are the contiguous [offset, offset + w) and
+    // the sequences it touches are exactly seqOf(offset)..seqOf(offset
+    // + w - 1) — counting docs per covered sequence IS
+    // countDistinct(doc) per sequence, without shipping a doc-id column
+    // through the token-grain exchange. w > 0 guards both the
+    // "contributing at least one token" contract and sequence()'s
+    // descending-range footgun on empty docs.
+    val seqDocs = withOff
+      .select(col("offset"), size(col("__t")).as("__w"))
+      .where(col("__w") > 0)
+      .select(explode(sequence(seqOf(col("offset")),
+        seqOf(col("offset") + col("__w") - 1))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    // Inner join is a bijection: a sequence has a token iff some doc
+    // with w > 0 covers it. Both sides leave their aggregates hash-
+    // partitioned by seq_id, so the join adds no exchange.
+    seqText.join(seqDocs, Seq("seq_id"))
+      .select(col("seq_id"), col("seq_text"), col("n_tokens"), col("n_docs"))
   }
 }

@@ -276,6 +276,10 @@ object Unigram {
         .select(col("__w"),
           viterbiPieces(col("__w"), costs, maxChars, maxPieceLen)
             .as("__t")))
+    // Eager: true dict stats before the occurrence join plans (see
+    // Bpe.wordsAndDict — unknown cached-relation size put the broadcast
+    // on the occurrence side).
+    dict.count()
     Bpe.idsReassemble(df, idCol, words, dict, vocab)
   }
 

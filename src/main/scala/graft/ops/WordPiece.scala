@@ -294,6 +294,10 @@ object WordPiece {
       words.select(col("__w")).distinct()
         .select(col("__w"), tokenizeWord(col("__w"), vocabStrings, maxChars)
           .as("__t")))
+    // Eager: true dict stats before the occurrence join plans (see
+    // Bpe.wordsAndDict — unknown cached-relation size put the broadcast
+    // on the occurrence side).
+    dict.count()
     Bpe.idsReassemble(df, idCol, words, dict, vocab)
   }
 

@@ -2296,6 +2296,20 @@ class OpsSpec extends SparkSpec {
       // n_docs: sequence 0 spans at least the first doc; every count is
       // within [1, docs that fit].
       assert(out.forall(r => r._4 >= 1 && r._4 <= 17))
+      // n_docs == brute-force distinct docs per sequence (round 14
+      // moved it off the token-grain aggregate onto doc-grain offset
+      // arithmetic — this pins the arithmetic against a from-scratch
+      // recount, including docs straddling sequence boundaries and
+      // empty docs contributing only their separator).
+      val stream = docs.as[(Long, String)].collect().sortBy(_._1)
+        .flatMap { case (id, t) =>
+          (t.toLowerCase.split("\\s+").filter(_.nonEmpty) :+ "<eod>")
+            .map(tok => (id, tok))
+        }
+      val brute = stream.zipWithIndex
+        .groupBy { case (_, pos) => pos / 16 }
+        .map { case (s, rows) => s.toLong -> rows.map(_._1._1).distinct.size.toLong }
+      assert(out.map(r => r._1 -> r._4).toMap == brute, s"parts=$parts")
     }
   }
 
